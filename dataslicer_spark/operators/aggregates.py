@@ -1,0 +1,209 @@
+"""Aggregation operators (SURVEY.md §2.4: A2-A7).
+
+All are single-pass ``groupBy().agg(...)`` plans — Catalyst splits them into
+partial (map-side) and final aggregation automatically, so each is one
+shuffle of the *aggregated* keys, not the raw rows.  The reference computes
+several of these with per-group Python loops (e.g. the RCID loop at
+``_objtable_methods.py:248-250``); those collapse into one pass here.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+
+
+def cluster_centroid(
+    df: DataFrame,
+    group_col: str = "clusterID",
+    xname: str = "ra",
+    yname: str = "dec",
+) -> DataFrame:
+    """A2 — per-cluster centroid: unweighted mean position.
+
+    Reference: ``objtable.compute_cluster_centroid`` (objtable.py:171-198).
+    """
+    check_col([group_col, xname, yname], df)
+    return df.groupBy(group_col).agg(
+        F.avg(xname).alias(f"{xname}_centroid"),
+        F.avg(yname).alias(f"{yname}_centroid"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _fp_sum(col, bits: int):
+    """Order-independent fixed-point sum: floor(x·2^k) into int64.
+
+    Power-of-two scaling is exact in IEEE doubles, so the quantized sum is
+    bit-reproducible regardless of partial-aggregation order / partitioning
+    — used by the ``deterministic=True`` paths for cross-engine checksums.
+    """
+    m = float(2**bits)
+    return F.sum(F.floor(col * F.lit(m)).cast("long")).cast("double") / m
+
+
+def cluster_centroid_weighted(
+    df: DataFrame,
+    err_col: str,
+    group_col: str = "clusterID",
+    xname: str = "ra",
+    yname: str = "dec",
+    deterministic: bool = False,
+) -> DataFrame:
+    """A2 (weighted) — inverse-variance-weighted centroid.
+
+    The reference declares this and raises ``NotImplementedError``
+    (objtable.py:195-196); SURVEY.md §2.4 specifies the intent:
+    ``sum(x/e²)/sum(1/e²)``.
+
+    ``deterministic=True`` swaps double sums for fixed-point sums so the
+    result is bit-reproducible across partitionings/engines (oracle checks).
+    """
+    check_col([group_col, xname, yname, err_col], df)
+    w = 1.0 / (F.col(err_col) * F.col(err_col))
+    if deterministic:
+        sx = _fp_sum(F.col(xname) * w, 20)
+        sy = _fp_sum(F.col(yname) * w, 20)
+        sw = _fp_sum(w, 30)
+    else:
+        sx, sy, sw = F.sum(F.col(xname) * w), F.sum(F.col(yname) * w), F.sum(w)
+    return df.groupBy(group_col).agg(
+        (sx / sw).alias(f"{xname}_centroid"),
+        (sy / sw).alias(f"{yname}_centroid"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def group_stats(
+    df: DataFrame, group_col: str | Sequence[str], value_col: str
+) -> DataFrame:
+    """A3 — the reference's generic per-group stats dict
+    (``group_stats`` df_utils.py:241-251): min/max/count/mean/std.
+
+    Column naming follows ``<stat>_<col>`` so oracle SQL can alias
+    identically.  ``stddev_samp`` matches pandas' ddof=1 default.
+    """
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    check_col(groups + [value_col], df)
+    c = F.col(value_col)
+    return df.groupBy(*groups).agg(
+        F.min(c).alias(f"min_{value_col}"),
+        F.max(c).alias(f"max_{value_col}"),
+        F.count(c).alias(f"count_{value_col}"),
+        F.avg(c).alias(f"mean_{value_col}"),
+        F.stddev_samp(c).alias(f"std_{value_col}"),
+    )
+
+
+def calibration_quality(
+    df: DataFrame,
+    cal_mag_col: str,
+    ref_mag_col: str,
+    group_cols: Sequence[str] = ("OBSMJD", "EXPID", "FIELDID", "FILTERID", "RCID"),
+    mag_lo: float = 17.5,
+    mag_hi: float = 18.5,
+    order_cols: Sequence[str] = ("EXPID", "RCID"),
+    deterministic: bool = False,
+) -> DataFrame:
+    """A4 — per-exposure calibration-quality aggregate.
+
+    Reference: ``calculate_quality`` (_objtable_methods.py:190-262): filter
+    to a magnitude bin, derive ``abs_millimag_diff = |cal − ref|·1000``,
+    then per (exposure × readout-channel) compute mean→bias, std→spread,
+    median, count→n_calibrators.  The reference loops over ``RCID`` values
+    in Python (:248-250); here it is one groupBy over all keys, one shuffle.
+    Exact ``median`` (Spark ≥3.4) matches the pandas median.
+
+    Aggregates run on ``|cal − ref|`` and are scaled to millimag at the end
+    (same value, keeps fixed-point headroom).  ``deterministic=True`` uses
+    order-independent fixed-point sums for bias/spread.
+    """
+    check_col(list(group_cols) + [cal_mag_col, ref_mag_col], df)
+    d0 = F.col("__absdiff")
+    if deterministic:
+        mean_d = _fp_sum(d0, 20) / F.count(d0)
+        sx = _fp_sum(d0, 20)
+        sxx = _fp_sum(d0 * d0, 6)
+        n = F.count(d0).cast("double")
+        std_d = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    else:
+        mean_d, std_d = F.avg(d0), F.stddev_samp(d0)
+    out = (
+        df.filter((F.col(cal_mag_col) >= mag_lo) & (F.col(cal_mag_col) <= mag_hi))
+        .withColumn("__absdiff", F.abs(F.col(cal_mag_col) - F.col(ref_mag_col)))
+        .groupBy(*group_cols)
+        .agg(
+            (mean_d * 1000.0).alias("bias"),
+            (std_d * 1000.0).alias("spread"),
+            (F.median(d0) * 1000.0).alias("median_absdiff"),
+            F.count(d0).alias("n_calibrators"),
+        )
+    )
+    return out.orderBy(*order_cols)
+
+
+def iqr_by_bin(
+    df: DataFrame, bin_col: str, value_col: str
+) -> DataFrame:
+    """A5 — per-bin inter-quartile range and median.
+
+    Reference: ``_objtable_methods.py:345-358``.  Exact percentiles (bins are
+    few after aggregation); swap to ``approx_percentile`` if bins carry
+    billions of rows.
+    """
+    check_col([bin_col, value_col], df)
+    c = F.col(value_col)
+    return df.groupBy(bin_col).agg(
+        (F.percentile(c, F.lit(0.75)) - F.percentile(c, F.lit(0.25))).alias(
+            f"iqr_{value_col}"
+        ),
+        F.median(c).alias(f"median_{value_col}"),
+    )
+
+
+def distinct_stats(
+    df: DataFrame,
+    id_cols: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A6 — scalar summary: distinct counts, sums, maxima in one pass.
+
+    Reference: ``stats()`` (PS1Cal_matching.py:219-328) computes these with
+    separate pandas passes (and mislabels max as ``min_magnitude`` — bug B6;
+    we use honest names).  ``countDistinct`` is exact; at 100 TB switch the
+    call site to ``approx_count_distinct`` when a 2% error is acceptable.
+    """
+    aggs = (
+        [F.countDistinct(c).alias(f"n_{c}") for c in id_cols]
+        + [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        + [F.max(c).alias(f"max_{c}") for c in max_cols]
+    )
+    if not aggs:
+        raise ValueError("no aggregate columns requested")
+    return df.agg(*aggs)
+
+
+def distinct_values(df: DataFrame, col: str) -> list:
+    """A7 — small driver-side distinct list (drives catalog pruning).
+
+    Reference: ``unique().tolist()`` at PS1Cal_matching.py:68-69.  Only for
+    low-cardinality columns (fields, RCIDs) — the collect is bounded.
+    """
+    check_col(col, df)
+    return [r[0] for r in df.select(col).distinct().collect()]
+
+
+__all__ = [
+    "cluster_centroid",
+    "cluster_centroid_weighted",
+    "group_stats",
+    "calibration_quality",
+    "iqr_by_bin",
+    "distinct_stats",
+    "distinct_values",
+]

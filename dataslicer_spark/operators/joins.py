@@ -1,0 +1,118 @@
+"""Join operators (SURVEY.md §2.3: J1, J2, J7, J8, J9; W3).
+
+Scale notes:
+
+- Metadata/dimension enrichment (J1/J2) always broadcasts the small side —
+  at 100 TB the fact table never shuffles for these joins.
+- The anti-join (J7) and group-quantified filter (J8) are expressed so
+  Catalyst can pick broadcast variants when the right side is small, and so
+  AQE can convert at runtime.
+- ``union_reindex`` (J9) never uses a global sort: ids come from
+  ``monotonically_increasing_id`` (partition-local, collision-free).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..utils import check_col, translate_query_expr
+
+
+def merge_metadata_to_sources(
+    sources: DataFrame,
+    metadata: DataFrame,
+    metadata_cols: Sequence[str] | None = None,
+    join_on: str = "OBSID",
+    how: str = "inner",
+) -> DataFrame:
+    """J1 — enrich the fact table with file-level (dimension) attributes.
+
+    Reference: ``dataset.merge_metadata_to_sources`` (dataset.py:206-246):
+    inner equi-join on OBSID after pre-projecting the metadata columns.
+    Spark-first: the metadata side is broadcast (it is one row per file —
+    thousands of rows even at 100 TB), so the fact side never shuffles.
+    """
+    check_col(join_on, sources)
+    check_col(join_on, metadata)
+    if metadata_cols is not None:
+        check_col(metadata_cols, metadata)
+        keep = list(dict.fromkeys(list(metadata_cols) + [join_on]))
+        metadata = metadata.select(*keep)
+    # Drop overlapping non-key columns from the metadata side (the reference
+    # relies on pandas suffixing; we keep the fact table's version).
+    overlap = (set(metadata.columns) & set(sources.columns)) - {join_on}
+    if overlap:
+        metadata = metadata.drop(*overlap)
+    return sources.join(F.broadcast(metadata), on=join_on, how=how)
+
+
+def anti_join(
+    df1: DataFrame, df2: DataFrame, on: Sequence[str] | None = None
+) -> DataFrame:
+    """J7 — rows of df1 with no match in df2.
+
+    Reference: ``subtract_dfs`` (df_utils.py:176-184) = left merge with
+    indicator, keep ``left_only`` — a value-based anti-join over **all**
+    columns after deduplicating df2.  ``on=None`` reproduces that; passing
+    keys gives the practical keyed anti-join.
+    """
+    if on is None:
+        on = [c for c in df1.columns if c in set(df2.columns)]
+    return df1.join(df2.select(*on).dropDuplicates(), on=list(on), how="left_anti")
+
+
+def select_clusters(
+    df: DataFrame,
+    cond: str | Column,
+    group_col: str = "clusterID",
+    params: dict[str, Any] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """J8/W3 — group-quantified filter: keep groups where ALL rows satisfy
+    ``cond``; return (kept, rejected).
+
+    Reference: ``select_clusters`` (_objtable_methods.py:424-488): find
+    violators with ``query("not(cond)")``, collect their distinct cluster
+    ids, purge them.  Spark-first: a window ``min(cond)`` per group — one
+    shuffle on ``group_col``, no driver-side id list, no second scan.  Rows
+    where ``cond`` is NULL count as violations (pandas ``not(NaN<x)`` keeps
+    them in the violator set — tri-valued-logic parity via coalesce).
+    """
+    check_col(group_col, df)
+    c = F.expr(translate_query_expr(cond, params)) if isinstance(cond, str) else cond
+    ok = F.coalesce(c, F.lit(False)).cast("int")
+    w = Window.partitionBy(group_col)
+    flagged = df.withColumn("__all_ok", F.min(ok).over(w))
+    kept = flagged.filter(F.col("__all_ok") == 1).drop("__all_ok")
+    rejected = flagged.filter(F.col("__all_ok") == 0).drop("__all_ok")
+    return kept, rejected
+
+
+def union_reindex(
+    df: DataFrame,
+    other: DataFrame,
+    reindex: bool = True,
+    srcid_key: str = "sourceid",
+) -> DataFrame:
+    """J9 — append two source tables, optionally re-assigning unique ids.
+
+    Reference: ``srcdf.add`` (srcdf.py:64-105) concats and re-indexes
+    ``sourceid`` 0..n-1 (and is a silent no-op in-place — bug B3; we return
+    the union).  Spark-first: ``unionByName(allowMissingColumns=True)`` and
+    ``monotonically_increasing_id()`` for ids — unique without a global
+    sort/shuffle (ids are not dense, which is the scale-correct contract).
+    """
+    out = df.unionByName(other, allowMissingColumns=True)
+    if reindex:
+        out = out.withColumn(srcid_key, F.monotonically_increasing_id())
+    return out
+
+
+__all__ = [
+    "merge_metadata_to_sources",
+    "anti_join",
+    "select_clusters",
+    "union_reindex",
+]

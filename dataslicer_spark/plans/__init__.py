@@ -1,0 +1,1 @@
+"""Query plans wired to the driver contract (__spark_entry__.py)."""

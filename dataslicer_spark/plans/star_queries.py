@@ -1,0 +1,670 @@
+"""Driver-contract queries: each SURVEY.md §2 operator exercised on the
+synthetic star schema, with a DuckDB oracle.
+
+Cross-engine determinism rules (every oracle-checked query obeys them):
+
+- Sums/avgs/stddevs of non-integral doubles go through ``DECIMAL`` casts —
+  decimal aggregation is exact and order-independent, so Spark's partial
+  aggregation and DuckDB's sequential scan produce bit-identical doubles.
+- Row-wise arithmetic uses only ``+ - * /`` and ``sqrt`` (exactly-rounded
+  IEEE ops) — never ``pow``/trig, which are libm-dependent.
+- Interpolated percentiles/medians are ``round(x, 6)`` on both sides (the
+  two engines may differ in the last ulp of the interpolation).
+- Integer division is ``floor`` on both sides (Spark's int cast truncates,
+  DuckDB's rounds — we write ``floor`` explicitly in SQL).
+- Column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import (
+    calibration_quality,
+    cluster_centroid_weighted,
+    distinct_stats,
+    group_stats,
+    iqr_by_bin,
+)
+from ..operators.filters import trim_edges
+from ..operators.joins import (
+    anti_join,
+    merge_metadata_to_sources,
+    select_clusters,
+    union_reindex,
+)
+from ..operators.windows import closest_match
+from ..functions.photometry import (
+    add_obsid,
+    bandwise_ref_mag,
+    calmag,
+    compute_camera_coord,
+)
+from ..utils import query_df, select_columns
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Binary fixed-point aggregation: floor(x·2^k) is bit-reproducible across
+# engines (multiplying by a power of two is exact in IEEE; floor of the same
+# double is the same integer), and int64 sums are order-independent — unlike
+# native double sums, whose partial-aggregation order differs between Spark
+# and DuckDB, and unlike decimal casts, whose double→decimal rounding paths
+# differ between the engines.  The quantized sum is a well-defined number
+# both engines agree on bit-for-bit.
+FP_BITS = 20      # fractional bits for sums of values ≲1e5 (int64 headroom)
+FP_BITS_SQ = 6    # for sums of squares (values ≲1e10)
+
+
+def _fp(col: Column, bits: int) -> Column:
+    return F.floor(col * F.lit(float(2**bits))).cast("long")
+
+
+def dsum(c: Column | str, alias: str, bits: int = FP_BITS) -> Column:
+    """Order-independent fixed-point sum of a double column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.sum(_fp(col, bits)).cast("double") / float(2**bits)).alias(alias)
+
+
+def davg(c: Column | str, alias: str, bits: int = FP_BITS) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return (
+        (F.sum(_fp(col, bits)).cast("double") / float(2**bits)) / F.count(col)
+    ).alias(alias)
+
+
+def dstd(c: Column | str, alias: str, bits: int = FP_BITS) -> Column:
+    """Sample stddev from fixed-point sums: sqrt((Σx² − (Σx)²/n)/(n−1))."""
+    col = F.col(c) if isinstance(c, str) else c
+    sx = F.sum(_fp(col, bits)).cast("double") / float(2**bits)
+    sxx = F.sum(_fp(col * col, FP_BITS_SQ)).cast("double") / float(2**FP_BITS_SQ)
+    n = F.count(col).cast("double")
+    return F.sqrt((sxx - sx * sx / n) / (n - 1)).alias(alias)
+
+
+# SQL fragments mirroring the helpers above (DuckDB side).
+def _sql_fpsum(c: str, bits: int = FP_BITS) -> str:
+    m = repr(float(2**bits))
+    return (
+        f"CAST(SUM(CAST(FLOOR(({c}) * CAST({m} AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
+        f" / CAST({m} AS DOUBLE)"
+    )
+
+
+def _sql_dsum(c: str, alias: str, bits: int = FP_BITS) -> str:
+    return f"{_sql_fpsum(c, bits)} AS {alias}"
+
+
+def _sql_davg(c: str, alias: str, bits: int = FP_BITS) -> str:
+    return f"({_sql_fpsum(c, bits)}) / COUNT({c}) AS {alias}"
+
+
+def _sql_dstd(c: str, alias: str, bits: int = FP_BITS) -> str:
+    sx = f"({_sql_fpsum(c, bits)})"
+    sxx = f"({_sql_fpsum(f'({c})*({c})', FP_BITS_SQ)})"
+    n = f"CAST(COUNT({c}) AS DOUBLE)"
+    return f"SQRT(({sxx} - {sx}*{sx}/{n}) / ({n} - 1)) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# flagship — P1 filter → J1 broadcast joins → F1-shaped arithmetic →
+# A3/A4 groupBy-agg → O1 orderBy  (FIXTURES.md §Flagship)
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+
+    li = query_df(lineitem, "l_quantity < @maxq and l_discount >= 0.01", {"maxq": 45})
+    enriched = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderstatus")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "inner",
+    ).join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "inner",
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        enriched.withColumn("net_price", net)
+        .groupBy("c_mktsegment", "l_returnflag")
+        .agg(
+            dsum("net_price", "revenue"),
+            dsum("l_quantity", "sum_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("c_mktsegment", "l_returnflag")
+    )
+
+
+FLAGSHIP_SQL = """
+SELECT c_mktsegment, l_returnflag,
+       {dsum_net}, {dsum_qty}, {davg_price},
+       COUNT(*) AS n_rows
+FROM (
+  SELECT c_mktsegment, l_returnflag, l_quantity, l_extendedprice,
+         l_extendedprice*(1-l_discount)*(1+l_tax) AS net_price
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_quantity < 45 AND l_discount >= 0.01)
+GROUP BY c_mktsegment, l_returnflag
+ORDER BY c_mktsegment, l_returnflag
+""".format(
+    dsum_net=_sql_dsum("net_price", "revenue"),
+    dsum_qty=_sql_dsum("l_quantity", "sum_qty"),
+    davg_price=_sql_davg("l_extendedprice", "avg_price"),
+)
+
+
+# ---------------------------------------------------------------------------
+# P — filters / projections
+# ---------------------------------------------------------------------------
+
+def p1_filter_pandas_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — pandas-dialect expression filter: chained comparison + @param."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = query_df(
+        li, "0.02 < l_discount < 0.07 and l_quantity < @maxq", {"maxq": 24}
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+P1_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_discount > 0.02 AND l_discount < 0.07 AND l_quantity < 24
+"""
+
+
+def p2_wildcard_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — substring-wildcard column projection (df_utils.py:107-139)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return select_columns(li, ["l_orderkey", "l_linenumber", "*price*", "*flag*"])
+
+
+P2_SQL = "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
+
+
+def p3_range_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — edge trim, kept side (srcdf.py:578-613 documented intent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    kept, _rejected = trim_edges(
+        li, dx=5.0, dy=1000.0, xname="l_quantity", yname="l_extendedprice",
+        xsize=50.0, ysize=60000.0,
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+P3_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity > 5.0 AND l_quantity < 45.0
+  AND l_extendedprice > 1000.0 AND l_extendedprice < 59000.0
+"""
+
+
+def p3_range_trim_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — edge trim, rejected complement (reference bug B4 fixed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    _kept, rejected = trim_edges(
+        li, dx=5.0, dy=1000.0, xname="l_quantity", yname="l_extendedprice",
+        xsize=50.0, ysize=60000.0,
+    )
+    return rejected.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+P3_REJECTED_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE NOT (l_quantity > 5.0 AND l_quantity < 45.0
+           AND l_extendedprice > 1000.0 AND l_extendedprice < 59000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J — joins
+# ---------------------------------------------------------------------------
+
+def j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — metadata→sources broadcast enrich (dataset.py:206-246)."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    out = merge_metadata_to_sources(
+        li, orders, metadata_cols=["o_custkey", "o_orderstatus"], join_on="o_orderkey"
+    )
+    return out.select(
+        "o_orderkey", "l_linenumber", "l_quantity", "o_custkey", "o_orderstatus"
+    )
+
+
+J1_SQL = """
+SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_custkey, o_orderstatus
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — customers with no high-value orders
+    (subtract_dfs, df_utils.py:176-184)."""
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    return anti_join(customer, big, on=["c_custkey"]).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+J7_SQL = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+"""
+
+
+def j8_group_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/W3 — keep customers where ALL their orders are below a cap
+    (select_clusters, _objtable_methods.py:424-488)."""
+    orders = _t(spark, sf_dir, "orders")
+    kept, _rej = select_clusters(orders, "o_totalprice < 150000", group_col="o_custkey")
+    return kept.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+J8_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  HAVING MIN(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END) = 1)
+"""
+
+
+def j8_group_quantified_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — the rejected complement (clusters with ≥1 violating member)."""
+    orders = _t(spark, sf_dir, "orders")
+    _kept, rej = select_clusters(orders, "o_totalprice < 150000", group_col="o_custkey")
+    return rej.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+J8_REJECTED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  HAVING MIN(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END) = 0)
+"""
+
+
+def j9_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — append two source tables (srcdf.add, srcdf.py:64-105; the
+    id-reindex variant is non-deterministic by design and tested in pytest)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R")
+    b = li.filter(F.col("l_returnflag") == "A")
+    return union_reindex(a, b, reindex=False).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+J9_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
+# ---------------------------------------------------------------------------
+# W — window ops
+# ---------------------------------------------------------------------------
+
+def w1_closest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — best-row-per-group: richest supplier per nation, deterministic
+    tiebreak (PS1Cal_matching.py:100-104 pattern)."""
+    sup = _t(spark, sf_dir, "supplier")
+    best = closest_match(
+        sup, "s_nationkey", F.col("s_acctbal").desc(), tiebreak_cols=["s_suppkey"]
+    )
+    return best.select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+
+
+W1_SQL = """
+SELECT s_nationkey, s_suppkey, s_name, s_acctbal FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations
+# ---------------------------------------------------------------------------
+
+def a2_weighted_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (weighted) — inverse-variance centroid per group; the variant the
+    reference left NotImplementedError (objtable.py:195-196)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = cluster_centroid_weighted(
+        li, err_col="l_quantity", group_col="l_returnflag",
+        xname="l_extendedprice", yname="l_discount", deterministic=True,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("l_extendedprice_centroid", 6).alias("x_centroid"),
+        F.round("l_discount_centroid", 6).alias("y_centroid"),
+        "n_members",
+    )
+
+
+A2W_SQL = """
+SELECT l_returnflag,
+       ROUND(({sxw}) / ({sw}), 6) AS x_centroid,
+       ROUND(({syw}) / ({sw}), 6) AS y_centroid,
+       COUNT(*) AS n_members
+FROM (
+  SELECT l_returnflag, l_extendedprice, l_discount,
+         CAST(1.0 AS DOUBLE)/(l_quantity*l_quantity) AS w
+  FROM lineitem)
+GROUP BY l_returnflag
+""".format(
+    sxw=_sql_fpsum("l_extendedprice * w", 20),
+    syw=_sql_fpsum("l_discount * w", 20),
+    sw=_sql_fpsum("w", 30),
+)
+
+
+def a3_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — generic per-group min/max/count/mean/std (df_utils.py:241-251).
+
+    mean/std recomputed via exact decimal sums for cross-engine determinism
+    (the operator's native stddev_samp is used in pytest instead).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.min("l_extendedprice").alias("min_l_extendedprice"),
+        F.max("l_extendedprice").alias("max_l_extendedprice"),
+        F.count("l_extendedprice").alias("count_l_extendedprice"),
+        davg("l_extendedprice", "mean_l_extendedprice"),
+        dstd("l_extendedprice", "std_l_extendedprice"),
+    )
+
+
+A3_SQL = """
+SELECT l_returnflag, l_linestatus,
+       MIN(l_extendedprice) AS min_l_extendedprice,
+       MAX(l_extendedprice) AS max_l_extendedprice,
+       COUNT(l_extendedprice) AS count_l_extendedprice,
+       {davg}, {dstd}
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""".format(
+    davg=_sql_davg("l_extendedprice", "mean_l_extendedprice"),
+    dstd=_sql_dstd("l_extendedprice", "std_l_extendedprice"),
+)
+
+
+def a4_calibration_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — single-pass calibration-quality aggregate
+    (_objtable_methods.py:190-262, minus the Python RCID loop)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = calibration_quality(
+        li,
+        cal_mag_col="l_extendedprice",
+        ref_mag_col="l_quantity",
+        group_cols=("l_returnflag", "l_linestatus"),
+        mag_lo=1000.0,
+        mag_hi=50000.0,
+        order_cols=("l_returnflag", "l_linestatus"),
+        deterministic=True,
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("bias", 4).alias("bias"),
+        F.round("spread", 4).alias("spread"),
+        F.round("median_absdiff", 4).alias("median_absdiff"),
+        "n_calibrators",
+    )
+
+
+A4_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND((({sx}) / COUNT(d)) * CAST(1000.0 AS DOUBLE), 4) AS bias,
+       ROUND(SQRT((({sxx}) - ({sx})*({sx})/CAST(COUNT(d) AS DOUBLE))
+                  / (CAST(COUNT(d) AS DOUBLE) - 1)) * CAST(1000.0 AS DOUBLE), 4) AS spread,
+       ROUND(MEDIAN(d) * CAST(1000.0 AS DOUBLE), 4) AS median_absdiff,
+       COUNT(d) AS n_calibrators
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         ABS(l_extendedprice - l_quantity) AS d
+  FROM lineitem
+  WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 50000.0)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".format(sx=_sql_fpsum("d", 20), sxx=_sql_fpsum("d*d", 6))
+
+
+def a5_iqr_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-bin IQR + median (_objtable_methods.py:345-358)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = iqr_by_bin(li, bin_col="l_returnflag", value_col="l_extendedprice")
+    return out.select(
+        "l_returnflag",
+        F.round("iqr_l_extendedprice", 6).alias("iqr_price"),
+        F.round("median_l_extendedprice", 6).alias("median_price"),
+    )
+
+
+A5_SQL = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.75)
+             - QUANTILE_CONT(l_extendedprice, 0.25), 6) AS iqr_price,
+       ROUND(MEDIAN(l_extendedprice), 6) AS median_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a6_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — exact distinct counts + sums + maxima in one pass
+    (stats(), PS1Cal_matching.py:219-328; honest labels — bug B6 fixed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = distinct_stats(
+        li,
+        id_cols=["l_orderkey", "l_partkey", "l_suppkey"],
+        sum_cols=["l_quantity"],
+        max_cols=["l_extendedprice"],
+    )
+    return out.select(
+        "n_l_orderkey", "n_l_partkey", "n_l_suppkey",
+        F.round("sum_l_quantity", 4).alias("sum_l_quantity"),
+        "max_l_extendedprice",
+    )
+
+
+A6_SQL = """
+SELECT COUNT(DISTINCT l_orderkey) AS n_l_orderkey,
+       COUNT(DISTINCT l_partkey) AS n_l_partkey,
+       COUNT(DISTINCT l_suppkey) AS n_l_suppkey,
+       ROUND(SUM(l_quantity), 4) AS sum_l_quantity,
+       MAX(l_extendedprice) AS max_l_extendedprice
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# O — sorts / dedup
+# ---------------------------------------------------------------------------
+
+def o4_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — dropDuplicates before join (metadata.py:82-83)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+O4_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# ---------------------------------------------------------------------------
+# F — column expressions
+# ---------------------------------------------------------------------------
+
+def f1_calmag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — photometric calibration + error propagation (srcdf.py:366-443)
+    mapped onto star-schema columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = calmag(
+        li,
+        mag_col="l_quantity",
+        err_mag_col="l_tax",
+        zp_col="l_discount",
+        zp_err_col="l_discount",
+        clrcoeff_col="l_tax",
+        clrcoeff_err_col="l_discount",
+        color1_col="l_extendedprice",
+        color2_col="l_quantity",
+        color1_err_col="l_discount",
+        color2_err_col="l_tax",
+        cal_name="cal_mag",
+        err_cal_name="err_cal_mag",
+    )
+    return out.select("l_orderkey", "l_linenumber", "cal_mag", "err_cal_mag")
+
+
+F1_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity + l_discount + l_tax * (l_extendedprice - l_quantity) AS cal_mag,
+       SQRT(l_tax*l_tax + l_discount*l_discount
+            + (l_discount*(l_extendedprice - l_quantity))*(l_discount*(l_extendedprice - l_quantity))
+            + (l_tax*SQRT(l_discount*l_discount + l_tax*l_tax))*(l_tax*SQRT(l_discount*l_discount + l_tax*l_tax)))
+         AS err_cal_mag
+FROM lineitem
+"""
+
+
+def f2_bandwise_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — band-conditional column pick (CASE WHEN;
+    _objtable_methods.py:158-188)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "FILTERID", (F.col("l_linenumber") % 3 + 1)
+    )
+    out = bandwise_ref_mag(
+        li, filterid_col="FILTERID",
+        g_col="l_extendedprice", r_col="l_quantity", i_col="l_discount",
+    )
+    return out.select("l_orderkey", "l_linenumber", "FILTERID", "ps1mag_band")
+
+
+F2_SQL = """
+SELECT l_orderkey, l_linenumber, (l_linenumber % 3 + 1) AS FILTERID,
+       CASE WHEN (l_linenumber % 3 + 1) = 1 THEN l_extendedprice
+            WHEN (l_linenumber % 3 + 1) = 2 THEN l_quantity
+            ELSE l_discount END AS ps1mag_band
+FROM lineitem
+"""
+
+
+def f3_camera_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — integer div/mod camera-plane coordinates (srcdf.py:446-506)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "RCID", (F.col("l_partkey") % 64).cast("int")
+    )
+    out = compute_camera_coord(
+        li, rc_col="RCID", xname="l_quantity", yname="l_discount"
+    )
+    return out.select("l_orderkey", "l_linenumber", "RCID", "xcam", "ycam")
+
+
+F3_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(l_partkey % 64 AS INT) AS RCID,
+       xll + l_quantity AS xcam, yll + l_discount AS ycam
+FROM (
+  SELECT *,
+         CAST(FLOOR(xrc/2.0) AS INT)*7 + xrc*3072 AS xll,
+         CAST(FLOOR(yrc/2.0) AS INT)*10 + yrc*3080 AS yll
+  FROM (
+    SELECT *,
+           2*CAST(FLOOR((ccd-1)/4.0) AS INT)
+             + CASE WHEN q IN (1,2) THEN 1 ELSE 0 END AS yrc,
+           2*(4 - (ccd-1) % 4) - 1
+             - CASE WHEN q IN (2,3) THEN 1 ELSE 0 END AS xrc
+    FROM (
+      SELECT *,
+             CAST(FLOOR((l_partkey % 64)/4.0) AS INT) + 1 AS ccd,
+             (l_partkey % 64) % 4 + 1 AS q
+      FROM lineitem)))
+"""
+
+
+def f8_key_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — decimal-string-concat integer key (metadata.py:167-169)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = add_obsid(li, expid_col="l_orderkey", rcid_col="l_linenumber")
+    return out.select("l_orderkey", "l_linenumber", "OBSID")
+
+
+F8_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CONCAT(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)) AS BIGINT) AS OBSID
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship": flagship,
+    "p1_filter_pandas_dialect": p1_filter_pandas_dialect,
+    "p2_wildcard_projection": p2_wildcard_projection,
+    "p3_range_trim": p3_range_trim,
+    "p3_range_trim_rejected": p3_range_trim_rejected,
+    "j1_broadcast_enrich": j1_broadcast_enrich,
+    "j7_anti_join": j7_anti_join,
+    "j8_group_quantified": j8_group_quantified,
+    "j8_group_quantified_rejected": j8_group_quantified_rejected,
+    "j9_union": j9_union,
+    "w1_closest_match": w1_closest_match,
+    "a2_weighted_centroid": a2_weighted_centroid,
+    "a3_group_stats": a3_group_stats,
+    "a4_calibration_quality": a4_calibration_quality,
+    "a5_iqr_by_bin": a5_iqr_by_bin,
+    "a6_distinct_stats": a6_distinct_stats,
+    "o4_drop_duplicates": o4_drop_duplicates,
+    "f1_calmag": f1_calmag,
+    "f2_bandwise_pick": f2_bandwise_pick,
+    "f3_camera_coords": f3_camera_coords,
+    "f8_key_synthesis": f8_key_synthesis,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship": FLAGSHIP_SQL,
+    "p1_filter_pandas_dialect": P1_SQL,
+    "p2_wildcard_projection": P2_SQL,
+    "p3_range_trim": P3_SQL,
+    "p3_range_trim_rejected": P3_REJECTED_SQL,
+    "j1_broadcast_enrich": J1_SQL,
+    "j7_anti_join": J7_SQL,
+    "j8_group_quantified": J8_SQL,
+    "j8_group_quantified_rejected": J8_REJECTED_SQL,
+    "j9_union": J9_SQL,
+    "w1_closest_match": W1_SQL,
+    "a2_weighted_centroid": A2W_SQL,
+    "a3_group_stats": A3_SQL,
+    "a4_calibration_quality": A4_SQL,
+    "a5_iqr_by_bin": A5_SQL,
+    "a6_distinct_stats": A6_SQL,
+    "o4_drop_duplicates": O4_SQL,
+    "f1_calmag": F1_SQL,
+    "f2_bandwise_pick": F2_SQL,
+    "f3_camera_coords": F3_SQL,
+    "f8_key_synthesis": F8_SQL,
+}

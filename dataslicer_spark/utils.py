@@ -1,0 +1,158 @@
+"""Schema preconditions, wildcard column matching, and pandas-dialect
+expression translation.
+
+Parity notes (reference = MatteoGiomi/dataslicer at /root/reference):
+
+- ``check_col`` mirrors ``df_utils.py:77-105``: raise ``KeyError`` naming the
+  missing columns and listing the available ones.
+- Wildcard matching mirrors ``df_utils.py:107-139`` — semantics are
+  *substring* match after stripping ``*`` (not glob, not prefix): the pattern
+  ``'APCOR*'`` matches any column containing ``'APCOR'``.
+- ``translate_query_expr`` maps the pandas ``DataFrame.query`` dialect used
+  throughout the reference (``dataset_base.py:198-230``) onto Spark SQL:
+  chained comparisons ``a < x < b`` (``srcdf.py:610``), ``@var`` parameter
+  references (``_objtable_methods.py:366,465``), ``in @list``, and the
+  pandas boolean operators (``and/or/not`` parse natively in Spark SQL).
+"""
+
+from __future__ import annotations
+
+import numbers
+import re
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+# ---------------------------------------------------------------------------
+# schema preconditions
+# ---------------------------------------------------------------------------
+
+def check_col(col: str | Iterable[str], df: DataFrame) -> None:
+    """Raise ``KeyError`` if any requested column is absent.
+
+    Same contract as the reference's ``check_col`` (df_utils.py:77-105):
+    the error message names what is missing and what is available, so
+    failures surface at plan-build time with a friendly message instead of
+    an ``AnalysisException`` deep in a lazy DAG.
+    """
+    wanted = [col] if isinstance(col, str) else list(col)
+    available = set(df.columns)
+    missing = [c for c in wanted if c not in available]
+    if missing:
+        raise KeyError(
+            f"columns {missing} not present in DataFrame. "
+            f"Available columns: {sorted(available)}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# wildcard (substring) column matching — reference df_utils.py:107-139
+# ---------------------------------------------------------------------------
+
+def string_in_list(string: str, strlist: Sequence[str]) -> bool:
+    """True if ``string`` matches any pattern in ``strlist``.
+
+    A pattern containing ``*`` matches by *substring* of the pattern with the
+    ``*`` stripped (reference semantics, df_utils.py:107-126); otherwise the
+    match is exact equality.
+    """
+    for patt in strlist:
+        if "*" in patt:
+            if patt.replace("*", "") in string:
+                return True
+        elif string == patt:
+            return True
+    return False
+
+
+def expand_wildcard_columns(patterns: Sequence[str], columns: Sequence[str]) -> list[str]:
+    """Expand wildcard patterns against a column list, preserving column order."""
+    return [c for c in columns if string_in_list(c, list(patterns))]
+
+
+def select_columns(df: DataFrame, patterns: Sequence[str] | str) -> DataFrame:
+    """Project columns by exact name or ``*``-substring wildcard (P2).
+
+    ``'all'`` (or ``['all']``) keeps everything, as in the reference's
+    ``select_columns='all'`` (df_utils.py:52-59).
+    """
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    if list(patterns) == ["all"]:
+        return df
+    cols = expand_wildcard_columns(patterns, df.columns)
+    if not cols:
+        raise KeyError(
+            f"no columns match patterns {list(patterns)}; available: {df.columns}"
+        )
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# pandas-dialect expression translation (P1)
+# ---------------------------------------------------------------------------
+
+_CHAINED_CMP = re.compile(
+    r"""(?P<a>[\w.@\(\)\-+*/]+)\s*(?P<op1><=?|>=?)\s*
+        (?P<x>[\w.]+)\s*(?P<op2><=?|>=?)\s*(?P<b>[\w.@\(\)\-+*/]+)""",
+    re.VERBOSE,
+)
+_PARAM = re.compile(r"@(\w+)")
+
+
+def _sql_literal(value: Any) -> str:
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, numbers.Number):
+        return repr(value)
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(value, (list, tuple, set)):
+        return "(" + ", ".join(_sql_literal(v) for v in value) + ")"
+    raise TypeError(f"cannot bind parameter of type {type(value)!r}")
+
+
+def translate_query_expr(expr: str, params: dict[str, Any] | None = None) -> str:
+    """Translate a pandas ``DataFrame.query`` expression into Spark SQL.
+
+    Handles the dialect gaps catalogued in SURVEY.md §2.2 P1:
+
+    - chained comparisons ``a < x < b``  →  ``a < x AND x < b``
+    - ``@var`` locals → bound literals from ``params``
+    - ``x in @lst`` → ``x IN (…)`` (via literal binding of the list)
+    - ``and/or/not``, ``==``, ``!=`` parse natively in Spark SQL.
+    """
+    out = expr
+
+    def _bind(m: re.Match) -> str:
+        name = m.group(1)
+        if params is None or name not in params:
+            raise KeyError(f"expression references @{name} but no binding was given")
+        return _sql_literal(params[name])
+
+    out = _PARAM.sub(_bind, out)
+
+    # Rewrite chained comparisons until fixpoint (they cannot nest after one
+    # rewrite, but multiple independent chains may exist).
+    while True:
+        m = _CHAINED_CMP.search(out)
+        if m is None:
+            break
+        a, op1, x, op2, b = m.group("a", "op1", "x", "op2", "b")
+        out = out[: m.start()] + f"{a} {op1} {x} AND {x} {op2} {b}" + out[m.end() :]
+    return out
+
+
+def query_df(
+    df: DataFrame, expr: str, params: dict[str, Any] | None = None
+) -> DataFrame:
+    """The reference's workhorse expression filter (dataset_base.py:198-230).
+
+    Returns a new DataFrame (Spark DFs are immutable — the reference mutates
+    in place; see SURVEY.md §1.3 for the contract change).  The predicate is
+    a Catalyst expression, so it is pushed into the parquet scan whenever the
+    columns allow it.
+    """
+    return df.filter(translate_query_expr(expr, params))

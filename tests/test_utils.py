@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import pytest
+
+from dataslicer_spark.utils import (
+    check_col,
+    expand_wildcard_columns,
+    string_in_list,
+    translate_query_expr,
+)
+
+
+def test_string_in_list_substring_semantics():
+    # Reference semantics (df_utils.py:107-126): '*' → substring match.
+    assert string_in_list("APCOR3", ["APCOR*"])
+    assert string_in_list("XAPCORY", ["APCOR*"])  # substring, not prefix
+    assert not string_in_list("APCO", ["APCOR*"])
+    assert string_in_list("exact", ["exact"])
+    assert not string_in_list("exact2", ["exact"])
+
+
+def test_expand_wildcard_preserves_order():
+    cols = ["a_price", "b_flag", "c_price_x", "d"]
+    assert expand_wildcard_columns(["*price*", "d"], cols) == [
+        "a_price", "c_price_x", "d",
+    ]
+
+
+def test_translate_chained_comparison():
+    out = translate_query_expr("0.02 < l_discount < 0.07")
+    assert out == "0.02 < l_discount AND l_discount < 0.07"
+
+
+def test_translate_params_and_in():
+    out = translate_query_expr("x < @maxq and name == @n", {"maxq": 3, "n": "a'b"})
+    assert out == "x < 3 and name == 'a''b'"
+    out2 = translate_query_expr("k in @lst", {"lst": [1, 2, 3]})
+    assert out2 == "k in (1, 2, 3)"
+
+
+def test_translate_missing_param_raises():
+    with pytest.raises(KeyError):
+        translate_query_expr("x < @missing")
+
+
+def test_check_col_message(lineitem):
+    with pytest.raises(KeyError) as e:
+        check_col(["l_orderkey", "nope"], lineitem)
+    assert "nope" in str(e.value)
+    assert "l_orderkey" in str(e.value)  # lists available columns
