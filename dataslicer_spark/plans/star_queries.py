@@ -37,6 +37,7 @@ from ..operators.joins import (
     select_clusters,
     union_reindex,
 )
+from ..operators.spatial import nn_join_planar, tag_dust
 from ..operators.windows import closest_match
 from ..functions.photometry import (
     add_obsid,
@@ -618,6 +619,86 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# J5/J6 — spatial kernels on deterministic synthetic coordinates
+# (integer-mod derived, so both engines see bit-identical doubles)
+# ---------------------------------------------------------------------------
+
+def j5_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — nearest-neighbor join (planar variant with an exact SQL oracle;
+    the spherical crossmatch is property-tested vs brute force in pytest).
+
+    Customer points vs supplier "catalog": cell-bucketed NN join within
+    radius, closest match per point, deterministic tiebreak."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 13 % 1000) / 10.0).alias("y"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 11 % 1000) / 10.0).alias("x"),
+        ((F.col("s_suppkey") * 29 % 1000) / 10.0).alias("y"),
+    )
+    out = nn_join_planar(
+        cust, sup, radius=5.0, left_id="c_custkey", right_id="s_suppkey"
+    )
+    return out.select("c_custkey", "s_suppkey", "dist2")
+
+
+J5_SQL = """
+SELECT c_custkey, s_suppkey, dist2 FROM (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.x - s.x)*(c.x - s.x) + (c.y - s.y)*(c.y - s.y) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY (c.x - s.x)*(c.x - s.x) + (c.y - s.y)*(c.y - s.y) ASC,
+                    s.s_suppkey ASC) AS rn
+  FROM (SELECT c_custkey, (c_custkey % 1000)/10.0 AS x,
+               (c_custkey*13 % 1000)/10.0 AS y FROM customer) c
+  CROSS JOIN (SELECT s_suppkey, (s_suppkey*11 % 1000)/10.0 AS x,
+                     (s_suppkey*29 % 1000)/10.0 AS y FROM supplier) s
+  WHERE (c.x - s.x)*(c.x - s.x) + (c.y - s.y)*(c.y - s.y) <= 25.0)
+WHERE rn = 1
+"""
+
+
+def j6_tag_dust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — point-in-circle tagging, largest circle wins
+    (tag_dust, srcdf.py:616-694)."""
+    pts = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 100) * 1.0).alias("xpos"),
+        ((F.col("c_custkey") * 13 % 100) * 1.0).alias("ypos"),
+    )
+    dust = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 37 % 100) * 1.0).alias("x"),
+        ((F.col("n_nationkey") * 73 % 100) * 1.0).alias("y"),
+        ((F.col("n_nationkey") % 7 + 2) * 1.0).alias("r"),
+    )
+    out = tag_dust(pts, dust, dust_id="n_nationkey")
+    return out.select("c_custkey", "xpos", "ypos", "dust_x", "dust_y", "dust_r")
+
+
+J6_SQL = """
+SELECT c_custkey, xpos, ypos, dust_x, dust_y, dust_r FROM (
+  SELECT p.c_custkey, p.xpos, p.ypos,
+         d.x AS dust_x, d.y AS dust_y, d.r AS dust_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.c_custkey
+           ORDER BY d.r DESC, d.n_nationkey ASC) AS rn
+  FROM (SELECT c_custkey, (c_custkey % 100) * 1.0 AS xpos,
+               (c_custkey*13 % 100) * 1.0 AS ypos FROM customer) p
+  LEFT JOIN (SELECT n_nationkey, (n_nationkey*37 % 100) * 1.0 AS x,
+                    (n_nationkey*73 % 100) * 1.0 AS y,
+                    (n_nationkey % 7 + 2) * 1.0 AS r FROM nation) d
+    ON (p.xpos - d.x)*(p.xpos - d.x) + (p.ypos - d.y)*(p.ypos - d.y)
+       <= (d.r)*(d.r))
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -632,6 +713,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j8_group_quantified": j8_group_quantified,
     "j8_group_quantified_rejected": j8_group_quantified_rejected,
     "j9_union": j9_union,
+    "j5_nn_join": j5_nn_join,
+    "j6_tag_dust": j6_tag_dust,
     "w1_closest_match": w1_closest_match,
     "a2_weighted_centroid": a2_weighted_centroid,
     "a3_group_stats": a3_group_stats,
@@ -656,6 +739,8 @@ ORACLES: dict[str, str] = {
     "j8_group_quantified": J8_SQL,
     "j8_group_quantified_rejected": J8_REJECTED_SQL,
     "j9_union": J9_SQL,
+    "j5_nn_join": J5_SQL,
+    "j6_tag_dust": J6_SQL,
     "w1_closest_match": W1_SQL,
     "a2_weighted_centroid": A2W_SQL,
     "a3_group_stats": A3_SQL,
