@@ -1,0 +1,313 @@
+"""M1 — distributed DBSCAN (SURVEY.md §2.8).
+
+Reference: ``objtable.cluster_sources`` (objtable.py:116-168) runs sklearn
+``DBSCAN(eps=radians(arcsec/3600), min_samples, metric='haversine')`` on the
+whole table in one process and stores labels as ``clusterID`` (−1 = noise).
+
+Spark-first design (grid partition → local kernel → border merge; the
+MR-DBSCAN / RDD-DBSCAN decomposition):
+
+1. **Project coordinates.**  Planar data is used as-is; sky (ra, dec in
+   degrees) is mapped to 3-D unit vectors, and the haversine threshold to
+   the equivalent chord length ``2·sin(eps/2)`` — chord and great-circle
+   distance are monotonically related, so sphere-DBSCAN ≡ 3-D euclidean
+   DBSCAN at the converted threshold (no trig in the hot loop).
+2. **Grid cells of size eps.**  Any two points within eps live in adjacent
+   cells, so a point's full eps-neighborhood is contained in its home cell
+   + the 3^d neighbor cells.
+3. **Pass 1 (core flags):** explode each point to its 3^d neighbor cells,
+   group by cell, count eps-neighbors of the cell's *home* points →
+   ``is_core = count ≥ min_samples`` (count includes the point itself,
+   matching sklearn).
+4. **Pass 2 (local clusters + merge edges):** same explode with core flags
+   attached; per cell, connected components over core–core pairs within
+   eps give local labels; border (non-core home) points deterministically
+   attach to their nearest core neighbor (tie → smallest id; sklearn's
+   border assignment is scan-order-dependent — ours is documented
+   deterministic intent).  Every *copy* of a core point reports its
+   group's label, so a core point spanning cells yields equivalence edges
+   between local labels.
+5. **Union-find** over the (small) local-cluster graph on the driver →
+   global labels.  The cluster graph is orders of magnitude smaller than
+   the point set; at extreme scale swap for an iterative-join connected
+   components — the point-side plan is unchanged.
+
+Scale notes: both passes shuffle on cell id only; the per-cell kernel is
+O(n_cell²) vectorized numpy — cell size equals eps, so density, not data
+volume, bounds the group size.  Skewed (dense) cells are AQE-splittable
+since the kernel is keyed by cell.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..utils import check_col
+
+
+def _project(df: DataFrame, x_col: str, y_col: str, coord: str, eps: float):
+    """Return (df with p0/p1[/p2], effective euclidean eps, ndim)."""
+    if coord == "planar":
+        out = df.withColumn("__p0", F.col(x_col).cast("double")).withColumn(
+            "__p1", F.col(y_col).cast("double")
+        )
+        return out, float(eps), 2
+    if coord == "sky":
+        # (ra, dec) degrees → unit vector; haversine eps (arcsec) → chord
+        ra, dec = F.radians(F.col(x_col)), F.radians(F.col(y_col))
+        out = (
+            df.withColumn("__p0", F.cos(dec) * F.cos(ra))
+            .withColumn("__p1", F.cos(dec) * F.sin(ra))
+            .withColumn("__p2", F.sin(dec))
+        )
+        eps_rad = math.radians(eps / 3600.0)
+        return out, 2.0 * math.sin(eps_rad / 2.0), 3
+    raise ValueError(f"coord must be 'planar' or 'sky', got {coord!r}")
+
+
+def _explode_to_neighbor_cells(pts: DataFrame, eps: float, ndim: int) -> DataFrame:
+    """Copy each point into its own and all 3^d adjacent cells; ``__home``
+    marks the copy living in the point's own cell."""
+    inv = 1.0 / eps
+    offsets = [-1, 0, 1]
+    out = pts
+    for d in range(ndim):
+        out = out.withColumn(
+            f"__c{d}", F.floor(F.col(f"__p{d}") * inv).cast("long")
+        )
+    arr = F.array(*[F.lit(o) for o in offsets])
+    for d in range(ndim):
+        out = out.withColumn(f"__o{d}", F.explode(arr))
+    home = None
+    for d in range(ndim):
+        cond = F.col(f"__o{d}") == 0
+        home = cond if home is None else (home & cond)
+        out = out.withColumn(f"__g{d}", F.col(f"__c{d}") + F.col(f"__o{d}"))
+    out = out.withColumn("__home", home)
+    return out.drop(*[f"__o{d}" for d in range(ndim)], *[f"__c{d}" for d in range(ndim)])
+
+
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_samples: int,
+    id_col: str,
+    x_col: str = "ra",
+    y_col: str = "dec",
+    coord: str = "sky",
+    out_col: str = "clusterID",
+    purge_noise: bool = False,
+) -> DataFrame:
+    """Distributed DBSCAN; adds ``out_col`` (long; −1 = noise).
+
+    ``coord='sky'``: (x_col, y_col) are (ra, dec) in degrees and ``eps`` is
+    in **arcsec** (haversine), matching the reference's
+    ``cluster_sources(cluster_size_arcsec, min_samples)``.
+    ``coord='planar'``: euclidean in the columns' units.
+    ``purge_noise`` mirrors ``purge_df`` (objtable.py:159-162): drop noise
+    rows from the result instead of labeling them −1.
+
+    ``id_col`` must be unique per row.  Labels are deterministic: global
+    cluster ids are dense ranks of the lexicographically smallest
+    (cell, local-label) key in each merged component.
+    """
+    check_col([id_col, x_col, y_col], df)
+    pts, eeps, ndim = _project(df, x_col, y_col, coord, eps)
+    pts = pts.select(id_col, *[f"__p{d}" for d in range(ndim)])
+    cells = _explode_to_neighbor_cells(pts, eeps, ndim)
+    group_keys = [f"__g{d}" for d in range(ndim)]
+    pcols = [f"__p{d}" for d in range(ndim)]
+    eps2 = eeps * eeps
+
+    # ---- pass 1: neighbor counts → core flags -----------------------------
+    count_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_neighbors", T.IntegerType()),
+        ]
+    )
+
+    def count_neighbors(pdf: pd.DataFrame) -> pd.DataFrame:
+        P = pdf[pcols].to_numpy(dtype=np.float64)
+        home = pdf["__home"].to_numpy(dtype=bool)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        H = P[home]
+        if len(H) == 0:
+            return pd.DataFrame({"id": ids[:0], "n_neighbors": []})
+        # chunked pairwise distances: home rows × all rows in the group
+        counts = np.zeros(len(H), dtype=np.int32)
+        step = max(1, 2_000_000 // max(len(P), 1))
+        for s in range(0, len(H), step):
+            e = min(s + step, len(H))
+            d2 = ((H[s:e, None, :] - P[None, :, :]) ** 2).sum(axis=2)
+            counts[s:e] = (d2 <= eps2).sum(axis=1)
+        return pd.DataFrame({"id": ids[home], "n_neighbors": counts})
+
+    counts = cells.groupBy(*group_keys).applyInPandas(count_neighbors, count_schema)
+    core = counts.select(
+        F.col("id").alias(id_col),
+        (F.col("n_neighbors") >= min_samples).alias("__is_core"),
+    )
+
+    # ---- pass 2: local clusters + merge edges -----------------------------
+    with_core = cells.join(core, on=id_col, how="inner")
+    label_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label_key", T.StringType()),
+            T.StructField("is_home", T.BooleanType()),
+            T.StructField("is_core", T.BooleanType()),
+        ]
+    )
+
+    def local_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Sort by id: makes every derived quantity independent of the
+        # incoming shuffle row order, so recomputations of this stage (cache
+        # eviction, stage retry) produce identical label keys.
+        pdf = pdf.sort_values(id_col)
+        P = pdf[pcols].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        home = pdf["__home"].to_numpy(dtype=bool)
+        is_core = pdf["__is_core"].to_numpy(dtype=bool)
+        n = len(pdf)
+        cell_tag = ",".join(str(int(k)) for k in key)
+
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        core_idx = np.where(is_core)[0]
+        C = P[core_idx]
+        # union core-core pairs within eps (chunked)
+        step = max(1, 2_000_000 // max(len(C), 1))
+        for s in range(0, len(C), step):
+            e = min(s + step, len(C))
+            d2 = ((C[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            for a, b in zip(*np.where(d2 <= eps2)):
+                ra_, rb = find(core_idx[s + a]), find(core_idx[b])
+                if ra_ != rb:
+                    parent[max(ra_, rb)] = min(ra_, rb)
+
+        rows_id, rows_key, rows_home, rows_core = [], [], [], []
+        # Label = smallest point id in the component: content-deterministic
+        # (row-order independent), unlike a positional root index.
+        min_id_of_root: dict[int, int] = {}
+        for i in core_idx:
+            r = find(i)
+            cur = min_id_of_root.get(r)
+            if cur is None or ids[i] < cur:
+                min_id_of_root[r] = int(ids[i])
+        root_of = {r: f"{cell_tag}:{m}" for r, m in min_id_of_root.items()}
+        for i in core_idx:
+            r = find(i)
+            rows_id.append(ids[i])
+            rows_key.append(root_of[r])
+            rows_home.append(bool(home[i]))
+            rows_core.append(True)
+        # border home points → nearest core neighbor (tie: smallest id)
+        border = np.where(home & ~is_core)[0]
+        if len(border) and len(core_idx):
+            B = P[border]
+            d2 = ((B[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            within = d2 <= eps2
+            for bi in range(len(border)):
+                cand = np.where(within[bi])[0]
+                if len(cand) == 0:
+                    rows_id.append(ids[border[bi]])
+                    rows_key.append(None)  # noise
+                    rows_home.append(True)
+                    rows_core.append(False)
+                else:
+                    order = np.lexsort((ids[core_idx[cand]], d2[bi][cand]))
+                    best = core_idx[cand[order[0]]]
+                    rows_id.append(ids[border[bi]])
+                    rows_key.append(root_of[find(best)])
+                    rows_home.append(True)
+                    rows_core.append(False)
+        elif len(border):
+            for bi in border:
+                rows_id.append(ids[bi])
+                rows_key.append(None)
+                rows_home.append(True)
+                rows_core.append(False)
+        return pd.DataFrame(
+            {
+                "id": np.asarray(rows_id, dtype=np.int64),
+                "label_key": rows_key,
+                "is_home": rows_home,
+                "is_core": rows_core,
+            }
+        )
+
+    labeled = with_core.groupBy(*group_keys).applyInPandas(local_cluster, label_schema)
+    labeled = labeled.cache()
+
+    # ---- merge: equivalence edges via multi-cell core points --------------
+    core_pairs = (
+        labeled.filter(F.col("is_core"))
+        .groupBy("id")
+        .agg(F.collect_set("label_key").alias("keys"))
+        .select("keys")
+        .filter(F.size("keys") > 1)
+        .collect()
+    )
+    parent: dict[str, str] = {}
+
+    def ufind(k: str) -> str:
+        root = k
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[k] != root:
+            parent[k], k = root, parent[k]
+        return root
+
+    for row in core_pairs:
+        keys = sorted(row.keys)
+        r0 = ufind(keys[0])
+        for k in keys[1:]:
+            r = ufind(k)
+            if r != r0:
+                a, b = sorted((r, r0))
+                parent[b] = a
+                r0 = a
+
+    all_keys = [r.label_key for r in labeled.select("label_key").distinct().collect()
+                if r.label_key is not None]
+    rep = {k: ufind(k) for k in all_keys}
+    reps_sorted = sorted(set(rep.values()))
+    global_id = {r: i for i, r in enumerate(reps_sorted)}
+    mapping = [(k, global_id[rep[k]]) for k in all_keys]
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(mapping, "label_key string, __gcid long")
+
+    home_labels = (
+        labeled.filter(F.col("is_home"))
+        .join(F.broadcast(map_df), on="label_key", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__gcid"), F.lit(-1)).alias(out_col),
+        )
+    )
+    out = df.join(home_labels, on=id_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(-1))
+    )
+    # NB: ``labeled`` stays cached — the returned plan still reads it, and
+    # label keys must match the merge map built above.  (They are content-
+    # deterministic anyway; the cache is a perf win, LRU-evicted later.)
+    if purge_noise:
+        out = out.filter(F.col(out_col) != -1)
+    return out
+
+
+__all__ = ["dbscan"]
