@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataslicer_spark.plans import star_queries
+from dataslicer_spark.plans import extension_queries, star_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,11 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(star_queries.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 + the
+    north-star extensions (dedup / similarity / text / event windows)."""
+    return {**star_queries.QUERIES, **extension_queries.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; keys without an entry get the
-    weaker rows-only check (non-SQL-expressible kernels)."""
-    return dict(star_queries.ORACLES)
+    weaker rows-only check (non-SQL-expressible kernels: MinHash/SimHash/
+    LSH use engine-specific hash functions — property-tested in pytest)."""
+    return {**star_queries.ORACLES, **extension_queries.ORACLES}

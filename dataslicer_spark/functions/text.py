@@ -1,0 +1,189 @@
+"""Text-analysis column expressions for large-scale corpus pipelines
+(BASELINE.json north-star extensions: language-ID, quality scoring, token
+counting, fingerprinting — all pure ``pyspark.sql.functions``, no Python in
+the hot path, so a 100 TB corpus scan stays inside whole-stage codegen).
+
+These are additions beyond the reference surface (SURVEY.md §7 Phase 5);
+the ``documents`` table (doc_id, text, lang, source, n_chars) is the
+driver-provided fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+
+# ---------------------------------------------------------------------------
+# tokenization & counting
+# ---------------------------------------------------------------------------
+
+WS = r"\s+"
+# BPE-ish word/punct splitter: words, numbers, or single non-space symbols
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WS)
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens_ws(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Sub-word-ish token count via the word/number/symbol regex — a cheap
+    stand-in for a BPE tokenizer's token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), F.lit(0)))
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Array of n-gram word shingles (space-joined, lowercased)."""
+    toks = tokens_ws(F.lower(text))
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS_EN = (
+    "the a an and or of to in is are was were be been it this that for on with"
+).split()
+
+
+def add_text_quality(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Length / punctuation / stopword / digit / uppercase signals plus a
+    composite [0,1] quality score (heuristics in the C4/Gopher-rule family).
+
+    All ratios use ``try_divide`` (NULL on empty text, ANSI-safe).
+    """
+    check_col(text_col, df)
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_ws(t)
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,!?;:]"), F.lit(0)))
+    digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0)))
+    uppers = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), F.lit(0)))
+    stop_patt = r"(?i)\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    stops = F.size(F.regexp_extract_all(t, F.lit(stop_patt), F.lit(0)))
+
+    p = prefix
+    out = (
+        df.withColumn(f"{p}n_chars_m", n_chars)
+        .withColumn(f"{p}n_tokens", n_tokens)
+        .withColumn(f"{p}punct_ratio", F.try_divide(punct, n_chars))
+        .withColumn(f"{p}digit_ratio", F.try_divide(digits, n_chars))
+        .withColumn(f"{p}upper_ratio", F.try_divide(uppers, n_chars))
+        .withColumn(f"{p}stopword_ratio", F.try_divide(stops, n_tokens))
+        .withColumn(
+            f"{p}mean_token_len",
+            F.try_divide(n_chars - (n_tokens - 1), n_tokens),
+        )
+    )
+    # composite score: reward stopword presence & sane token lengths,
+    # punish digit/punct floods (clamped linear terms; deterministic).
+    # NB Spark's least() SKIPS nulls (least(NULL, 1.0) = 1.0), so the score
+    # is gated on n_tokens > 0 rather than relying on null propagation.
+    score = (
+        F.least(F.col(f"{p}stopword_ratio") * 2.5, F.lit(1.0)) * 0.4
+        + F.when(
+            (F.col(f"{p}mean_token_len") >= 2) & (F.col(f"{p}mean_token_len") <= 12),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+        * 0.3
+        + (1 - F.least(F.col(f"{p}digit_ratio") * 5, F.lit(1.0))) * 0.15
+        + (1 - F.least(F.col(f"{p}punct_ratio") * 5, F.lit(1.0))) * 0.15
+    )
+    return out.withColumn(
+        f"{p}quality_score",
+        F.when(F.col(f"{p}n_tokens") > 0, score).otherwise(F.lit(0.0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "ist", "das", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "de", "que", "y", "los", "es", "una", "por"],
+    "zh": ["的", "是", "了", "在", "我", "有", "他", "不"],
+}
+
+
+def add_language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: per-language stopword-hit counts, argmax with
+    deterministic tiebreak (language-code order).  Texts with no marker
+    hits → 'und' (undetermined)."""
+    check_col(text_col, df)
+    t = F.lower(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(
+                t, F.lit(r"\b(" + "|".join(words) + r")\b"), F.lit(0)
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)  # deterministic tie order
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold: earlier language wins ties (strictly-greater replaces)
+    for lang in langs:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.withColumn(out_col, best)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalized_fingerprint(text: Column) -> Column:
+    """MD5 of whitespace-normalized lowercased text — a cross-engine stable
+    document key for exact dedup (md5 is identical in Spark and DuckDB)."""
+    return F.md5(
+        F.encode(F.lower(F.trim(F.regexp_replace(text, WS, " "))), "UTF-8")
+    )
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over token n-gram windows.
+    Engine-specific hash (xxhash64) → no SQL oracle; property-tested."""
+    sh = word_shingles(text, window)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    return F.when(F.size(hashed) == 0, F.lit(None).cast("long")).otherwise(
+        F.array_min(hashed)
+    )
+
+
+__all__ = [
+    "tokens_ws",
+    "token_count_ws",
+    "token_count_bpe_ish",
+    "word_shingles",
+    "add_text_quality",
+    "add_language_id",
+    "normalized_fingerprint",
+    "rolling_hash_fingerprint",
+    "STOPWORDS_EN",
+    "LANG_MARKERS",
+]

@@ -1,0 +1,404 @@
+"""Deduplication operators for training-data pipelines (north-star
+extensions per BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design notes:
+
+- Exact dedup is a hash-groupBy on a fingerprint — one shuffle of
+  (fingerprint, id), never of document bodies.
+- Pairwise near-dup never materializes the O(n²) cross join: candidate
+  generation goes through inverted-index / banding shuffles (shingle →
+  docs, LSH band → docs, simhash chunk → docs), and only candidates are
+  verified.  Hot shingles are capped (``max_posting``) — the classic
+  stop-shingle guard against quadratic postings blowup.
+- All verification math is exact integer/fixed-point arithmetic, so
+  results are reproducible across partitionings.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..functions.text import normalized_fingerprint, tokens_ws, word_shingles
+from ..utils import check_col
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    key: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact duplicate removal by content fingerprint.
+
+    Returns ``(representatives, dup_stats)``: representatives keep the row
+    with the smallest id per fingerprint (deterministic); dup_stats is
+    (fingerprint, n_copies, kept_id) for observability.
+    """
+    check_col([id_col, text_col], df)
+    k = key if key is not None else normalized_fingerprint(F.col(text_col))
+    keyed = df.withColumn("__fp", k)
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    reps = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+    stats = keyed.groupBy(F.col("__fp").alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(id_col).alias("kept_id"),
+    )
+    return reps, stats
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted shingle index, no cross join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = 10_000,
+) -> DataFrame:
+    """Document pairs with n-gram-shingle Jaccard ≥ threshold.
+
+    Plan: distinct shingles per doc → inverted index (shingle → docs) →
+    self-join within posting lists (id_a < id_b) → count common shingles →
+    ``jaccard = common / (|A| + |B| − common)`` (exact integer arithmetic).
+    ``max_posting`` drops shingles shared by more docs (stop-shingles):
+    they contribute candidates, not discrimination, and cap the worst-case
+    join fanout at scale.
+    """
+    check_col([id_col, text_col], df)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inv = sh
+    if max_posting is not None:
+        posting = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        inv = sh.join(
+            posting.filter(F.col("__df") <= max_posting).select("s"), "s", "inner"
+        )
+    a = inv.select(F.col("id").alias("id_a"), "s")
+    b = inv.select(F.col("id").alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature: one xxhash64 per shingle JVM-side, then
+    ``num_perm`` universal-hash permutations ``(aᵢ·h + bᵢ) mod p`` applied
+    vectorized in an Arrow pandas UDF (a num_perm × n_shingles numpy matrix
+    op — 64 chained HOF passes per row would be ~50× slower).  No shuffle;
+    the signature is num_perm·8 bytes regardless of document length."""
+    check_col([id_col, text_col], df)
+    base = F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+
+    p = np.uint64((1 << 61) - 1)  # Mersenne prime
+    rng = np.random.default_rng(1234)
+    a = rng.integers(1, int(p), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(p), num_perm, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64) % p
+            # (num_perm × n) permuted values, min along shingles
+            perm = (a[:, None] * hv[None, :] + b[:, None]) % p
+            out.append(perm.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"), sig_udf(base).alias("signature")
+    ).filter(F.col("signature").isNotNull())
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding.
+
+    ``bands`` bands of ``num_perm/bands`` rows; docs sharing any band
+    bucket are candidates (P[candidate] ≈ 1−(1−j^r)^b).  Candidates are
+    verified by estimated Jaccard = fraction of equal signature slots
+    (``verify=True``), filtered at ``threshold``.
+
+    Scale: the only shuffles are (band-bucket → ids) and candidate-pair
+    dedup; signatures are fixed-size regardless of document length.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+    bucketed = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * r + j].cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = bucketed.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    if not verify:
+        return cand
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / F.lit(float(num_perm)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est.select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column, n: int = 2) -> Column:
+    """64-bit SimHash over word n-gram xxhash64 values: bit k of the result
+    is the majority vote of shingle-hash bit k.
+
+    Shingle hashing stays JVM-side (xxhash64 in codegen); the 64-way bit
+    majority runs as an Arrow pandas UDF over the hash arrays — a single
+    (n_shingles × 64) numpy reduction per row, versus 64 chained HOF
+    filter passes in pure expressions (~50× slower measured).
+    """
+    hashes = F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+
+    @pandas_udf("long")
+    def simhash_udf(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            maj = (bits * 2 > len(hv)).astype(np.uint64)
+            out.append(int((maj << shifts).sum().astype(np.int64)))
+        return pd.Series(out, dtype="object")
+
+    return simhash_udf(hashes)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation by chunk banding (pigeonhole: split 64 bits into
+    ``max_hamming+1`` chunks — any pair within the distance agrees on at
+    least one full chunk), then exact popcount verification.
+    """
+    check_col([id_col, text_col], df)
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), n).alias("sh")
+    ).filter(F.col("sh").isNotNull()).cache()
+    bucketed = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cb"),
+    ).select("id", "sh", "cb.chunk", "cb.val")
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk", "val")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk", "val")
+    cand = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+FP_DOT_BITS = 30  # fixed-point bits for deterministic dot products
+
+
+def fp_dot(a: Column, b: Column, bits: int = FP_DOT_BITS) -> Column:
+    """Deterministic dot product of two float arrays: per-element products
+    in double (exact given identical inputs), quantized by floor(x·2^k)
+    into int64, integer-summed (order-independent), rescaled."""
+    m = float(2**bits)
+    q = F.zip_with(
+        a, b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(m)).cast(
+            "long"
+        ),
+    )
+    return (
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v).cast("double")
+        / m
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_planes: int = 0,
+) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold.
+
+    ``bucket_planes=0``: exact all-pairs (id_a < id_b) — the verification
+    baseline, O(n²) and only for modest n.  ``bucket_planes=k``: random-
+    hyperplane LSH prefilter (see similarity.py) before exact cosine — the
+    scale path.  Cosines use fixed-point arithmetic → cross-engine exact.
+    """
+    check_col([id_col, vec_col], df)
+    norms = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(fp_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    if bucket_planes:
+        from .similarity import add_hyperplane_bucket
+
+        bucketed = add_hyperplane_bucket(norms, "v", n_planes=bucket_planes)
+        a = bucketed.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("norm").alias("norm_a"), "bucket",
+        )
+        b = bucketed.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("norm").alias("norm_b"), "bucket",
+        )
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = norms.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("norm").alias("norm_a"),
+        )
+        b = norms.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("norm").alias("norm_b"),
+        )
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn(
+        "cosine",
+        F.try_divide(
+            fp_dot(F.col("v_a"), F.col("v_b")), F.col("norm_a") * F.col("norm_b")
+        ),
+    ).filter(F.col("cosine") >= threshold)
+    return out.select("id_a", "id_b", "cosine").dropDuplicates(["id_a", "id_b"])
+
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_pairs",
+    "fp_dot",
+    "embedding_near_dup",
+]

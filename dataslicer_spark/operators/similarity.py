@@ -1,0 +1,169 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns
+(north-star extension per BASELINE.json).
+
+Two tiers:
+
+- :func:`cosine_topk` — exact brute-force top-k (broadcast the query set,
+  scan the corpus once, per-query ``row_number`` ≤ k).  The correctness
+  baseline, and the right plan whenever |queries| is small: the corpus
+  never shuffles, one pass, no index build.
+- :func:`hyperplane_lsh_topk` — random-hyperplane (sign) LSH: corpus and
+  queries hash to sign-pattern buckets; candidates come from bucket
+  equi-joins (optionally multi-probe over single-bit flips), then exact
+  cosine re-ranks.  The 100 TB path: the corpus shuffles once at index
+  build, queries touch only matching buckets.
+
+All cosines use the fixed-point dot product (order-independent integer
+sums) so results are deterministic across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+from .dedup import fp_dot
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def add_hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-pattern LSH bucket id: bit i = (v · plane_i) ≥ 0.
+
+    Planes are generated driver-side from a fixed seed (deterministic) and
+    inlined as literals — they are tiny (n_planes × dim doubles).
+    """
+    check_col(vec_col, df)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = (fp_dot(F.col(vec_col), p) >= 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (brute force baseline).
+
+    Output: (query_id, rank, vec_id, cosine) — deterministic ties
+    (cosine desc, corpus id asc).
+    """
+    check_col([corpus_id, corpus_vec], corpus)
+    check_col([query_id, query_vec], queries)
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.sqrt(fp_dot(F.col(query_vec), F.col(query_vec))).alias("__qn"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.try_divide(fp_dot(F.col("__cv"), F.col("__qv")), F.col("__cn") * F.col("__qn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 10,
+    multiprobe_bits: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket join + exact cosine re-rank.
+
+    ``multiprobe_bits=m``: each query also probes buckets within Hamming
+    distance ≤ m of its own pattern (single-bit flips for m=1), trading
+    join fanout for recall — the standard multi-probe LSH move so one
+    table shuffle serves high recall without more hash tables.
+    """
+    check_col([corpus_id, corpus_vec], corpus)
+    check_col([query_id, query_vec], queries)
+    dim = len(corpus.select(corpus_vec).first()[0])
+    c = add_hyperplane_bucket(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).alias("__cv"),
+            F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
+        ),
+        "__cv", n_planes=n_planes, seed=seed, dim=dim,
+    )
+    q = add_hyperplane_bucket(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+            F.sqrt(fp_dot(F.col(query_vec), F.col(query_vec))).alias("__qn"),
+        ),
+        "__qv", n_planes=n_planes, seed=seed, dim=dim,
+    )
+    if multiprobe_bits >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    joined = c.join(q, "bucket")
+    if not include_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.try_divide(fp_dot(F.col("__cv"), F.col("__qv")), F.col("__cn") * F.col("__qn")),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+__all__ = ["add_hyperplane_bucket", "cosine_topk", "hyperplane_lsh_topk"]

@@ -1,0 +1,402 @@
+"""Driver-contract queries for the north-star extensions: text analysis,
+dedup, similarity search, and event-time windows — each with a DuckDB
+oracle where SQL-expressible (engine-specific hashes → rows-only).
+
+Same cross-engine determinism rules as star_queries.py: integer counts,
+fixed-point dot products, md5 (identical in both engines), and epoch-long
+timestamps instead of raw timestamp columns.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_ISH,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    add_language_id,
+    add_text_quality,
+    normalized_fingerprint,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from ..operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import cosine_topk, hyperplane_lsh_topk
+from ..streaming.events import load_events, session_stats, tumbling_window_stats
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+FP30 = repr(float(2**30))
+
+
+def _sql_fp_dot(a: str, b: str) -> str:
+    """DuckDB mirror of dedup.fp_dot (floor(x·y·2^30) int sums)."""
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) "
+        f"* CAST({FP30} AS DOUBLE)) AS BIGINT))) AS DOUBLE) / CAST({FP30} AS DOUBLE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per language."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.withColumn("n_ws", token_count_ws(t))
+        .withColumn("n_bpe", token_count_bpe_ish(t))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("sum_ws_tokens"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+            F.max("n_ws").alias("max_ws_tokens"),
+        )
+    )
+
+
+TXT_TOKEN_STATS_SQL = rf"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_ws) AS sum_ws_tokens,
+       SUM(n_bpe) AS sum_bpe_tokens,
+       MAX(n_ws) AS max_ws_tokens
+FROM (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+         len(regexp_extract_all(text, '{BPE_ISH}')) AS n_bpe
+  FROM documents)
+GROUP BY lang
+"""
+
+
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals + composite score (all exact arithmetic)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = add_text_quality(docs)
+    return out.select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "quality_score",
+    )
+
+
+_STOP_PATT = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+TXT_QUALITY_SQL = rf"""
+SELECT doc_id, n_tokens,
+       punct / NULLIF(n_chars_m, 0) AS punct_ratio,
+       digits / NULLIF(n_chars_m, 0) AS digit_ratio,
+       stops / NULLIF(n_tokens, 0) AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN
+         LEAST(stops / NULLIF(n_tokens, 0) * 2.5, 1.0) * 0.4
+         + CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.0 END * 0.3
+         + (1 - LEAST(digits / NULLIF(n_chars_m, 0) * 5, 1.0)) * 0.15
+         + (1 - LEAST(punct / NULLIF(n_chars_m, 0) * 5, 1.0)) * 0.15
+       ELSE 0.0 END AS quality_score
+FROM (
+  SELECT *, (n_chars_m - (n_tokens - 1)) / NULLIF(n_tokens, 0) AS mtl
+  FROM (
+    SELECT doc_id, length(text) AS n_chars_m,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+           len(regexp_extract_all(text, '[0-9]')) AS digits,
+           len(regexp_extract_all(text, '(?i){_STOP_PATT}')) AS stops
+    FROM documents))
+"""
+
+
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID; compared against the heuristic's own SQL
+    mirror (the ground-truth ``lang`` column is a separate accuracy test)."""
+    docs = _t(spark, sf_dir, "documents")
+    return add_language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(words)})\b'))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)
+    # fold identical to add_language_id: earlier lang wins ties
+    best, best_score = "'und'", "0"
+    for lang in langs:
+        s = f"s_{lang}"
+        best = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return (
+        f"SELECT doc_id, lang, {best} AS lang_pred "
+        f"FROM (SELECT doc_id, lang, text, {inner} FROM documents)"
+    )
+
+
+TXT_LANGID_SQL = _langid_sql()
+
+
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text (cross-engine identical)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+TXT_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a doubled corpus (simulated re-crawl): fingerprint
+    stats with deterministic representative choice."""
+    docs = _t(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    _reps, stats = exact_dedup(doubled, "doc_id")
+    return stats.select("fingerprint", "n_copies", "kept_id")
+
+
+DD_EXACT_SQL = r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+       COUNT(*) AS n_copies, MIN(doc_id) AS kept_id
+FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents)
+GROUP BY 1
+"""
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard pairs ≥ 0.05 via inverted index (no cross
+    join); exact integer set arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.05)
+
+
+DD_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+         AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+      >= 0.05
+"""
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (xxhash64 is engine-specific →
+    rows-only check; the recall property is pytest-verified against planted
+    near-duplicates)."""
+    docs = _t(spark, sf_dir, "documents")
+    near = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.col("text"), r"\s+"), 1,
+                F.greatest(F.size(F.split(F.col("text"), r"\s+")) - 3, F.lit(1)),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    return minhash_lsh_pairs(corpus, "doc_id", num_perm=64, bands=16, threshold=0.5)
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤k pairs over the near-dup corpus (engine-specific
+    hash → rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    near = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.col("text"), r"\s+"), 1,
+                F.greatest(F.size(F.split(F.col("text"), r"\s+")) - 2, F.lit(1)),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    return simhash_pairs(corpus, "doc_id", n=2, max_hamming=6)
+
+
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline;
+    fixed-point dot products → bit-identical in DuckDB)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.35)
+
+
+DD_EMBEDDING_COSINE_SQL = f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ({_sql_fp_dot('a.embedding', 'b.embedding')})
+           / (sqrt({_sql_fp_dot('a.embedding', 'a.embedding')})
+              * sqrt({_sql_fp_dot('b.embedding', 'b.embedding')})) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+SIM_TOPK_SQL = f"""
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ({_sql_fp_dot('c.embedding', 'q.embedding')})
+           / (sqrt({_sql_fp_dot('c.embedding', 'c.embedding')})
+              * sqrt({_sql_fp_dot('q.embedding', 'q.embedding')})) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ({_sql_fp_dot('c.embedding', 'q.embedding')})
+             / (sqrt({_sql_fp_dot('c.embedding', 'c.embedding')})
+                * sqrt({_sql_fp_dot('q.embedding', 'q.embedding')})) DESC,
+             c.vec_id ASC) AS rank
+  FROM embeddings c
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+    ON c.vec_id <> q.vec_id)
+WHERE rank <= 5
+"""
+
+
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (rows-only; recall pytest-verified)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return hyperplane_lsh_topk(emb, queries, k=5, n_planes=8, multiprobe_bits=1)
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch; streaming twin in streaming/events.py)
+# ---------------------------------------------------------------------------
+
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    return tumbling_window_stats(events, "1 hour")
+
+
+EV_TUMBLING_SQL = """
+SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE) / CAST(1048576.0 AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    return session_stats(events, gap="30 minutes")
+
+
+EV_SESSION_SQL = """
+SELECT user_id,
+       epoch_us(MIN(ts_us)) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE) / CAST(1048576.0 AS DOUBLE) AS sum_value
+FROM (
+  SELECT *, SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, value, ts_us,
+           CASE WHEN prev_ts IS NULL
+                     OR ts_us - prev_ts >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts_us,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_ts
+      FROM events)))
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "txt_token_stats": txt_token_stats,
+    "txt_quality": txt_quality,
+    "txt_langid": txt_langid,
+    "txt_fingerprint": txt_fingerprint,
+    "dd_exact": dd_exact,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash": dd_simhash,
+    "dd_embedding_cosine": dd_embedding_cosine,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_lsh": sim_topk_lsh,
+    "ev_tumbling_window": ev_tumbling_window,
+    "ev_session_window": ev_session_window,
+}
+
+ORACLES: dict[str, str] = {
+    "txt_token_stats": TXT_TOKEN_STATS_SQL,
+    "txt_quality": TXT_QUALITY_SQL,
+    "txt_langid": TXT_LANGID_SQL,
+    "txt_fingerprint": TXT_FINGERPRINT_SQL,
+    "dd_exact": DD_EXACT_SQL,
+    "dd_ngram_jaccard": DD_NGRAM_JACCARD_SQL,
+    # dd_minhash_lsh / dd_simhash / sim_topk_lsh: engine-specific hashes →
+    # rows-only (property-tested in pytest instead)
+    "dd_embedding_cosine": DD_EMBEDDING_COSINE_SQL,
+    "sim_topk_bruteforce": SIM_TOPK_SQL,
+    "ev_tumbling_window": EV_TUMBLING_SQL,
+    "ev_session_window": EV_SESSION_SQL,
+}

@@ -1,0 +1,159 @@
+"""Event-time window aggregations over the ``events`` table
+(SURVEY.md §2.11: the reference is batch-only; this is the designated
+Structured-Streaming extension surface).
+
+The same expression API serves batch and streaming: ``window()`` /
+``session_window()`` group keys work identically on a static DataFrame and
+on a stream — the batch twins below are the oracle-checkable form, and
+:func:`stream_tumbling_counts` shows the streaming deployment (readStream →
+withWatermark → window agg) of the identical expressions.
+
+Fixed-point value sums keep results bit-reproducible across engines (see
+plans/star_queries.py).  Window starts are emitted as epoch seconds
+(long) — timestamp columns round-trip differently between engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+
+_FP = float(2**20)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing nanosecond timestamps.
+
+    The driver's parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark 4
+    rejects by default; with ``spark.sql.legacy.parquet.nanosAsLong`` the
+    column reads as epoch-nanos long, converted here to a microsecond
+    timestamp via integer division (``div`` — exact; a double division
+    would lose precision above 2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _fp_sum(col):
+    return F.sum(F.floor(col * F.lit(_FP)).cast("long")).cast("double") / _FP
+
+
+def tumbling_window_stats(
+    events: DataFrame,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time windows: count + deterministic value sum per
+    (window, key).  One shuffle on (window, key)."""
+    check_col([ts_col, key_col, value_col], events)
+    return (
+        events.groupBy(F.window(F.col(ts_col), width).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fp_sum(F.col(value_col)).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_stats(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding windows — each event lands in width/slide windows; Spark
+    expands this without a UDF."""
+    check_col([ts_col, key_col, value_col], events)
+    return (
+        events.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fp_sum(F.col(value_col)).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` inactivity.
+
+    ``session_window`` semantics: a session is [first_ts, last_ts + gap);
+    an event exactly ``gap`` after the previous one starts a new session —
+    the SQL twin (gaps-and-islands with ``diff >= gap``) matches this.
+    """
+    check_col([ts_col, user_col, value_col], events)
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), user_col
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fp_sum(F.col(value_col)).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_tumbling_counts(
+    spark,
+    source_dir: str,
+    schema,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """Structured-Streaming deployment of the tumbling aggregation:
+    file-source stream → watermark (bounds state for late data) → identical
+    window expressions.  Returns the streaming DataFrame; attach a
+    ``writeStream`` sink to run.  (Exercised in tests with a file source +
+    memory sink.)"""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), key_col, "n_events"
+        )
+    )
+
+
+__all__ = [
+    "tumbling_window_stats",
+    "sliding_window_stats",
+    "session_stats",
+    "stream_tumbling_counts",
+]

@@ -1,0 +1,277 @@
+"""Tests for the text-analysis functions, dedup operators, and similarity
+search (north-star extensions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataslicer_spark.functions.text import (
+    add_language_id,
+    add_text_quality,
+    normalized_fingerprint,
+    rolling_hash_fingerprint,
+    token_count_bpe_ish,
+    token_count_ws,
+    word_shingles,
+)
+from dataslicer_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    fp_dot,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from dataslicer_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# text functions
+# ---------------------------------------------------------------------------
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, ""), (3, "  a b\tc\nd  "), (4, "a1b,c!")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe_ish(F.col("text")).alias("bpe"),
+    ).toPandas().set_index("id")
+    assert out.loc[1, "ws"] == 2
+    assert out.loc[2, "ws"] == 0
+    assert out.loc[3, "ws"] == 4
+    # 'a1b,c!' → a | 1 | b | , | c | !
+    assert out.loc[4, "bpe"] == 6
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "A b c d")], "id long, text string")
+    out = df.select(word_shingles(F.col("text"), 3).alias("s")).first().s
+    assert out == ["a b c", "b c d"]
+    out1 = df.select(word_shingles(F.col("text"), 1).alias("s")).first().s
+    assert out1 == ["a", "b", "c", "d"]
+
+
+def test_text_quality_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat and it was happy."),
+            (2, "000 111 222 333 444 555 666 777 888 999"),
+            (3, ""),
+        ],
+        "id long, text string",
+    )
+    out = add_text_quality(df).toPandas().set_index("id")
+    assert out.loc[1, "quality_score"] > out.loc[2, "quality_score"]
+    assert out.loc[1, "stopword_ratio"] > 0.2
+    assert out.loc[2, "digit_ratio"] > 0.5
+    assert out.loc[3, "quality_score"] == 0.0  # empty text → ratios NULL → 0
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der Hund und die Katze ist nicht da"),
+            (3, "le chat et la maison dans les champs"),
+            (4, "el perro y la casa de los campos que"),
+            (5, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    out = add_language_id(df).toPandas().set_index("id").lang_pred
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "es" and out[5] == "und"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "goodbye world")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        rolling_hash_fingerprint(F.col("text"), window=2).alias("rh"),
+    ).toPandas().set_index("id")
+    assert out.loc[1, "fp"] == out.loc[2, "fp"]  # whitespace/case normalized
+    assert out.loc[1, "fp"] != out.loc[3, "fp"]
+    assert out.loc[1, "rh"] == out.loc[2, "rh"]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup(docs):
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    reps, stats = exact_dedup(doubled, "doc_id")
+    n = docs.count()
+    assert reps.count() == n
+    # representative = smallest id → all original ids survive
+    assert reps.filter(F.col("doc_id") >= 100000).count() == 0
+    assert stats.filter(F.col("n_copies") != 2).count() == 0
+
+
+def test_ngram_jaccard_exact_vs_python(docs):
+    sample = docs.limit(60)
+    got = ngram_jaccard_pairs(
+        sample, "doc_id", n=3, threshold=0.05
+    ).toPandas()
+    pdf = sample.select("doc_id", "text").toPandas()
+    shingles = {
+        r.doc_id: set(
+            " ".join(toks[i : i + 3])
+            for toks in [r.text.lower().split()]
+            for i in range(len(toks) - 2)
+        )
+        for r in pdf.itertuples()
+    }
+    expect = {}
+    ids = sorted(shingles)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shingles[a] & shingles[b])
+            union = len(shingles[a] | shingles[b])
+            if union and inter / union >= 0.05:
+                expect[(a, b)] = inter / union
+    got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert got_pairs.keys() == expect.keys()
+    for k, v in expect.items():
+        assert got_pairs[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # plant near-duplicates: copy docs and drop the last 3 words
+    sample = docs.limit(40)
+    mutated = sample.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), r"\s+"), 1,
+                         F.size(F.split(F.col("text"), r"\s+")) - 3)
+        ).alias("text"),
+    )
+    corpus = sample.select("doc_id", "text").unionByName(mutated)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", num_perm=64, bands=16, threshold=0.5
+    ).toPandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    planted = {(i, i + 500000) for i in
+               [r.doc_id for r in sample.select("doc_id").collect()]}
+    # high recall on planted near-dups
+    assert len(found & planted) >= 0.8 * len(planted)
+
+
+def test_simhash_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tonight")),      # near-dup
+        (3, "completely different words about spark and parquet files here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = simhash_pairs(df, "id", max_hamming=12).toPandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+def test_embedding_near_dup_and_fp_dot(spark, emb):
+    # fp_dot equals numpy dot to quantization precision
+    pdf = emb.limit(20).toPandas()
+    v = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in pdf.itertuples()],
+        "vec_id long, embedding array<double>",
+    )
+    got = v.select(
+        "vec_id", fp_dot(F.col("embedding"), F.col("embedding")).alias("d")
+    ).toPandas().set_index("vec_id").d
+    for r in pdf.itertuples():
+        expect = float(np.dot(r.embedding, r.embedding))
+        assert got[r.vec_id] == pytest.approx(expect, abs=1e-6)
+
+    # planted near-dup: tiny perturbation of vec 0
+    first = pdf.iloc[0]
+    v2 = v.unionByName(
+        spark.createDataFrame(
+            [(999999, [float(x) + 1e-4 for x in first.embedding])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    pairs = embedding_near_dup(v2, threshold=0.999).toPandas()
+    assert (int(first.vec_id), 999999) in {
+        (r.id_a, r.id_b) for r in pairs.itertuples()
+    }
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_cosine_topk_matches_numpy(emb):
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    M = np.array([list(v) for v in pdf.embedding], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    ids = pdf.vec_id.to_numpy()
+    for qi in range(5):
+        cos = (M @ M[qi]) / (norms * norms[qi])
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -cos[mask]))
+        expect_ids = ids[mask][order[:5]]
+        g = got[got.query_id == ids[qi]].sort_values("rank")
+        np.testing.assert_array_equal(g.vec_id.to_numpy(), expect_ids)
+        np.testing.assert_allclose(
+            g.cosine.to_numpy(), np.sort(cos[mask])[::-1][:5], atol=1e-6
+        )
+
+
+def test_lsh_topk_recall_on_planted_neighbors(spark, emb):
+    # Sign-LSH recall is only meaningful for high-cosine neighbors (random
+    # 64-dim vectors are near-orthogonal; their "top-k" is noise).  Plant
+    # perturbed copies as queries: the source vector is the true top-1.
+    rng = np.random.default_rng(31)
+    pdf = emb.limit(10).toPandas()
+    queries = spark.createDataFrame(
+        [
+            (
+                int(r.vec_id),
+                [float(x) + float(e) for x, e in
+                 zip(r.embedding, rng.normal(0, 0.02, len(r.embedding)))],
+            )
+            for r in pdf.itertuples()
+        ],
+        "query_id long, embedding array<float>",
+    )
+    approx = hyperplane_lsh_topk(
+        emb, queries, k=3, n_planes=8, multiprobe_bits=1, include_self=True
+    ).toPandas()
+    top1 = approx[approx["rank"] == 1]
+    hits = sum(1 for r in top1.itertuples() if r.vec_id == r.query_id)
+    assert hits >= 8  # ≥80% top-1 recall on planted near-dups
