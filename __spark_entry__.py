@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataslicer_spark.plans import extension_queries, star_queries
+from dataslicer_spark.plans import astro_pipeline, extension_queries, star_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,7 +26,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
     north-star extensions (dedup / similarity / text / event windows)."""
-    return {**star_queries.QUERIES, **extension_queries.QUERIES}
+    return {
+        **star_queries.QUERIES,
+        **extension_queries.QUERIES,
+        **astro_pipeline.QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -45,15 +45,20 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..utils import check_col
+from ..utils import check_col, grouped_map_in_pandas
 
 
 def _project(df: DataFrame, x_col: str, y_col: str, coord: str, eps: float):
-    """Return (df with p0/p1[/p2], effective euclidean eps, ndim)."""
+    """Return (df with distance coords __p*, euclidean eps, n_coord_dims).
+
+    Sky data keeps 3-D unit-vector coordinates for exact chord distances,
+    but cells are 2-D (dec band × cos-widened RA cell — see
+    ``_explode_sky_cells``), so the neighbor explode is 9×, not 27×.
+    """
     if coord == "planar":
         out = df.withColumn("__p0", F.col(x_col).cast("double")).withColumn(
             "__p1", F.col(y_col).cast("double")
@@ -72,26 +77,55 @@ def _project(df: DataFrame, x_col: str, y_col: str, coord: str, eps: float):
     raise ValueError(f"coord must be 'planar' or 'sky', got {coord!r}")
 
 
-def _explode_to_neighbor_cells(pts: DataFrame, eps: float, ndim: int) -> DataFrame:
-    """Copy each point into its own and all 3^d adjacent cells; ``__home``
-    marks the copy living in the point's own cell."""
-    inv = 1.0 / eps
-    offsets = [-1, 0, 1]
-    out = pts
-    for d in range(ndim):
-        out = out.withColumn(
-            f"__c{d}", F.floor(F.col(f"__p{d}") * inv).cast("long")
+def _explode_planar_cells(pts: DataFrame, cell: float) -> DataFrame:
+    """9-copy neighbor explode on a 2-D grid of size ``cell``; ``__home``
+    marks the copy in the point's own cell."""
+    inv = 1.0 / cell
+    arr = F.array(*[F.lit(o) for o in (-1, 0, 1)])
+    out = (
+        pts.withColumn("__c0", F.floor(F.col("__p0") * inv).cast("long"))
+        .withColumn("__c1", F.floor(F.col("__p1") * inv).cast("long"))
+        .withColumn("__o0", F.explode(arr))
+        .withColumn("__o1", F.explode(arr))
+        .withColumn("__g0", F.col("__c0") + F.col("__o0"))
+        .withColumn("__g1", F.col("__c1") + F.col("__o1"))
+        .withColumn("__home", (F.col("__o0") == 0) & (F.col("__o1") == 0))
+    )
+    return out.drop("__o0", "__o1", "__c0", "__c1")
+
+
+def _explode_sky_cells(pts: DataFrame, x_col: str, y_col: str, cell_deg: float) -> DataFrame:
+    """9-copy neighbor explode on (dec band × RA cell) with the RA cell
+    width divided by cos(dec) per band, so a cell always spans ≥ cell_deg
+    of great-circle arc (pole-correct; same scheme as spatial.crossmatch_sky).
+
+    Any two points within cell_deg of arc differ by ≤1 band and, measured
+    in the width of either point's band, ≤1 RA cell — so the 3×3
+    neighborhood is complete.  RA is treated as an unbounded coordinate
+    (no 0/360 wrap): wrap-adjacent data should be pre-rotated.
+    """
+    ra, dec = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+
+    def width(band: Column) -> Column:
+        dec_edge = F.greatest(
+            F.abs(band.cast("double") * cell_deg),
+            F.abs((band.cast("double") + 1) * cell_deg),
         )
-    arr = F.array(*[F.lit(o) for o in offsets])
-    for d in range(ndim):
-        out = out.withColumn(f"__o{d}", F.explode(arr))
-    home = None
-    for d in range(ndim):
-        cond = F.col(f"__o{d}") == 0
-        home = cond if home is None else (home & cond)
-        out = out.withColumn(f"__g{d}", F.col(f"__c{d}") + F.col(f"__o{d}"))
-    out = out.withColumn("__home", home)
-    return out.drop(*[f"__o{d}" for d in range(ndim)], *[f"__c{d}" for d in range(ndim)])
+        return cell_deg / F.greatest(F.cos(F.radians(dec_edge)), F.lit(1e-6))
+
+    arr = F.array(*[F.lit(o) for o in (-1, 0, 1)])
+    out = (
+        pts.withColumn("__band0", F.floor(dec / cell_deg).cast("long"))
+        .withColumn("__ob", F.explode(arr))
+        .withColumn("__g0", F.col("__band0") + F.col("__ob"))
+        .withColumn("__or", F.explode(arr))
+        .withColumn(
+            "__g1",
+            F.floor(ra / width(F.col("__g0"))).cast("long") + F.col("__or"),
+        )
+        .withColumn("__home", (F.col("__ob") == 0) & (F.col("__or") == 0))
+    )
+    return out.drop("__ob", "__or", "__band0")
 
 
 def dbscan(
@@ -104,6 +138,7 @@ def dbscan(
     coord: str = "sky",
     out_col: str = "clusterID",
     purge_noise: bool = False,
+    cell_factor: float = 4.0,
 ) -> DataFrame:
     """Distributed DBSCAN; adds ``out_col`` (long; −1 = noise).
 
@@ -117,12 +152,28 @@ def dbscan(
     ``id_col`` must be unique per row.  Labels are deterministic: global
     cluster ids are dense ranks of the lexicographically smallest
     (cell, local-label) key in each merged component.
+
+    ``cell_factor`` scales the grid cell above eps: larger cells mean
+    fewer, bigger local groups — less per-group (Arrow) overhead for
+    sparse data, more O(n_cell²) work for dense data.  Correctness is
+    unaffected (cells ≥ eps keep the 3×3 neighborhood complete).
     """
     check_col([id_col, x_col, y_col], df)
     pts, eeps, ndim = _project(df, x_col, y_col, coord, eps)
-    pts = pts.select(id_col, *[f"__p{d}" for d in range(ndim)])
-    cells = _explode_to_neighbor_cells(pts, eeps, ndim)
-    group_keys = [f"__g{d}" for d in range(ndim)]
+    if coord == "sky":
+        pts = pts.select(id_col, x_col, y_col, "__p0", "__p1", "__p2")
+        cell_deg = (eps / 3600.0) * cell_factor
+        cells = _explode_sky_cells(pts, x_col, y_col, cell_deg).drop(x_col, y_col)
+    else:
+        pts = pts.select(id_col, "__p0", "__p1")
+        cells = _explode_planar_cells(pts, eeps * cell_factor)
+    # Drop cells with no home points: they yield no pass-1 counts, and every
+    # core-core merge edge already appears in each endpoint's home group —
+    # for sparse data this prunes ~8/9 of the groups.
+    home_cells = cells.filter(F.col("__home")).select("__g0", "__g1").distinct()
+    cells = cells.join(home_cells, on=["__g0", "__g1"], how="inner")
+    cells = cells.cache()
+    group_keys = ["__g0", "__g1"]
     pcols = [f"__p{d}" for d in range(ndim)]
     eps2 = eeps * eeps
 
@@ -134,7 +185,7 @@ def dbscan(
         ]
     )
 
-    def count_neighbors(pdf: pd.DataFrame) -> pd.DataFrame:
+    def count_neighbors(_key, pdf: pd.DataFrame) -> pd.DataFrame:
         P = pdf[pcols].to_numpy(dtype=np.float64)
         home = pdf["__home"].to_numpy(dtype=bool)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -150,7 +201,7 @@ def dbscan(
             counts[s:e] = (d2 <= eps2).sum(axis=1)
         return pd.DataFrame({"id": ids[home], "n_neighbors": counts})
 
-    counts = cells.groupBy(*group_keys).applyInPandas(count_neighbors, count_schema)
+    counts = grouped_map_in_pandas(cells, group_keys, count_neighbors, count_schema)
     core = counts.select(
         F.col("id").alias(id_col),
         (F.col("n_neighbors") >= min_samples).alias("__is_core"),
@@ -250,7 +301,7 @@ def dbscan(
             }
         )
 
-    labeled = with_core.groupBy(*group_keys).applyInPandas(local_cluster, label_schema)
+    labeled = grouped_map_in_pandas(with_core, group_keys, local_cluster, label_schema)
     labeled = labeled.cache()
 
     # ---- merge: equivalence edges via multi-cell core points --------------

