@@ -1,0 +1,333 @@
+"""User-facing API: ``SlicerFrame`` / ``SlicerDataset`` — the reference's
+``srcdf`` / ``dataset`` method surface over immutable Spark DataFrames.
+
+The reference subclasses ``pd.DataFrame`` (srcdf.py:23-37) and mutates in
+place, with many verbs also returning the rejected complement.  Here the
+wrapper *composes* a ``pyspark.sql.DataFrame`` (subclassing is not a Spark
+idiom): every verb returns a NEW ``SlicerFrame``, and complement-producing
+verbs return ``(kept, rejected)`` pairs — the documented contract change
+(SURVEY.md §1.3).  ``.df`` exposes the raw DataFrame at any point.
+
+A user of the reference maps their calls 1:1:
+
+    ds = SlicerDataset(spark, name, metadata=meta_df, objtable=src_df)
+    ds.select_objects("flags == 0 and snr > 2")       # dataset.py:249-261
+    ds.merge_metadata_to_sources(meta_cols, "OBSID")  # dataset.py:206-246
+    ds.objtable.cluster_sources(3.0, 2)               # objtable.py:116-168
+    ...
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.photometry import (
+    add_obsid,
+    add_srcid,
+    band_conditional_color,
+    bandwise_ref_mag,
+    calmag,
+    compute_camera_coord,
+    compute_ccd_coord,
+)
+from .operators.aggregates import (
+    cluster_centroid,
+    cluster_centroid_weighted,
+    group_stats,
+)
+from .operators.clustering import dbscan
+from .operators.filters import filter_with_complement, trim_edges
+from .operators.joins import (
+    anti_join,
+    merge_metadata_to_sources,
+    select_clusters,
+    union_reindex,
+)
+from .operators.outliers import ps1based_outlier_rm_iqr
+from .operators.regression import attach_solution, photometric_solution
+from .operators.spatial import crossmatch_sky, split_dust, tag_dust
+from .utils import query_df, select_columns
+
+
+class SlicerFrame:
+    """Composition wrapper exposing the reference's source-table verbs."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- plumbing -----------------------------------------------------------
+    def _wrap(self, df: DataFrame) -> "SlicerFrame":
+        return SlicerFrame(df)
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    # -- filters / projections (P1-P3) -------------------------------------
+    def query_df(self, expr: str, params: dict[str, Any] | None = None) -> "SlicerFrame":
+        """Expression filter, pandas dialect (dataset_base.py:198-230)."""
+        return self._wrap(query_df(self.df, expr, params))
+
+    def select_columns(self, patterns) -> "SlicerFrame":
+        """Projection with '*' substring wildcards (df_utils.py:52-59)."""
+        return self._wrap(select_columns(self.df, patterns))
+
+    def filter_with_complement(self, expr) -> tuple["SlicerFrame", "SlicerFrame"]:
+        kept, rejected = filter_with_complement(self.df, expr)
+        return self._wrap(kept), self._wrap(rejected)
+
+    def trim_edges(self, dx: float, dy: float, **kw) -> tuple["SlicerFrame", "SlicerFrame"]:
+        """(srcdf.py:578-613; rejected side implemented, reference bug B4)."""
+        kept, rejected = trim_edges(self.df, dx, dy, **kw)
+        return self._wrap(kept), self._wrap(rejected)
+
+    # -- keys (F8) ----------------------------------------------------------
+    def add_obsid(self, **kw) -> "SlicerFrame":
+        return self._wrap(add_obsid(self.df, **kw))
+
+    def add_srcid(self, **kw) -> "SlicerFrame":
+        return self._wrap(add_srcid(self.df, **kw))
+
+    # -- union (J9) ----------------------------------------------------------
+    def add(self, other: "SlicerFrame | DataFrame", reindex: bool = True,
+            srcid_key: str = "sourceid") -> "SlicerFrame":
+        """Append another source table (srcdf.add, srcdf.py:64-105; the
+        in-place mode was a silent no-op — bug B3 — so only the returning
+        form exists here)."""
+        other_df = other.df if isinstance(other, SlicerFrame) else other
+        return self._wrap(union_reindex(self.df, other_df, reindex, srcid_key))
+
+    # -- clustering (M1) -----------------------------------------------------
+    def cluster_sources(
+        self,
+        cluster_size_arcsec: float,
+        min_samples: int,
+        id_col: str = "sourceid",
+        xname: str = "ra",
+        yname: str = "dec",
+        purge_df: bool = False,
+    ) -> "SlicerFrame":
+        """(objtable.cluster_sources, objtable.py:116-168)."""
+        return self._wrap(
+            dbscan(
+                self.df, eps=cluster_size_arcsec, min_samples=min_samples,
+                id_col=id_col, x_col=xname, y_col=yname, coord="sky",
+                purge_noise=purge_df,
+            )
+        )
+
+    def compute_cluster_centroid(
+        self, xname: str = "ra", yname: str = "dec",
+        wav: bool = False, err_col: str | None = None,
+    ) -> "SlicerFrame":
+        """(objtable.py:171-198; the weighted variant the reference left
+        NotImplementedError is implemented via err_col + wav=True)."""
+        if wav:
+            if err_col is None:
+                raise ValueError("weighted centroid needs err_col")
+            out = cluster_centroid_weighted(
+                self.df, err_col, "clusterID", xname, yname
+            )
+        else:
+            out = cluster_centroid(self.df, "clusterID", xname, yname)
+        return self._wrap(out)
+
+    # -- crossmatch (J5) -----------------------------------------------------
+    def match_to_PS1cal(
+        self,
+        ps1cal: "SlicerFrame | DataFrame",
+        rs_arcsec: float,
+        use: str = "clusters",
+        ids: str = "srcID",
+        clean_unmatched: bool = True,
+    ) -> "SlicerFrame":
+        """(_objtable_methods.match_to_PS1cal, :25-155).
+
+        ``use='clusters'``: match cluster centroids, attach per cluster;
+        ``use='srcs'``: match every source row.  ``clean_unmatched=False``
+        keeps unmatched rows with NULL dist (PS1Cal_matching.py:114-117).
+        """
+        cat = ps1cal.df if isinstance(ps1cal, SlicerFrame) else ps1cal
+        if use == "clusters":
+            centroids = cluster_centroid(self.df, "clusterID", "ra", "dec").select(
+                F.col("clusterID"),
+                F.col("ra_centroid").alias("ra"),
+                F.col("dec_centroid").alias("dec"),
+            )
+            matched = crossmatch_sky(
+                centroids, cat, rs_arcsec, source_id="clusterID",
+                keep_unmatched=not clean_unmatched,
+            ).drop("ra", "dec")
+            out = self.df.join(F.broadcast(matched), on="clusterID",
+                               how="inner" if clean_unmatched else "left")
+        elif use == "srcs":
+            out = crossmatch_sky(
+                self.df, cat, rs_arcsec, source_id=ids,
+                keep_unmatched=not clean_unmatched,
+            )
+        else:
+            raise ValueError(f"use must be 'clusters' or 'srcs', got {use!r}")
+        return self._wrap(out)
+
+    # -- group-quantified filter (J8) ---------------------------------------
+    def select_clusters(
+        self, cond: str | Column, group_col: str = "clusterID",
+        params: dict[str, Any] | None = None,
+    ) -> tuple["SlicerFrame", "SlicerFrame"]:
+        """(_objtable_methods.py:424-488) → (kept, rejected)."""
+        kept, rejected = select_clusters(self.df, cond, group_col, params)
+        return self._wrap(kept), self._wrap(rejected)
+
+    # -- photometry (F1-F4) --------------------------------------------------
+    def calmag(self, mag_col: str, err_mag_col: str | None = None, **kw) -> "SlicerFrame":
+        """(srcdf.calmag, srcdf.py:366-443)."""
+        return self._wrap(calmag(self.df, mag_col, err_mag_col, **kw))
+
+    def band_conditional_color(self, **kw) -> "SlicerFrame":
+        return self._wrap(band_conditional_color(self.df, **kw))
+
+    def add_bandwise_PS1mag_for_filter(self, out_col: str = "ps1mag_band", **kw) -> "SlicerFrame":
+        """(_objtable_methods.py:158-188)."""
+        return self._wrap(bandwise_ref_mag(self.df, out_col=out_col, **kw))
+
+    def compute_camera_coord(self, **kw) -> "SlicerFrame":
+        """(srcdf.py:446-506; objtable facade had a NameError — bug B2)."""
+        return self._wrap(compute_camera_coord(self.df, **kw))
+
+    def compute_ccd_coord(self, **kw) -> "SlicerFrame":
+        """(srcdf.py:509-575)."""
+        return self._wrap(compute_ccd_coord(self.df, **kw))
+
+    # -- outliers (M3) -------------------------------------------------------
+    def ps1based_outlier_rm_iqr(
+        self, cal_mag_col: str, norm_mag_diff_cut: float,
+        ps1mag_name: str = "ps1mag_band", n_mag_bins: int = 10,
+    ) -> tuple["SlicerFrame", "SlicerFrame"]:
+        """(_objtable_methods.py:265-421) → (kept, outliers)."""
+        kept, outliers = ps1based_outlier_rm_iqr(
+            self.df, cal_mag_col, ps1mag_name, norm_mag_diff_cut,
+            n_mag_bins=n_mag_bins,
+        )
+        return self._wrap(kept), self._wrap(outliers)
+
+    # -- regression (F7) -----------------------------------------------------
+    def photometric_solution(
+        self, x_col: str, y_col: str, sx_col: str, sy_col: str,
+        group_cols: Sequence[str] | None = None, **kw,
+    ) -> "SlicerFrame":
+        """(srcdf.py:220-363) — fitted scalars as a small frame; use
+        ``attach_photometric_solution`` to append them as constant cols."""
+        return self._wrap(
+            photometric_solution(self.df, x_col, y_col, sx_col, sy_col,
+                                 group_cols, **kw)
+        )
+
+    def attach_photometric_solution(
+        self, solution: "SlicerFrame | DataFrame",
+        group_cols: Sequence[str] | None = None,
+    ) -> "SlicerFrame":
+        sol = solution.df if isinstance(solution, SlicerFrame) else solution
+        return self._wrap(attach_solution(self.df, sol, group_cols))
+
+    # -- dust (J6) -----------------------------------------------------------
+    def tag_dust(
+        self, dust: "SlicerFrame | DataFrame", rscale: float = 1.0, **kw
+    ) -> tuple["SlicerFrame", "SlicerFrame"]:
+        """(srcdf.tag_dust, srcdf.py:616-694) → (clean, dusty)."""
+        d = dust.df if isinstance(dust, SlicerFrame) else dust
+        tagged = tag_dust(self.df, d, rscale=rscale, **kw)
+        clean, dusty = split_dust(tagged)
+        return self._wrap(clean), self._wrap(dusty)
+
+    # -- sinks (S4) ----------------------------------------------------------
+    def to_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Engine-native sink (the reference's gzip-CSV cache, S4/S6)."""
+        self.df.write.mode(mode).parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite") -> None:
+        """CSV sink for parity with ``_to_csv`` (dataset_base.py:98-136)."""
+        self.df.write.mode(mode).option("header", True).option(
+            "compression", "gzip"
+        ).csv(path)
+
+
+class SlicerDataset:
+    """The reference's ``dataset`` facade: a metadata table (one row per
+    exposure/file) + an objtable (one row per source), joined on OBSID
+    (dataset.py:26-51, 206-246)."""
+
+    def __init__(
+        self, spark: SparkSession, name: str,
+        metadata: DataFrame | None = None, objtable: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.name = name
+        self.metadata = SlicerFrame(metadata) if metadata is not None else None
+        self.objtable = SlicerFrame(objtable) if objtable is not None else None
+
+    # -- loading (S1/S5/S6) --------------------------------------------------
+    @classmethod
+    def from_parquet(
+        cls, spark: SparkSession, name: str,
+        metadata_path: str, objtable_path: str,
+    ) -> "SlicerDataset":
+        return cls(
+            spark, name,
+            metadata=spark.read.parquet(metadata_path),
+            objtable=spark.read.parquet(objtable_path),
+        )
+
+    def _check_loaded(self) -> None:
+        # (_check_for_metadata/_objtable, dataset.py:173-190)
+        if self.metadata is None or self.objtable is None:
+            raise RuntimeError(
+                f"dataset {self.name!r}: load metadata and objtable first"
+            )
+
+    # -- facade verbs --------------------------------------------------------
+    def select_objects(self, expr: str, params: dict[str, Any] | None = None) -> None:
+        """(dataset.py:249-261) — filter the objtable in the facade.
+
+        The ONE mutating surface kept for reference parity: rebinds
+        ``self.objtable`` to the filtered frame (Spark DFs stay immutable
+        underneath)."""
+        self._check_loaded()
+        self.objtable = self.objtable.query_df(expr, params)
+
+    def merge_metadata_to_sources(
+        self, metadata_cols: Sequence[str] | None = None, join_on: str = "OBSID"
+    ) -> None:
+        """(dataset.py:206-246) — broadcast-enrich sources with file-level
+        attributes; rebinds ``self.objtable``."""
+        self._check_loaded()
+        self.objtable = SlicerFrame(
+            merge_metadata_to_sources(
+                self.objtable.df, self.metadata.df, metadata_cols, join_on
+            )
+        )
+
+    def metadata_driven_prune(self, expr: str, params: dict[str, Any] | None = None) -> None:
+        """S8 — filter metadata, then keep only matching sources: the
+        reference's load-time file pruning (dataset.py:143-147 +
+        objtable.py:85-88) as a semi-join (partition pruning when the lake
+        is partitioned by the metadata keys)."""
+        self._check_loaded()
+        self.metadata = self.metadata.query_df(expr, params)
+        self.objtable = SlicerFrame(
+            self.objtable.df.join(
+                F.broadcast(self.metadata.df.select("OBSID").distinct()),
+                on="OBSID", how="left_semi",
+            )
+        )
+
+
+__all__ = ["SlicerFrame", "SlicerDataset"]

@@ -71,6 +71,17 @@ def expand_wildcard_columns(patterns: Sequence[str], columns: Sequence[str]) -> 
     return [c for c in columns if string_in_list(c, list(patterns))]
 
 
+def strlist_in_strlist(patterns: Sequence[str], columns: Sequence[str]) -> bool:
+    """True if every pattern matches at least one column (wildcard-aware).
+
+    Reference semantics (``strlist_in_strlist`` df_utils.py:129-139): the
+    cache-validity check — are all requested columns present?
+    """
+    return all(
+        any(string_in_list(c, [patt]) for c in columns) for patt in patterns
+    )
+
+
 def select_columns(df: DataFrame, patterns: Sequence[str] | str) -> DataFrame:
     """Project columns by exact name or ``*``-substring wildcard (P2).
 
