@@ -27,6 +27,9 @@ def main() -> None:
     from dataslicer_spark.session import get_spark
 
     spark = get_spark("bench")
+    # JVM/codegen warmup so the first measured query doesn't absorb ~6s of
+    # session initialization cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -28,16 +28,24 @@ from pyspark.sql import functions as F
 from ..utils import check_col
 
 
-def jenks_breaks(values, n_bins: int) -> list[float]:
-    """Exact Fisher-Jenks natural breaks via O(k·n²) dynamic programming.
+def jenks_breaks(values, n_bins: int, max_fit_n: int = 2000) -> list[float]:
+    """Fisher-Jenks natural breaks via O(k·n²) dynamic programming
+    (numpy-vectorized inner loop).
 
     Returns ``n_bins + 1`` edges (min … max), same contract as
-    ``jenkspy.jenks_breaks``.  Pure numpy (jenkspy is not a dependency).
+    ``jenkspy.jenks_breaks``.  Above ``max_fit_n`` values the DP runs on a
+    deterministic quantile skeleton (every ⌈n/max_fit_n⌉-th sorted value) —
+    the DP is quadratic, and breaks fitted on the skeleton are
+    indistinguishable for binning purposes.
     """
     x = np.sort(np.asarray(values, dtype=np.float64))
     n = len(x)
     if n == 0:
         raise ValueError("jenks_breaks: empty input")
+    if n > max_fit_n:
+        idx = np.round(np.linspace(0, n - 1, max_fit_n)).astype(np.int64)
+        x = x[idx]
+        n = len(x)
     k = min(n_bins, n)
     # prefix sums → SSE of any segment in O(1)
     s1 = np.concatenate([[0.0], np.cumsum(x)])
@@ -54,13 +62,13 @@ def jenks_breaks(values, n_bins: int) -> list[float]:
     cost[0, 0] = 0.0
     for m in range(1, k + 1):
         for j in range(m, n + 1):
-            best, arg = INF, m - 1
-            for i in range(m - 1, j):
-                c = cost[m - 1, i] + sse(i, j)
-                if c < best:
-                    best, arg = c, i
-            cost[m, j] = best
-            back[m, j] = arg
+            i = np.arange(m - 1, j)
+            width = j - i
+            s = s1[j] - s1[i]
+            c = cost[m - 1, i] + (s2[j] - s2[i]) - s * s / width
+            a = int(np.argmin(c))
+            cost[m, j] = c[a]
+            back[m, j] = i[a]
     # recover break positions; edge = last value of the left class
     # (right-closed bins, jenkspy convention)
     edges = [float(x[-1])]

@@ -41,10 +41,12 @@ def make_astro_fixture(
     Column names/dtypes follow FIXTURES.md §B (reference-shaped)."""
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     c = F.col("c_custkey")
+    # position moduli are large primes so star positions stay distinct at
+    # every scale factor (small moduli made stars collide beyond ~3600 ids)
     stars = cust.select(
         c.alias("star_id"),
-        ((c * 37 % 3600) / 10.0).alias("ra0"),
-        ((c * 73 % 1200) / 10.0 - 60.0).alias("dec0"),
+        ((c * 9176 % 3_599_993) / 10000.0).alias("ra0"),
+        ((c * 7919 % 1_199_999) / 10000.0 - 60.0).alias("dec0"),
         (15.0 + (c % 500) / 100.0).alias("mag0"),
     )
 
@@ -106,10 +108,13 @@ def astro_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # M1: cluster_sources(3", min_samples=2, purge noise) (objtable.py:116-168)
+    # Cached: the IQR pass and the two group-quantified filters below each
+    # run driver-side actions — without the cache every one would re-run
+    # the full scan→join→DBSCAN chain.
     clustered = dbscan(
         enriched, eps=3.0, min_samples=2, id_col="sourceid",
         x_col="ra", y_col="dec", coord="sky", purge_noise=True,
-    )
+    ).cache()
 
     # A2 + J5: centroids → nearest PS1 star within 3" (use='clusters')
     centroids = cluster_centroid(clustered, "clusterID", "ra", "dec").select(
@@ -122,8 +127,11 @@ def astro_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog_id="_id",
     ).select("clusterID", "dist2ps1", "gmag", "rmag", "imag", "e_gmag", "e_rmag")
 
-    # J3: re-attach per-cluster match to sources
-    with_match = clustered.join(F.broadcast(matched), on="clusterID", how="inner")
+    # J3: re-attach per-cluster match to sources (cached — consumed by the
+    # window filter AND the IQR pass's aggregate/collect)
+    with_match = clustered.join(
+        F.broadcast(matched), on="clusterID", how="inner"
+    ).cache()
 
     # J8: select_clusters('dist2ps1 < 1.')  (_objtable_methods.py:424-488)
     tight, _rej = select_clusters(with_match, "dist2ps1 < 1.0", "clusterID")

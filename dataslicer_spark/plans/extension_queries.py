@@ -254,7 +254,10 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(near)
-    return simhash_pairs(corpus, "doc_id", n=2, max_hamming=6)
+    # max_hamming=3 → 4 chunks of 16 bits: 64k bucket values keep the
+    # candidate join sparse (6-bit-wide chunks at max_hamming=6 put ~100
+    # docs per bucket → tens of millions of candidate pairs)
+    return simhash_pairs(corpus, "doc_id", n=2, max_hamming=3)
 
 
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
