@@ -33,7 +33,12 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.similarity import cosine_topk, hyperplane_lsh_topk
-from ..streaming.events import load_events, session_stats, tumbling_window_stats
+from ..streaming.events import (
+    load_events,
+    session_stats,
+    sliding_window_stats,
+    tumbling_window_stats,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -339,6 +344,26 @@ GROUP BY 1, 2
 """
 
 
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 15min — each event lands in 4 windows."""
+    events = load_events(spark, sf_dir)
+    return sliding_window_stats(events, width="1 hour", slide="15 minutes")
+
+
+EV_SLIDING_SQL = """
+SELECT epoch_us(win_start) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE) / CAST(1048576.0 AS DOUBLE) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+           - TO_MINUTES(15 * i) AS win_start,
+         event_type, value
+  FROM events, UNNEST(range(0, 4)) AS u(i))
+GROUP BY 1, 2
+"""
+
+
 def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     return session_stats(events, gap="30 minutes")
@@ -386,6 +411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_lsh": sim_topk_lsh,
     "ev_tumbling_window": ev_tumbling_window,
+    "ev_sliding_window": ev_sliding_window,
     "ev_session_window": ev_session_window,
 }
 
@@ -401,5 +427,6 @@ ORACLES: dict[str, str] = {
     "dd_embedding_cosine": DD_EMBEDDING_COSINE_SQL,
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     "ev_tumbling_window": EV_TUMBLING_SQL,
+    "ev_sliding_window": EV_SLIDING_SQL,
     "ev_session_window": EV_SESSION_SQL,
 }

@@ -1,0 +1,69 @@
+"""Physical-plan audit: asserts the optimizer properties each query class
+relies on — parquet filter/projection pushdown, broadcast joins for
+dimension enrichment, no cartesian products where a bucketed join is
+intended, whole-stage codegen coverage.
+
+Usage: python scripts/explain_audit.py [sf_dir]
+Prints one line per check; exits non-zero on violations.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHECKS: list[tuple[str, str, list[str], list[str]]] = [
+    # (query, description, must_contain, must_not_contain)
+    ("p1_filter_pandas_dialect", "filter pushed to parquet scan",
+     ["PushedFilters: ["], []),
+    ("p2_wildcard_projection", "projection pruned at scan (4 cols)",
+     ["ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+      "l_extendedprice:double,l_returnflag:string>"], []),
+    ("j1_broadcast_enrich", "dimension join broadcasts",
+     ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("j7_anti_join", "anti-join broadcasts (small right side)",
+     ["BroadcastHashJoin", "LeftAnti"], []),
+    ("j5_nn_join", "cell-bucketed NN join is an equi hash join on cells",
+     ["HashJoin"], ["CartesianProduct", "NestedLoop"]),
+    ("j6_tag_dust", "dust theta-join broadcasts the circle table",
+     ["BroadcastNestedLoopJoin"], []),
+    ("flagship", "flagship joins broadcast; aggregate is partial+final",
+     ["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin"]),
+    ("a3_group_stats", "aggregation runs partial (map-side) + final",
+     ["HashAggregate"], []),
+    ("sim_topk_bruteforce", "query side broadcast for the scoring join",
+     ["BroadcastNestedLoopJoin"], []),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entrymod
+    from dataslicer_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    qs = entrymod.queries()
+    failures = 0
+    for name, desc, must, must_not in CHECKS:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        missing = [m for m in must if m not in plan]
+        present = [m for m in must_not if m in plan]
+        if missing or present:
+            failures += 1
+            print(f"FAIL {name}: {desc}")
+            for m in missing:
+                print(f"      missing: {m}")
+            for m in present:
+                print(f"      unwanted: {m}")
+        else:
+            print(f"ok   {name}: {desc}")
+    print(f"\n{len(CHECKS) - failures}/{len(CHECKS)} plan checks ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
