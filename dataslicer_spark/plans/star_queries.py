@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import (
@@ -30,20 +30,22 @@ from ..operators.aggregates import (
     group_stats,
     iqr_by_bin,
 )
-from ..operators.filters import trim_edges
+from ..operators.filters import magnitude_bin_filter, trim_edges
 from ..operators.joins import (
     anti_join,
     merge_metadata_to_sources,
     select_clusters,
     union_reindex,
 )
+from ..operators.regression import photometric_solution
 from ..operators.spatial import nn_join_planar, tag_dust
-from ..operators.windows import closest_match
+from ..operators.windows import closest_match, largest_wins
 from ..functions.photometry import (
     add_obsid,
     bandwise_ref_mag,
     calmag,
     compute_camera_coord,
+    compute_ccd_coord,
 )
 from ..utils import query_df, select_columns
 
@@ -698,6 +700,208 @@ WHERE rn = 1
 """
 
 
+def p4_magnitude_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — closed magnitude-bin filter (_objtable_methods.py:232-234)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = magnitude_bin_filter(li, "l_extendedprice", lo=10000.0, hi=20000.0)
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+P4_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+WHERE l_extendedprice >= 10000.0 AND l_extendedprice <= 20000.0
+"""
+
+
+def w2_largest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — largest-wins per group (the dust-grain overwrite semantics,
+    srcdf.py:666-682): each customer's biggest order."""
+    orders = _t(spark, sf_dir, "orders")
+    out = largest_wins(orders, "o_custkey", "o_totalprice",
+                       tiebreak_cols=["o_orderkey"])
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+W2_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+def f4_ccd_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — readout-channel → CCD-plane coordinates (srcdf.py:509-575)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "RCID", (F.col("l_partkey") % 64).cast("int")
+    )
+    out = compute_ccd_coord(li, rc_col="RCID", xname="l_quantity",
+                            yname="l_discount")
+    return out.select("l_orderkey", "l_linenumber", "RCID", "xccd", "yccd")
+
+
+F4_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(l_partkey % 64 AS INT) AS RCID,
+       CASE WHEN (l_partkey % 64) % 4 + 1 IN (1, 4) THEN 3072 ELSE 0 END
+         + l_quantity AS xccd,
+       CASE WHEN (l_partkey % 64) % 4 + 1 IN (1, 2) THEN 3080 ELSE 0 END
+         + l_discount AS yccd
+FROM lineitem
+"""
+
+
+def m3_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — IQR outlier rejection, fixed-width-bin variant (SQL-expressible;
+    the Jenks-binned form is rows-only via the astro pipeline).
+
+    Clusters = parts; per-cluster mean price and mean price-vs-retail
+    offset; 10 equal-width magnitude bins; per-bin median/IQR; keep
+    clusters with ``|offset − median| / IQR < 2.5`` — NULL norms (zero
+    IQR) are outliers, matching pandas ``not (NaN < cut)`` semantics
+    (_objtable_methods.py:366-367)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_retailprice")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    per_cluster = joined.groupBy("l_partkey").agg(
+        davg("l_extendedprice", "av_mag"),
+        davg(F.col("l_extendedprice") - F.col("p_retailprice"), "av_dist"),
+    )
+    w_all = Window.partitionBy()
+    binned = per_cluster.withColumn(
+        "mag_bin",
+        F.least(
+            F.floor(
+                (F.col("av_mag") - F.min("av_mag").over(w_all))
+                / ((F.max("av_mag").over(w_all) - F.min("av_mag").over(w_all)) / 10.0)
+            ).cast("int"),
+            F.lit(9),
+        ),
+    )
+    per_bin = binned.groupBy("mag_bin").agg(
+        (
+            F.percentile(F.col("av_dist"), F.lit(0.75))
+            - F.percentile(F.col("av_dist"), F.lit(0.25))
+        ).alias("iqr_dist"),
+        F.median("av_dist").alias("median_dist"),
+    )
+    scored = binned.join(per_bin, "mag_bin").withColumn(
+        "norm",
+        F.try_divide(F.abs(F.col("av_dist") - F.col("median_dist")),
+                     F.col("iqr_dist")),
+    )
+    kept = scored.filter(
+        F.coalesce(
+            F.when(F.isnan("norm"), F.lit(False)).otherwise(F.col("norm") < 2.5),
+            F.lit(False),
+        )
+    )
+    return kept.select(
+        "l_partkey", "mag_bin",
+        F.round("av_mag", 6).alias("av_mag"),
+        F.round("av_dist", 6).alias("av_dist"),
+        F.round("norm", 6).alias("norm"),
+    )
+
+
+M3_SQL = """
+WITH per_cluster AS (
+  SELECT l_partkey, {av_mag}, {av_dist}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_partkey),
+binned AS (
+  SELECT *, LEAST(CAST(FLOOR((av_mag - MIN(av_mag) OVER ())
+             / ((MAX(av_mag) OVER () - MIN(av_mag) OVER ()) / 10.0)) AS INT),
+             9) AS mag_bin
+  FROM per_cluster),
+per_bin AS (
+  SELECT mag_bin,
+         QUANTILE_CONT(av_dist, 0.75) - QUANTILE_CONT(av_dist, 0.25) AS iqr_dist,
+         MEDIAN(av_dist) AS median_dist
+  FROM binned GROUP BY mag_bin)
+SELECT l_partkey, mag_bin, ROUND(av_mag, 6) AS av_mag,
+       ROUND(av_dist, 6) AS av_dist,
+       ROUND(ABS(av_dist - median_dist) / NULLIF(iqr_dist, 0), 6) AS norm
+FROM binned JOIN per_bin USING (mag_bin)
+WHERE COALESCE(ABS(av_dist - median_dist) / NULLIF(iqr_dist, 0) < 2.5, FALSE)
+""".format(
+    av_mag=_sql_davg("l_extendedprice", "av_mag"),
+    av_dist=_sql_davg("(l_extendedprice - p_retailprice)", "av_dist"),
+)
+
+
+def f7_odr_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — grouped errors-in-variables fit vs the Deming closed form.
+
+    With constant per-axis errors the profile-χ² ODR equals Deming
+    regression, which IS SQL-expressible from second moments — so the
+    numeric kernel gets a real oracle (rounded to 4 decimals; the
+    golden-section optimum and the closed form agree to ~1e-12).
+
+    Synthetic linear data from lineitem columns (deterministic integer
+    hashing), grouped by a 3-value band column."""
+    li = _t(spark, sf_dir, "lineitem")
+    data = li.select(
+        (F.col("l_linenumber") % 3).alias("band"),
+        ((F.col("l_partkey") % 200) / 100.0 - 1.0).alias("x"),
+        (
+            20.0
+            + 0.5 * ((F.col("l_partkey") % 200) / 100.0 - 1.0)
+            + ((F.col("l_orderkey") * 7919 % 1000) / 1000.0 - 0.5) / 10.0
+        ).alias("y"),
+        F.lit(0.05).alias("sx"),
+        F.lit(0.05).alias("sy"),
+    )
+    sol = photometric_solution(
+        data, x_col="x", y_col="y", sx_col="sx", sy_col="sy",
+        group_cols=["band"],
+    )
+    return sol.select(
+        "band",
+        F.round("fit_zp", 4).alias("fit_zp"),
+        F.round("fit_clrcoeff", 4).alias("fit_clrcoeff"),
+        "n_points",
+    )
+
+
+# Deming closed form (λ = sy²/sx² = 1): b1 = (syy − λ·sxx
+#   + sqrt((syy − λ·sxx)² + 4λ·sxy²)) / (2·sxy), b0 = ȳ − b1·x̄,
+# over the same fixed-point moment sums the engine uses.
+F7_SQL = """
+WITH pts AS (
+  SELECT CAST(l_linenumber % 3 AS INT) AS band,
+         (l_partkey % 200) / 100.0 - 1.0 AS x,
+         20.0 + 0.5 * ((l_partkey % 200) / 100.0 - 1.0)
+              + ((l_orderkey * 7919 % 1000) / 1000.0 - 0.5) / 10.0 AS y
+  FROM lineitem),
+m AS (
+  SELECT band, COUNT(*) AS n, {sx} , {sy} , {sxx} , {syy} , {sxy}
+  FROM pts GROUP BY band),
+c AS (
+  SELECT band, n,
+         sxx_s / n - (sx_s / n) * (sx_s / n) AS vxx,
+         syy_s / n - (sy_s / n) * (sy_s / n) AS vyy,
+         sxy_s / n - (sx_s / n) * (sy_s / n) AS vxy,
+         sx_s / n AS mx, sy_s / n AS my
+  FROM m)
+SELECT band,
+       ROUND(my - ((vyy - vxx + SQRT((vyy - vxx)*(vyy - vxx) + 4*vxy*vxy))
+                   / (2*vxy)) * mx, 4) AS fit_zp,
+       ROUND((vyy - vxx + SQRT((vyy - vxx)*(vyy - vxx) + 4*vxy*vxy))
+             / (2*vxy), 4) AS fit_clrcoeff,
+       n AS n_points
+FROM c
+""".format(
+    sx=_sql_fpsum("x", 30) + " AS sx_s",
+    sy=_sql_fpsum("y", 30) + " AS sy_s",
+    sxx=_sql_fpsum("x*x", 30) + " AS sxx_s",
+    syy=_sql_fpsum("y*y", 26) + " AS syy_s",
+    sxy=_sql_fpsum("x*y", 30) + " AS sxy_s",
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -726,6 +930,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f2_bandwise_pick": f2_bandwise_pick,
     "f3_camera_coords": f3_camera_coords,
     "f8_key_synthesis": f8_key_synthesis,
+    "p4_magnitude_bin": p4_magnitude_bin,
+    "w2_largest_wins": w2_largest_wins,
+    "f4_ccd_coords": f4_ccd_coords,
+    "m3_iqr_outliers": m3_iqr_outliers,
+    "f7_odr_fit": f7_odr_fit,
 }
 
 ORACLES: dict[str, str] = {
@@ -752,4 +961,9 @@ ORACLES: dict[str, str] = {
     "f2_bandwise_pick": F2_SQL,
     "f3_camera_coords": F3_SQL,
     "f8_key_synthesis": F8_SQL,
+    "p4_magnitude_bin": P4_SQL,
+    "w2_largest_wins": W2_SQL,
+    "f4_ccd_coords": F4_SQL,
+    "m3_iqr_outliers": M3_SQL,
+    "f7_odr_fit": F7_SQL,
 }
