@@ -185,23 +185,36 @@ def dbscan(
         ]
     )
 
-    def count_neighbors(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def count_batch(pdf: pd.DataFrame, bounds) -> pd.DataFrame | None:
+        # one numpy pass over the whole Arrow batch; bounds delimit groups
         P = pdf[pcols].to_numpy(dtype=np.float64)
         home = pdf["__home"].to_numpy(dtype=bool)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        H = P[home]
-        if len(H) == 0:
-            return pd.DataFrame({"id": ids[:0], "n_neighbors": []})
-        # chunked pairwise distances: home rows × all rows in the group
-        counts = np.zeros(len(H), dtype=np.int32)
-        step = max(1, 2_000_000 // max(len(P), 1))
-        for s in range(0, len(H), step):
-            e = min(s + step, len(H))
-            d2 = ((H[s:e, None, :] - P[None, :, :]) ** 2).sum(axis=2)
-            counts[s:e] = (d2 <= eps2).sum(axis=1)
-        return pd.DataFrame({"id": ids[home], "n_neighbors": counts})
+        out_id, out_n = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            h = home[s:e]
+            if not h.any():
+                continue
+            Pl = P[s:e]
+            H = Pl[h]
+            # chunk very dense cells to bound the distance-matrix memory
+            counts = np.zeros(len(H), dtype=np.int32)
+            step = max(1, 4_000_000 // max(len(Pl), 1))
+            for cs in range(0, len(H), step):
+                ce = min(cs + step, len(H))
+                d2 = ((H[cs:ce, None, :] - Pl[None, :, :]) ** 2).sum(axis=2)
+                counts[cs:ce] = (d2 <= eps2).sum(axis=1)
+            out_id.append(ids[s:e][h])
+            out_n.append(counts)
+        if not out_id:
+            return None
+        return pd.DataFrame(
+            {"id": np.concatenate(out_id), "n_neighbors": np.concatenate(out_n)}
+        )
 
-    counts = grouped_map_in_pandas(cells, group_keys, count_neighbors, count_schema)
+    counts = grouped_map_in_pandas(
+        cells, group_keys, None, count_schema, batch_fn=count_batch
+    )
     core = counts.select(
         F.col("id").alias(id_col),
         (F.col("n_neighbors") >= min_samples).alias("__is_core"),
@@ -218,90 +231,100 @@ def dbscan(
         ]
     )
 
-    def local_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # Sort by id: makes every derived quantity independent of the
-        # incoming shuffle row order, so recomputations of this stage (cache
-        # eviction, stage retry) produce identical label keys.
-        pdf = pdf.sort_values(id_col)
-        P = pdf[pcols].to_numpy(dtype=np.float64)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        home = pdf["__home"].to_numpy(dtype=bool)
-        is_core = pdf["__is_core"].to_numpy(dtype=bool)
-        n = len(pdf)
-        cell_tag = ",".join(str(int(k)) for k in key)
+    def label_batch(pdf: pd.DataFrame, bounds) -> pd.DataFrame | None:
+        P_all = pdf[pcols].to_numpy(dtype=np.float64)
+        ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+        home_all = pdf["__home"].to_numpy(dtype=bool)
+        core_all = pdf["__is_core"].to_numpy(dtype=bool)
+        g0 = pdf[group_keys[0]].to_numpy()
+        g1 = pdf[group_keys[1]].to_numpy()
+        o_id, o_key, o_home, o_core = [], [], [], []
 
-        parent = np.arange(n)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            # sort by id inside the group: every derived quantity (local
+            # labels, tiebreaks) becomes independent of shuffle row order,
+            # so recomputations produce identical label keys
+            order = np.argsort(ids_all[s:e], kind="stable")
+            idx = s + order
+            ids = ids_all[idx]
+            P = P_all[idx]
+            home = home_all[idx]
+            is_core = core_all[idx]
+            n = e - s
+            cell_tag = f"{g0[s]},{g1[s]}"
 
-        def find(i):
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
+            parent = np.arange(n)
 
-        core_idx = np.where(is_core)[0]
-        C = P[core_idx]
-        # union core-core pairs within eps (chunked)
-        step = max(1, 2_000_000 // max(len(C), 1))
-        for s in range(0, len(C), step):
-            e = min(s + step, len(C))
-            d2 = ((C[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            for a, b in zip(*np.where(d2 <= eps2)):
-                ra_, rb = find(core_idx[s + a]), find(core_idx[b])
-                if ra_ != rb:
-                    parent[max(ra_, rb)] = min(ra_, rb)
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
 
-        rows_id, rows_key, rows_home, rows_core = [], [], [], []
-        # Label = smallest point id in the component: content-deterministic
-        # (row-order independent), unlike a positional root index.
-        min_id_of_root: dict[int, int] = {}
-        for i in core_idx:
-            r = find(i)
-            cur = min_id_of_root.get(r)
-            if cur is None or ids[i] < cur:
-                min_id_of_root[r] = int(ids[i])
-        root_of = {r: f"{cell_tag}:{m}" for r, m in min_id_of_root.items()}
-        for i in core_idx:
-            r = find(i)
-            rows_id.append(ids[i])
-            rows_key.append(root_of[r])
-            rows_home.append(bool(home[i]))
-            rows_core.append(True)
-        # border home points → nearest core neighbor (tie: smallest id)
-        border = np.where(home & ~is_core)[0]
-        if len(border) and len(core_idx):
-            B = P[border]
-            d2 = ((B[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            within = d2 <= eps2
-            for bi in range(len(border)):
-                cand = np.where(within[bi])[0]
-                if len(cand) == 0:
-                    rows_id.append(ids[border[bi]])
-                    rows_key.append(None)  # noise
-                    rows_home.append(True)
-                    rows_core.append(False)
-                else:
-                    order = np.lexsort((ids[core_idx[cand]], d2[bi][cand]))
-                    best = core_idx[cand[order[0]]]
-                    rows_id.append(ids[border[bi]])
-                    rows_key.append(root_of[find(best)])
-                    rows_home.append(True)
-                    rows_core.append(False)
-        elif len(border):
-            for bi in border:
-                rows_id.append(ids[bi])
-                rows_key.append(None)
-                rows_home.append(True)
-                rows_core.append(False)
+            core_idx = np.where(is_core)[0]
+            C = P[core_idx]
+            step = max(1, 4_000_000 // max(len(C), 1))
+            for cs in range(0, len(C), step):
+                ce = min(cs + step, len(C))
+                d2 = ((C[cs:ce, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                for a, b in zip(*np.where(d2 <= eps2)):
+                    ra_, rb = find(core_idx[cs + a]), find(core_idx[b])
+                    if ra_ != rb:
+                        parent[max(ra_, rb)] = min(ra_, rb)
+
+            # Label = smallest point id in the component: content-
+            # deterministic (row-order independent), unlike a positional
+            # root index.
+            min_id_of_root: dict = {}
+            for i in core_idx:
+                r = find(i)
+                cur = min_id_of_root.get(r)
+                if cur is None or ids[i] < cur:
+                    min_id_of_root[r] = int(ids[i])
+            root_of = {r: f"{cell_tag}:{m}" for r, m in min_id_of_root.items()}
+            for i in core_idx:
+                o_id.append(ids[i])
+                o_key.append(root_of[find(i)])
+                o_home.append(bool(home[i]))
+                o_core.append(True)
+            # border home points → nearest core neighbor (tie: smallest id)
+            border = np.where(home & ~is_core)[0]
+            if len(border) and len(core_idx):
+                B = P[border]
+                d2 = ((B[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                within = d2 <= eps2
+                for bi in range(len(border)):
+                    cand = np.where(within[bi])[0]
+                    o_id.append(ids[border[bi]])
+                    o_home.append(True)
+                    o_core.append(False)
+                    if len(cand) == 0:
+                        o_key.append(None)  # noise
+                    else:
+                        order2 = np.lexsort((ids[core_idx[cand]], d2[bi][cand]))
+                        best = core_idx[cand[order2[0]]]
+                        o_key.append(root_of[find(best)])
+            elif len(border):
+                for bi in border:
+                    o_id.append(ids[bi])
+                    o_key.append(None)
+                    o_home.append(True)
+                    o_core.append(False)
+
+        if not o_id:
+            return None
         return pd.DataFrame(
             {
-                "id": np.asarray(rows_id, dtype=np.int64),
-                "label_key": rows_key,
-                "is_home": rows_home,
-                "is_core": rows_core,
+                "id": np.asarray(o_id, dtype=np.int64),
+                "label_key": o_key,
+                "is_home": o_home,
+                "is_core": o_core,
             }
         )
 
-    labeled = grouped_map_in_pandas(with_core, group_keys, local_cluster, label_schema)
+    labeled = grouped_map_in_pandas(
+        with_core, group_keys, None, label_schema, batch_fn=label_batch
+    )
     labeled = labeled.cache()
 
     # ---- merge: equivalence edges via multi-cell core points --------------

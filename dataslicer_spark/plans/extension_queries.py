@@ -395,6 +395,36 @@ GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal plumbing (documents' bytes as stand-in blobs; deterministic
+# fake codec — real codecs are one-argument swaps, see sources/multimodal)
+# ---------------------------------------------------------------------------
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode → feature-extraction plumbing end-to-end:
+    blobs (document bytes) → mapInPandas decode (seeded fake codec) →
+    per-image intensity features.  Rows-only (the fake codec is
+    hash-seeded, not SQL-expressible)."""
+    from ..sources.multimodal import (
+        decode_media,
+        deterministic_fake_decoder,
+        extract_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    decoded = decode_media(blobs, decoder=deterministic_fake_decoder)
+    feats = extract_image_features(decoded)
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -410,6 +440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_embedding_cosine": dd_embedding_cosine,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_lsh": sim_topk_lsh,
+    "mm_image_features": mm_image_features,
     "ev_tumbling_window": ev_tumbling_window,
     "ev_sliding_window": ev_sliding_window,
     "ev_session_window": ev_session_window,

@@ -156,7 +156,14 @@ def translate_query_expr(expr: str, params: dict[str, Any] | None = None) -> str
     return out
 
 
-def grouped_map_in_pandas(df, keys, fn, schema, num_partitions: int | None = None):
+def grouped_map_in_pandas(
+    df,
+    keys,
+    fn,
+    schema,
+    num_partitions: int | None = None,
+    batch_fn=None,
+):
     """Many-groups-per-call grouped map: ``mapInPandas`` over key-partitioned,
     key-sorted batches.
 
@@ -166,6 +173,12 @@ def grouped_map_in_pandas(df, keys, fn, schema, num_partitions: int | None = Non
     (~50µs/group).  Semantics match applyInPandas for a deterministic
     per-group ``fn(key_tuple, group_pdf) -> pdf``; rows of one key are
     guaranteed contiguous (repartition on keys + sortWithinPartitions).
+
+    ``batch_fn(pdf, bounds) -> pdf | None`` is the zero-per-group-overhead
+    mode: called once per batch with segment boundaries (``bounds[i] ..
+    bounds[i+1]`` is one group's row range), so the kernel can run pure
+    numpy over slices — no pandas groupby, no per-group frame construction
+    (another ~5× on many-small-group workloads).
     """
     import numpy as np
     import pandas as pd
@@ -180,6 +193,17 @@ def grouped_map_in_pandas(df, keys, fn, schema, num_partitions: int | None = Non
         carry: pd.DataFrame | None = None
 
         def process(pdf: pd.DataFrame):
+            if batch_fn is not None:
+                kv = [pdf[k].to_numpy() for k in key_list]
+                change = np.zeros(len(pdf), dtype=bool)
+                change[0] = True
+                for arr in kv:
+                    change[1:] |= arr[1:] != arr[:-1]
+                bounds = np.flatnonzero(change).tolist() + [len(pdf)]
+                out = batch_fn(pdf, bounds)
+                if out is not None and len(out):
+                    yield out
+                return
             for key, grp in pdf.groupby(key_list, sort=False):
                 if not isinstance(key, tuple):
                     key = (key,)
