@@ -151,9 +151,66 @@ def stream_tumbling_counts(
     )
 
 
+def stream_running_user_totals(
+    spark,
+    source_dir: str,
+    schema,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (total, count) maintained across micro-batches.
+
+    This is the arbitrary-state surface the built-in windows can't express
+    (reference has no streaming at all — SURVEY.md §2.11; this is the
+    designated extension).  State is a single (double, long) tuple per
+    user — bounded, no watermark needed for the running-total semantics.
+    Emits one updated row per user per micro-batch (output mode 'update').
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("total", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf[value_col].sum())
+            n += len(pdf)
+        state.update((float(total), int(n)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [total], "n_events": [n]}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.groupBy(user_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 __all__ = [
+    "load_events",
     "tumbling_window_stats",
     "sliding_window_stats",
     "session_stats",
     "stream_tumbling_counts",
+    "stream_running_user_totals",
 ]

@@ -77,3 +77,41 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
             for r in spark.sql("select * from win_counts").collect()
         }
     assert got == expected
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    from dataslicer_spark.streaming.events import stream_running_user_totals
+
+    events = load_events(spark, sf_dir).limit(3000).cache()
+    expected = {
+        r.user_id: (r.total, r.n)
+        for r in events.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count("value").alias("n"))
+        .collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        events.write.parquet(src)
+        stream = stream_running_user_totals(
+            spark, src, spark.read.parquet(src).schema
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("user_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # last update per user = final running state
+        got_rows = spark.sql(
+            "select * from user_totals"
+        ).toPandas()
+    got = {}
+    for r in got_rows.itertuples():  # later rows overwrite earlier updates
+        got[r.user_id] = (r.total_value, r.n_events)
+    assert set(got) == set(expected)
+    for uid, (tot, n) in expected.items():
+        assert got[uid][1] == n
+        assert abs(got[uid][0] - tot) < 1e-6

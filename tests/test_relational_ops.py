@@ -222,3 +222,48 @@ def test_distinct_values(orders):
     got = sorted(distinct_values(orders, "o_orderstatus"))
     expect = sorted(orders.toPandas().o_orderstatus.unique())
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation — algebraic-equality checks on a pathologically skewed key
+# ---------------------------------------------------------------------------
+
+def test_salted_group_agg_equals_plain(spark):
+    from dataslicer_spark.operators.skew import salted_group_agg
+
+    # one key owns 90% of rows
+    skewed = spark.range(0, 50_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 7) END AS k",
+        "CAST(id % 101 AS DOUBLE) AS v",
+    )
+    got = salted_group_agg(
+        skewed, ["k"],
+        {"sum_v": ("sum", "v"), "n": ("count", "v"),
+         "min_v": ("min", "v"), "max_v": ("max", "v")},
+        n_salts=8,
+    ).toPandas().set_index("k").sort_index()
+    expect = (
+        skewed.groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count("v").alias("n"),
+             F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+        .toPandas().set_index("k").sort_index()
+    )
+    assert (got.n == expect.n).all()
+    assert (got.min_v == expect.min_v).all()
+    assert (got.max_v == expect.max_v).all()
+    # integral-valued doubles → exact sums regardless of order
+    assert (got.sum_v == expect.sum_v).all()
+
+
+def test_salted_join_equals_plain(spark):
+    from dataslicer_spark.operators.skew import salted_join
+
+    big = spark.range(0, 30_000).selectExpr(
+        "CASE WHEN id % 5 < 4 THEN 0 ELSE id % 50 END AS k", "id AS payload"
+    )
+    small = spark.range(0, 50).selectExpr("id AS k", "id * 10 AS attr")
+    got = salted_join(big, small, on=["k"], n_salts=8)
+    expect = big.join(small, on=["k"])
+    assert got.count() == expect.count()
+    assert got.agg(F.sum("payload"), F.sum("attr")).collect() == \
+        expect.agg(F.sum("payload"), F.sum("attr")).collect()
