@@ -20,8 +20,10 @@ sums) so results are deterministic across partitionings and engines.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 from ..utils import check_col
 from .dedup import fp_dot
@@ -166,4 +168,91 @@ def hyperplane_lsh_topk(
     )
 
 
-__all__ = ["add_hyperplane_bucket", "cosine_topk", "hyperplane_lsh_topk"]
+def _kmeans_numpy(M: np.ndarray, k: int, seed: int, n_iter: int = 20) -> np.ndarray:
+    """Seeded Lloyd's k-means on a sample matrix (coarse quantizer for IVF;
+    deterministic — fixed init, fixed iteration count)."""
+    rng = np.random.default_rng(seed)
+    centroids = M[rng.choice(len(M), size=min(k, len(M)), replace=False)]
+    for _ in range(n_iter):
+        d2 = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(centroids)):
+            members = M[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 10_000,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    corpus partitioned into ``n_lists`` inverted lists → each query probes
+    its ``n_probe`` nearest lists → exact cosine re-rank of candidates.
+
+    The quantizer trains driver-side on a bounded sample (IVF training is
+    always a sampled offline step); centroids broadcast to executors as
+    literals inside an Arrow UDF.  At scale the corpus shuffles once on
+    list id (or is written list-partitioned), and each query touches
+    ``n_probe/n_lists`` of the data — the classic IVF trade.
+    """
+    check_col([corpus_id, corpus_vec], corpus)
+    check_col([query_id, query_vec], queries)
+    sample = corpus.select(corpus_vec).limit(train_sample).collect()
+    M = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    centroids = _kmeans_numpy(M, n_lists, seed)
+
+    @pandas_udf("long")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1))
+
+    @pandas_udf("array<long>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, : min(n_probe, len(centroids))]
+        return pd.Series(list(order.astype(np.int64)))
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
+        nearest_list(F.col(corpus_vec)).alias("__list"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.sqrt(fp_dot(F.col(query_vec), F.col(query_vec))).alias("__qn"),
+        F.explode(probe_lists(F.col(query_vec))).alias("__list"),
+    )
+    joined = c.join(q, "__list")
+    if not include_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.try_divide(fp_dot(F.col("__cv"), F.col("__qv")), F.col("__cn") * F.col("__qn")),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+__all__ = ["add_hyperplane_bucket", "cosine_topk", "hyperplane_lsh_topk", "ivf_topk"]

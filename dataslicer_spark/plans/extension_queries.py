@@ -32,7 +32,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..operators.similarity import cosine_topk, hyperplane_lsh_topk
+from ..operators.similarity import cosine_topk, hyperplane_lsh_topk, ivf_topk
 from ..streaming.events import (
     load_events,
     session_stats,
@@ -315,6 +315,16 @@ WHERE rank <= 5
 """
 
 
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer + inverted-list
+    probing + exact re-rank (rows-only; recall pytest-verified)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (rows-only; recall pytest-verified)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -440,6 +450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_embedding_cosine": dd_embedding_cosine,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_lsh": sim_topk_lsh,
+    "sim_topk_ivf": sim_topk_ivf,
     "mm_image_features": mm_image_features,
     "ev_tumbling_window": ev_tumbling_window,
     "ev_sliding_window": ev_sliding_window,

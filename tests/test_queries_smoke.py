@@ -35,6 +35,6 @@ def test_oracle_keys_subset_of_queries():
     # every non-oracle query is a documented engine-specific op
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "dd_minhash_lsh", "dd_simhash", "sim_topk_lsh",
+        "dd_minhash_lsh", "dd_simhash", "sim_topk_lsh", "sim_topk_ivf",
         "astro_flagship_pipeline", "mm_image_features",
     }

@@ -275,3 +275,27 @@ def test_lsh_topk_recall_on_planted_neighbors(spark, emb):
     top1 = approx[approx["rank"] == 1]
     hits = sum(1 for r in top1.itertuples() if r.vec_id == r.query_id)
     assert hits >= 8  # ≥80% top-1 recall on planted near-dups
+
+
+def test_ivf_topk_recall_on_planted_neighbors(spark, emb):
+    from dataslicer_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(33)
+    pdf = emb.limit(10).toPandas()
+    queries = spark.createDataFrame(
+        [
+            (
+                int(r.vec_id),
+                [float(x) + float(e) for x, e in
+                 zip(r.embedding, rng.normal(0, 0.02, len(r.embedding)))],
+            )
+            for r in pdf.itertuples()
+        ],
+        "query_id long, embedding array<float>",
+    )
+    approx = ivf_topk(
+        emb, queries, k=3, n_lists=8, n_probe=3, include_self=True
+    ).toPandas()
+    top1 = approx[approx["rank"] == 1]
+    hits = sum(1 for r in top1.itertuples() if r.vec_id == r.query_id)
+    assert hits >= 9  # near-identical queries land in the same/probed lists
