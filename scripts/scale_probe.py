@@ -1,0 +1,106 @@
+"""Scale probe: run the heavy kernels at 1× and 4× data volume and report
+the scaling factor — evidence that the plans scale sub-quadratically (the
+100 TB design claim, checked at the scale this box allows).
+
+4× data is synthesized by unioning the sf0.1 tables with shifted keys
+(distinct key spaces, same distributions).  A kernel whose time grows
+≈4× is linear; the near-dup kernels are allowed the candidate-growth
+factor of their banding but must stay far from 16× (quadratic).
+
+Usage: python scripts/scale_probe.py   → one JSON line per kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.operators.clustering import dbscan
+    from dataslicer_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from dataslicer_spark.operators.spatial import crossmatch_sky
+    from dataslicer_spark.plans.astro_pipeline import make_astro_fixture
+    from dataslicer_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    docs1 = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs4 = docs1
+    for i in (1, 2, 3):
+        docs4 = docs4.unionByName(
+            docs1.withColumn("doc_id", F.col("doc_id") + 1_000_000 * i)
+        )
+    docs1, docs4 = docs1.cache(), docs4.cache()
+    docs1.count(), docs4.count()
+
+    src1, _, cal1 = make_astro_fixture(spark, SF_DIR)
+    src4 = src1
+    cal4 = cal1
+    for i in (1, 2, 3):
+        src4 = src4.unionByName(
+            src1.withColumn("sourceid", F.col("sourceid") + 10_000_000 * i)
+            .withColumn("ra", (F.col("ra") + 90.0 * i) % 360.0)
+        )
+        cal4 = cal4.unionByName(
+            cal1.withColumn("_id", F.col("_id") + 10_000_000 * i)
+            .withColumn("ra", (F.col("ra") + 90.0 * i) % 360.0)
+        )
+    src1, src4 = src1.cache(), src4.cache()
+    cal1, cal4 = cal1.cache(), cal4.cache()
+    src1.count(), src4.count(), cal1.count(), cal4.count()
+
+    def run(name, fn1, fn4):
+        fn1()  # warmup: UDF/codegen initialization must not bias the 1× time
+        t0 = time.perf_counter()
+        fn1()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn4()
+        t4 = time.perf_counter() - t0
+        print(json.dumps({
+            "kernel": name, "t_1x_sec": round(t1, 2), "t_4x_sec": round(t4, 2),
+            "scaling_factor": round(t4 / t1, 2),
+        }))
+
+    run(
+        "dbscan_sky",
+        lambda: dbscan(src1, 3.0, 2, "sourceid", coord="sky").write
+        .format("noop").mode("overwrite").save(),
+        lambda: dbscan(src4, 3.0, 2, "sourceid", coord="sky").write
+        .format("noop").mode("overwrite").save(),
+    )
+    run(
+        "crossmatch_sky",
+        lambda: crossmatch_sky(src1, cal1, 3.0, source_id="sourceid").write
+        .format("noop").mode("overwrite").save(),
+        lambda: crossmatch_sky(src4, cal4, 3.0, source_id="sourceid").write
+        .format("noop").mode("overwrite").save(),
+    )
+    run(
+        "minhash_lsh",
+        lambda: minhash_lsh_pairs(docs1, "doc_id").write
+        .format("noop").mode("overwrite").save(),
+        lambda: minhash_lsh_pairs(docs4, "doc_id").write
+        .format("noop").mode("overwrite").save(),
+    )
+    run(
+        "ngram_jaccard",
+        lambda: ngram_jaccard_pairs(docs1, "doc_id", threshold=0.5).write
+        .format("noop").mode("overwrite").save(),
+        lambda: ngram_jaccard_pairs(docs4, "doc_id", threshold=0.5).write
+        .format("noop").mode("overwrite").save(),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -165,3 +165,22 @@ def test_haversine_known_values(spark):
     ).collect()
     assert out[0].d == pytest.approx(1.0, rel=1e-9)
     assert out[1].d == pytest.approx(0.0, abs=1e-12)
+
+
+def test_ccd_coord_rotate_negates(astro_df):
+    out = compute_ccd_coord(astro_df, rotate=True).toPandas()
+    q = out.RCID % 4 + 1
+    xll = np.where(np.isin(q, [1, 4]), 3072, 0)
+    yll = np.where(np.isin(q, [1, 2]), 3080, 0)
+    np.testing.assert_allclose(out.xccd, xll - out.xpos, rtol=1e-12)
+    np.testing.assert_allclose(out.yccd, yll - out.ypos, rtol=1e-12)
+
+
+def test_camera_coord_rotate_negates(astro_df):
+    plain = compute_camera_coord(astro_df).toPandas().sort_values("sourceid")
+    rot = compute_camera_coord(astro_df, rotate=True).toPandas().sort_values("sourceid")
+    # rotation flips the position sign relative to the same corner
+    np.testing.assert_allclose(
+        rot.xcam.to_numpy() + plain.xpos.to_numpy(),
+        plain.xcam.to_numpy() - plain.xpos.to_numpy(), rtol=1e-12,
+    )
