@@ -11,9 +11,16 @@ re-exports the registry (``dataslicer_spark/plans/star_queries.py``).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the package importable regardless of the harness's working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from dataslicer_spark.plans import astro_pipeline, extension_queries, star_queries
 
