@@ -328,12 +328,19 @@ def dbscan(
     labeled = labeled.cache()
 
     # ---- merge: equivalence edges via multi-cell core points --------------
-    core_pairs = (
+    # One driver action for both the merge edges AND the key universe:
+    # distinct per-core-point key *sets*.  Every non-null label key is
+    # emitted by at least one core row (border labels reuse their core
+    # neighbor's key), so the union of the sets is the key universe, and
+    # sets with >1 element are exactly the multi-cell equivalence edges.
+    # Row count ≤ number of local clusters — same driver-side scale as the
+    # point count never appears.
+    key_sets = (
         labeled.filter(F.col("is_core"))
         .groupBy("id")
-        .agg(F.collect_set("label_key").alias("keys"))
+        .agg(F.array_sort(F.collect_set("label_key")).alias("keys"))
         .select("keys")
-        .filter(F.size("keys") > 1)
+        .distinct()
         .collect()
     )
     parent: dict[str, str] = {}
@@ -346,8 +353,12 @@ def dbscan(
             parent[k], k = root, parent[k]
         return root
 
-    for row in core_pairs:
-        keys = sorted(row.keys)
+    all_keys_set: set[str] = set()
+    for row in key_sets:
+        keys = row.keys
+        all_keys_set.update(keys)
+        if len(keys) < 2:
+            continue
         r0 = ufind(keys[0])
         for k in keys[1:]:
             r = ufind(k)
@@ -356,8 +367,7 @@ def dbscan(
                 parent[b] = a
                 r0 = a
 
-    all_keys = [r.label_key for r in labeled.select("label_key").distinct().collect()
-                if r.label_key is not None]
+    all_keys = sorted(all_keys_set)
     rep = {k: ufind(k) for k in all_keys}
     reps_sorted = sorted(set(rep.values()))
     global_id = {r: i for i, r in enumerate(reps_sorted)}

@@ -127,12 +127,21 @@ def ps1based_outlier_rm_iqr(
     )
     per_cluster = per_cluster.cache()
 
-    mags_df = per_cluster.select("av_mag")
-    if max_sample is not None:
-        total = per_cluster.count()
-        if total > max_sample:
-            mags_df = mags_df.sample(fraction=max_sample / total, seed=7)
-    mags = [r.av_mag for r in mags_df.collect() if r.av_mag is not None]
+    # One driver action: collect per-cluster means (bounded by cluster
+    # count, not row count) and subsample driver-side if huge — avoids the
+    # count-then-sample second job; jenks_breaks additionally reduces to a
+    # quantile skeleton internally before the quadratic DP.
+    mags = np.asarray(
+        [
+            r.av_mag
+            for r in per_cluster.select("av_mag").collect()
+            if r.av_mag is not None
+        ],
+        dtype=np.float64,
+    )
+    if max_sample is not None and len(mags) > max_sample:
+        rng = np.random.default_rng(7)
+        mags = mags[rng.choice(len(mags), max_sample, replace=False)]
     breaks = jenks_breaks(mags, n_mag_bins)
 
     binned = bin_by_breaks(per_cluster, "av_mag", breaks, out_col="mag_bin")

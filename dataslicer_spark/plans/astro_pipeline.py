@@ -133,8 +133,12 @@ def astro_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(matched), on="clusterID", how="inner"
     ).cache()
 
-    # J8: select_clusters('dist2ps1 < 1.')  (_objtable_methods.py:424-488)
-    tight, _rej = select_clusters(with_match, "dist2ps1 < 1.0", "clusterID")
+    # J8: select_clusters('dist2ps1 < 1.')  (_objtable_methods.py:424-488).
+    # dist2ps1 is cluster-grain here (attached via the centroid crossmatch,
+    # identical for every member), so "ALL members satisfy" reduces to a
+    # plain row filter — no window shuffle.  The generic group-quantified
+    # operator is exercised by the final stage below and the j8_* queries.
+    tight = with_match.filter(F.col("dist2ps1") < 1.0)
 
     # F1+F2: calmag with band-conditional color (objtable.py:201-346)
     colored = band_conditional_color(tight)
