@@ -40,6 +40,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # drop DataFrames cached inside operators so queries are timed
+        # independently (no cross-query executor-memory interference)
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
