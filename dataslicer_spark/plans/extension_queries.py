@@ -32,7 +32,9 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from ..operators.asof import asof_join
 from ..operators.similarity import cosine_topk, hyperplane_lsh_topk, ivf_topk
+from ..operators.windows import largest_wins
 from ..streaming.events import (
     load_events,
     session_stats,
@@ -374,6 +376,58 @@ GROUP BY 1, 2
 """
 
 
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent prior (or
+    simultaneous) purchase.  Right side pre-deduplicated per (user, ts)
+    so both engines resolve timestamp ties identically."""
+    events = load_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = largest_wins(
+        events.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            F.col("event_id").alias("purchase_event"),
+        ),
+        ["user_id", "ts"],
+        "purchase_event",
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols=["purchase_value", "purchase_event"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.col("matched_ts")).alias("matched_ts"),
+        "purchase_value",
+        "purchase_event",
+    )
+
+
+EV_ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'),
+r0 AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS rts, value AS purchase_value,
+         event_id AS purchase_event,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, rts, purchase_value, purchase_event FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(r.rts) AS matched_ts, r.purchase_value, r.purchase_event
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+"""
+
+
 def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     return session_stats(events, gap="30 minutes")
@@ -455,6 +509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_window": ev_tumbling_window,
     "ev_sliding_window": ev_sliding_window,
     "ev_session_window": ev_session_window,
+    "ev_asof_join": ev_asof_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -471,4 +526,5 @@ ORACLES: dict[str, str] = {
     "ev_tumbling_window": EV_TUMBLING_SQL,
     "ev_sliding_window": EV_SLIDING_SQL,
     "ev_session_window": EV_SESSION_SQL,
+    "ev_asof_join": EV_ASOF_SQL,
 }
