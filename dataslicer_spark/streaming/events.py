@@ -151,6 +151,31 @@ def stream_tumbling_counts(
     )
 
 
+def stream_dedup_within_watermark(
+    spark,
+    source_dir: str,
+    schema,
+    key_cols=("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+):
+    """Streaming exact deduplication — the streaming twin of
+    ``dedup.exact_dedup`` for at-least-once sources (re-crawls, replayed
+    queues).
+
+    ``dropDuplicatesWithinWatermark`` keeps state only for keys younger
+    than the watermark, so state is bounded by (arrival rate × watermark)
+    instead of growing with the full key history — the scale-correct
+    contract for an unbounded stream; duplicates farther apart than the
+    watermark are the source's SLA, not the engine's.  Emits append-mode
+    rows (first occurrence wins).
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stream_running_user_totals(
     spark,
     source_dir: str,
@@ -212,5 +237,6 @@ __all__ = [
     "sliding_window_stats",
     "session_stats",
     "stream_tumbling_counts",
+    "stream_dedup_within_watermark",
     "stream_running_user_totals",
 ]

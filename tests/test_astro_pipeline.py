@@ -79,6 +79,33 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     assert got == expected
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    from dataslicer_spark.streaming.events import stream_dedup_within_watermark
+
+    events = load_events(spark, sf_dir).limit(1000).cache()
+    # simulate an at-least-once source: every event delivered twice
+    doubled = events.unionByName(events)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        doubled.write.parquet(src)
+        stream = stream_dedup_within_watermark(
+            spark, src, spark.read.parquet(src).schema,
+            key_cols=["event_id"], watermark="4 hours",
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("deduped")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select event_id from deduped").toPandas()
+    assert len(got) == events.count()
+    assert got.event_id.is_unique
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
     from dataslicer_spark.streaming.events import stream_running_user_totals
 
