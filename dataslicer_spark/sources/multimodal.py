@@ -173,6 +173,43 @@ def extract_image_features(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_images(
+    decoded: DataFrame, out_height: int, out_width: int
+) -> DataFrame:
+    """Resize decoded images to (out_height, out_width) — nearest-neighbor
+    index sampling in pure numpy (no codec dependency; swap the body for
+    PIL/cv2 interpolation in deployments that have them).
+
+    Output schema matches :data:`DECODED_SCHEMA`, so resize composes with
+    :func:`extract_image_features` — the standard decode → resize →
+    featurize pipeline shape.  NULL (failed-decode) rows pass through.
+    """
+    check_col(["path", "pixels", "height", "width", "n_channels"], decoded)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.pixels is None:
+                    rows.append(dict(path=r.path, height=None, width=None,
+                                     n_channels=None, pixels=None))
+                    continue
+                arr = np.asarray(r.pixels, dtype=np.int32).reshape(
+                    r.height, r.width, r.n_channels
+                )
+                yi = (np.arange(out_height) * r.height) // out_height
+                xi = (np.arange(out_width) * r.width) // out_width
+                res = arr[yi][:, xi]
+                rows.append(
+                    dict(path=r.path, height=out_height, width=out_width,
+                         n_channels=r.n_channels,
+                         pixels=res.reshape(-1))
+                )
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(run, DECODED_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     n_frames: int = 4,
@@ -220,5 +257,6 @@ __all__ = [
     "deterministic_fake_decoder",
     "decode_media",
     "extract_image_features",
+    "resize_images",
     "frame_sample",
 ]

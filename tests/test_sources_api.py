@@ -268,6 +268,30 @@ def test_frame_sample(media_df):
     assert set(frames.frame_idx) == {0, 1, 2}
 
 
+def test_resize_images(media_df):
+    from dataslicer_spark.sources.multimodal import resize_images
+
+    decoded = decode_media(media_df, decoder=deterministic_fake_decoder)
+    resized = resize_images(decoded, out_height=4, out_width=2).toPandas()
+    assert len(resized) == 6
+    assert (resized.height == 4).all() and (resized.width == 2).all()
+    assert all(len(p) == 4 * 2 * 3 for p in resized.pixels)
+    # nearest-neighbor parity with numpy on one image
+    src = decode_media(media_df, decoder=deterministic_fake_decoder).toPandas()
+    src = src.sort_values("path").reset_index(drop=True)
+    res = resized.sort_values("path").reset_index(drop=True)
+    a = np.asarray(src.loc[0, "pixels"], dtype=np.int64).reshape(8, 8, 3)
+    yi = (np.arange(4) * 8) // 4
+    xi = (np.arange(2) * 8) // 2
+    expect = a[yi][:, xi].reshape(-1)
+    assert list(res.loc[0, "pixels"]) == list(expect)
+    # composes with the feature extractor
+    feats = extract_image_features(
+        resize_images(decode_media(media_df, decoder=deterministic_fake_decoder), 4, 2)
+    ).toPandas()
+    assert len(feats) == 6
+
+
 # ---------------------------------------------------------------------------
 # API wrapper
 # ---------------------------------------------------------------------------
