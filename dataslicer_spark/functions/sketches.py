@@ -1,0 +1,115 @@
+"""Sketch-based approximate aggregates — the mergeable scale path for
+statistics the exact operators (A5/A6) compute precisely at small SF.
+
+At 100 TB, exact COUNT(DISTINCT) over a high-cardinality key is a full
+shuffle of every distinct value; an HLL sketch is a few KB per group,
+computed map-side and merged associatively — and *storable*: sketch per
+partition/day once, union for any rollup later without rescanning
+(``hll_partial_sketches`` + ``hll_merge``).  Same story for quantiles
+(``percentile_approx``'s KLL-ish summaries) and heavy hitters
+(``freqItems``).  All built-in JVM aggregates — no UDFs, full
+whole-stage-codegen.
+
+These are Spark-native sketches (Apache DataSketches HLL under the
+hood); estimates are not bit-comparable to DuckDB's sketches, so the
+driver check is rows-only — the error-bound contracts are pytest-verified
+against the exact operators instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+
+
+def hll_distinct(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Approximate distinct counts per group: ``n_<col>`` for each col.
+
+    ``lg_config_k=12`` → ~1.6% relative standard error in 4 KB per
+    sketch; the A6-exact twin is ``aggregates.distinct_stats``.
+    """
+    check_col(list(cols) + list(group_cols), df)
+    aggs = [
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(c), F.lit(lg_config_k))
+        ).alias(f"n_{c}")
+        for c in cols
+    ]
+    return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def hll_partial_sketches(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-group binary HLL sketches (store these next to your rollups).
+
+    The 100 TB pattern: sketch each ingest partition once; any later
+    rollup (day → month, file → field) is ``hll_merge`` over the stored
+    sketches — no rescan of the fact data.
+    """
+    check_col([col] + list(group_cols), df)
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_config_k)).alias(f"hll_{col}")
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    sketch_col: str,
+    group_cols: Sequence[str] = (),
+    out_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Union stored sketches (associative, loss-free) → estimate."""
+    check_col([sketch_col] + list(group_cols), sketches)
+    agg = F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(out_col)
+    return (
+        sketches.groupBy(*group_cols).agg(agg) if group_cols else sketches.agg(agg)
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: Sequence[float],
+    group_cols: Sequence[str] = (),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Approximate quantiles per group (one pass, mergeable summaries);
+    the exact twin is ``aggregates.iqr_by_bin``'s percentile calls.
+    Guarantee: rank error ≤ n/accuracy."""
+    check_col([col] + list(group_cols), df)
+    agg = F.percentile_approx(
+        F.col(col), F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
+    ).alias(f"q_{col}")
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def frequent_items(
+    df: DataFrame, cols: Sequence[str], support: float = 0.01
+) -> DataFrame:
+    """Heavy hitters per column (single-pass Karp-Papadimitriou-Shenker;
+    may contain false positives — verify with an exact count over the
+    candidate set, which is tiny)."""
+    check_col(list(cols), df)
+    return df.stat.freqItems(list(cols), support)
+
+
+__all__ = [
+    "hll_distinct",
+    "hll_partial_sketches",
+    "hll_merge",
+    "approx_quantiles",
+    "frequent_items",
+]

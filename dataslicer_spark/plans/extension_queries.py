@@ -459,6 +459,30 @@ GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# sketch aggregates (Spark DataSketches HLL ≠ DuckDB's sketches →
+# rows-only; error bounds pytest-verified against the exact operators)
+# ---------------------------------------------------------------------------
+
+def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-returnflag HLL distinct orderkeys +
+    approx price quartiles — the scale path twin of a6_distinct_stats /
+    a5_iqr_by_bin."""
+    from ..functions.sketches import approx_quantiles, hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = hll_distinct(li, ["l_orderkey", "l_partkey"], group_cols=["l_returnflag"])
+    q = approx_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75], group_cols=["l_returnflag"]
+    )
+    return d.join(q, "l_returnflag").select(
+        "l_returnflag", "n_l_orderkey", "n_l_partkey",
+        F.col("q_l_extendedprice")[0].alias("p25"),
+        F.col("q_l_extendedprice")[1].alias("p50"),
+        F.col("q_l_extendedprice")[2].alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (documents' bytes as stand-in blobs; deterministic
 # fake codec — real codecs are one-argument swaps, see sources/multimodal)
 # ---------------------------------------------------------------------------
@@ -505,6 +529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_topk_ivf": sim_topk_ivf,
+    "sk_hll_stats": sk_hll_stats,
     "mm_image_features": mm_image_features,
     "ev_tumbling_window": ev_tumbling_window,
     "ev_sliding_window": ev_sliding_window,

@@ -1,0 +1,78 @@
+"""Sketch aggregates (functions/sketches.py): error bounds vs the exact
+operators, loss-free sketch merging, heavy-hitter recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataslicer_spark.functions.sketches import (
+    approx_quantiles,
+    frequent_items,
+    hll_distinct,
+    hll_merge,
+    hll_partial_sketches,
+)
+
+
+def test_hll_distinct_error_bound(lineitem):
+    est = hll_distinct(lineitem, ["l_orderkey", "l_partkey"]).collect()[0]
+    exact = lineitem.agg(
+        F.countDistinct("l_orderkey").alias("a"),
+        F.countDistinct("l_partkey").alias("b"),
+    ).collect()[0]
+    # lg_config_k=12 → ~1.6% RSE; 5% is a >3-sigma bound
+    assert abs(est.n_l_orderkey - exact.a) / exact.a < 0.05
+    assert abs(est.n_l_partkey - exact.b) / exact.b < 0.05
+
+
+def test_hll_partial_merge_equals_full(lineitem):
+    # sketch per l_linestatus partition, merge → estimate ≈ one sketch over
+    # everything (register-wise max union; the sparse→dense promotion path
+    # can differ from the single-sketch build, so ≈ not ==)
+    partials = hll_partial_sketches(lineitem, "l_orderkey", ["l_linestatus"])
+    merged = hll_merge(partials, "hll_l_orderkey").collect()[0].distinct_estimate
+    full = hll_distinct(lineitem, ["l_orderkey"]).collect()[0].n_l_orderkey
+    assert abs(merged - full) / full < 0.03
+
+
+def test_hll_grouped(lineitem):
+    per_flag = {
+        r.l_returnflag: r.n_l_orderkey
+        for r in hll_distinct(
+            lineitem, ["l_orderkey"], group_cols=["l_returnflag"]
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(per_flag) == set(exact)
+    for k, v in exact.items():
+        assert abs(per_flag[k] - v) / v < 0.05
+
+
+def test_approx_quantiles_rank_bound(lineitem):
+    got = approx_quantiles(lineitem, "l_extendedprice", [0.25, 0.5, 0.75]).collect()[
+        0
+    ][0]
+    n = lineitem.count()
+    vals = [r.l_extendedprice for r in lineitem.select("l_extendedprice").collect()]
+    vals.sort()
+    for p, q in zip([0.25, 0.5, 0.75], got):
+        # rank error ≤ n/accuracy (= n/10000); allow 2× slack
+        import bisect
+
+        rank = bisect.bisect_left(vals, q)
+        assert abs(rank - p * n) <= max(2 * n / 10_000, 2)
+
+
+def test_frequent_items_finds_planted(spark):
+    # 30% of rows share one value; support=0.2 must surface it
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 3, F.lit(42)).otherwise(F.col("id")).alias("v")
+    )
+    items = frequent_items(df, ["v"], support=0.2).collect()[0].v_freqItems
+    assert 42 in items
