@@ -31,6 +31,9 @@ def main() -> None:
     # session initialization cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # (A per-query warmup pass at sf0.001 was tried and rejected: the
+    # accumulated JVM/codegen-cache/GC state from 47 extra executions cost
+    # more than the compile time it saved — measured 118s vs 89s total.)
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
