@@ -177,6 +177,16 @@ def dbscan(
     pcols = [f"__p{d}" for d in range(ndim)]
     eps2 = eeps * eeps
 
+    # min_samples == 2 (the reference's own setting, objtable.py:121) is a
+    # special structure: a point is core iff it has ANY eps-neighbor, and
+    # DBSCAN degenerates to connected components of the eps-graph with
+    # isolated points as noise.  Neighborhoods are complete inside each
+    # 3×3 cell group, so pass 1 (core counts) and the core-flag join are
+    # unnecessary — one grouped pass computes components directly and
+    # zero-degree points are globally isolated.  Halves the Python/shuffle
+    # stages for the common tight-cluster workload.
+    pair_mode = min_samples == 2
+
     # ---- pass 1: neighbor counts → core flags -----------------------------
     count_schema = T.StructType(
         [
@@ -212,16 +222,18 @@ def dbscan(
             {"id": np.concatenate(out_id), "n_neighbors": np.concatenate(out_n)}
         )
 
-    counts = grouped_map_in_pandas(
-        cells, group_keys, None, count_schema, batch_fn=count_batch
-    )
-    core = counts.select(
-        F.col("id").alias(id_col),
-        (F.col("n_neighbors") >= min_samples).alias("__is_core"),
-    )
-
-    # ---- pass 2: local clusters + merge edges -----------------------------
-    with_core = cells.join(core, on=id_col, how="inner")
+    if pair_mode:
+        with_core = cells.withColumn("__is_core", F.lit(True))
+    else:
+        counts = grouped_map_in_pandas(
+            cells, group_keys, None, count_schema, batch_fn=count_batch
+        )
+        core = counts.select(
+            F.col("id").alias(id_col),
+            (F.col("n_neighbors") >= min_samples).alias("__is_core"),
+        )
+        # ---- pass 2: local clusters + merge edges -------------------------
+        with_core = cells.join(core, on=id_col, how="inner")
     label_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -263,11 +275,16 @@ def dbscan(
 
             core_idx = np.where(is_core)[0]
             C = P[core_idx]
+            deg = np.zeros(n, dtype=np.int64)
             step = max(1, 4_000_000 // max(len(C), 1))
             for cs in range(0, len(C), step):
                 ce = min(cs + step, len(C))
                 d2 = ((C[cs:ce, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                for a, b in zip(*np.where(d2 <= eps2)):
+                within = d2 <= eps2
+                if pair_mode:
+                    # self always matches → degree = row sum − 1
+                    deg[core_idx[cs:ce]] += within.sum(axis=1) - 1
+                for a, b in zip(*np.where(within)):
                     ra_, rb = find(core_idx[cs + a]), find(core_idx[b])
                     if ra_ != rb:
                         parent[max(ra_, rb)] = min(ra_, rb)
@@ -283,6 +300,11 @@ def dbscan(
                     min_id_of_root[r] = int(ids[i])
             root_of = {r: f"{cell_tag}:{m}" for r, m in min_id_of_root.items()}
             for i in core_idx:
+                # pair mode: zero-degree points are globally isolated
+                # (their full eps-neighborhood is in this group) → noise;
+                # emitting nothing makes the final left join label them −1
+                if pair_mode and deg[i] == 0:
+                    continue
                 o_id.append(ids[i])
                 o_key.append(root_of[find(i)])
                 o_home.append(bool(home[i]))
