@@ -35,6 +35,10 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      ["HashAggregate"], []),
     ("sim_topk_bruteforce", "query side broadcast for the scoring join",
      ["BroadcastNestedLoopJoin"], []),
+    ("ev_asof_join", "as-of join is union+window — no join fanout",
+     ["Window"], ["CartesianProduct", "NestedLoop", "SortMergeJoin"]),
+    ("sk_hll_stats", "sketch aggs are JVM partial+final (no Python)",
+     ["HashAggregate", "hll_sketch_agg"], ["Python"]),
 ]
 
 
