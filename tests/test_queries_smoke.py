@@ -36,5 +36,5 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "dd_minhash_lsh", "dd_simhash", "sim_topk_lsh", "sim_topk_ivf",
-        "astro_flagship_pipeline", "mm_image_features",
+        "astro_flagship_pipeline", "mm_image_features", "sk_hll_stats",
     }
