@@ -231,6 +231,76 @@ def stream_running_user_totals(
     )
 
 
+def stream_running_user_totals_tws(
+    spark,
+    source_dir: str,
+    schema,
+    user_col: str = "user_id",
+    value_col: str = "value",
+):
+    """The ``transformWithStateInPandas`` form of
+    :func:`stream_running_user_totals` — Spark 4's stateful-processor API
+    (typed ValueState handles, timers, TTL) superseding
+    ``applyInPandasWithState``.  Both are kept: the processor surface is
+    part of the engine's UDF contract (SURVEY.md §2.10) and the two APIs
+    have different state-store capabilities (this one requires the
+    RocksDB provider, set here on the session).
+
+    Import-gated: the transformWithState state-server protocol needs
+    ``protobuf``, which is not installed in this container — the
+    processor definition and plan wiring are real; running it needs the
+    dependency (one pip install on a real deployment).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(state-server protocol); not installed in this environment — "
+            "use stream_running_user_totals (applyInPandasWithState) instead"
+        ) from e
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "total double, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            total, n = (
+                self._totals.get() if self._totals.exists() else (0.0, 0)
+            )
+            for pdf in rows:
+                total += float(pdf[value_col].sum())
+                n += len(pdf)
+            self._totals.update((float(total), int(n)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_value": [total], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.groupBy(user_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, total_value double, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 __all__ = [
     "load_events",
     "tumbling_window_stats",
@@ -239,4 +309,5 @@ __all__ = [
     "stream_tumbling_counts",
     "stream_dedup_within_watermark",
     "stream_running_user_totals",
+    "stream_running_user_totals_tws",
 ]

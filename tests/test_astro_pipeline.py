@@ -106,6 +106,58 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     assert got.event_id.is_unique
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    from dataslicer_spark.streaming.events import stream_running_user_totals_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        # operator is import-gated on protobuf (state-server protocol);
+        # assert the gate raises the documented error and skip the run
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            stream_running_user_totals_tws(spark, "/tmp/none", None)
+        _pytest.skip("protobuf not installed; transformWithState gated")
+
+    events = load_events(spark, sf_dir).limit(2000).cache()
+    expected = {
+        r.user_id: (r.total, r.n)
+        for r in events.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count("value").alias("n"))
+        .collect()
+    }
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            src = os.path.join(d, "in")
+            events.write.parquet(src)
+            stream = stream_running_user_totals_tws(
+                spark, src, spark.read.parquet(src).schema
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("tws_totals")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got_rows = spark.sql("select * from tws_totals").toPandas()
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    got = {r.user_id: (r.total_value, r.n_events) for r in got_rows.itertuples()}
+    assert set(got) == set(expected)
+    for uid, (tot, n) in expected.items():
+        assert got[uid][1] == n
+        assert abs(got[uid][0] - tot) < 1e-6
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
     from dataslicer_spark.streaming.events import stream_running_user_totals
 
