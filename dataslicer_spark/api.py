@@ -248,6 +248,32 @@ class SlicerFrame:
         clean, dusty = split_dust(tagged)
         return self._wrap(clean), self._wrap(dusty)
 
+    # -- extension surface (beyond the reference) ----------------------------
+    def asof_join(
+        self, other: "SlicerFrame | DataFrame", ts_col: str, by_cols, value_cols,
+        **kw,
+    ) -> "SlicerFrame":
+        """Point-in-time enrich from ``other`` (operators/asof.py)."""
+        from .operators.asof import asof_join
+
+        o = other.df if isinstance(other, SlicerFrame) else other
+        return self._wrap(asof_join(self.df, o, ts_col, by_cols, value_cols, **kw))
+
+    def approx_distinct(self, cols, group_cols=()) -> "SlicerFrame":
+        """HLL distinct counts (functions/sketches.py) — the sketch twin of
+        the exact ``distinct_stats``."""
+        from .functions.sketches import hll_distinct
+
+        return self._wrap(hll_distinct(self.df, cols, group_cols))
+
+    def dedup_exact(self, id_col: str, text_col: str = "text"):
+        """(representatives, dup_stats) by content fingerprint
+        (operators/dedup.py)."""
+        from .operators.dedup import exact_dedup
+
+        reps, stats = exact_dedup(self.df, id_col, text_col)
+        return self._wrap(reps), self._wrap(stats)
+
     # -- sinks (S4) ----------------------------------------------------------
     def to_parquet(self, path: str, mode: str = "overwrite") -> None:
         """Engine-native sink (the reference's gzip-CSV cache, S4/S6)."""

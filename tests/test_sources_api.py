@@ -323,6 +323,35 @@ def test_slicer_frame_verbs_chain(spark, sf_dir):
     assert kept.count() + rejected.count() == matched.count()
 
 
+def test_slicer_frame_extension_verbs(spark, sf_dir):
+    import pandas as pd
+
+    left = SlicerFrame(
+        spark.createDataFrame(
+            pd.DataFrame({"k": [1, 1, 2], "ts": [10, 20, 5], "lid": [0, 1, 2]})
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "ts": [8, 9], "rv": [1.0, 2.0]})
+    )
+    out = left.asof_join(right, "ts", ["k"], ["rv"])
+    got = {r.lid: r.rv for r in out.df.collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: None}
+
+    li = SlicerFrame(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    )
+    est = li.approx_distinct(["l_orderkey"]).df.collect()[0].n_l_orderkey
+    exact = li.df.select("l_orderkey").distinct().count()
+    assert abs(est - exact) / exact < 0.05
+
+    docs = SlicerFrame(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    reps, stats = docs.dedup_exact("doc_id")
+    assert reps.count() == stats.count()
+
+
 def test_slicer_frame_unloaded_raises(spark):
     ds = SlicerDataset(spark, "empty")
     with pytest.raises(RuntimeError, match="load"):
