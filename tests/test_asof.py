@@ -107,6 +107,40 @@ def test_asof_value_col_collision_raises(asof_data):
         )
 
 
+def test_asof_property_random_tables(spark):
+    """Randomized parity with the brute-force scan (a fixed-seed sweep —
+    session-scoped Spark fixtures don't compose with @given)."""
+    import numpy as np
+
+    rng = np.random.default_rng(2024)
+    for trial in range(5):
+        nl, nr = rng.integers(1, 40, 2)
+        left = pd.DataFrame(
+            {
+                "lid": range(nl),
+                "key": rng.integers(0, 5, nl),
+                "ts": rng.integers(0, 50, nl),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "key": rng.integers(0, 5, nr),
+                "ts": rng.integers(0, 50, nr),
+                "tb": range(nr),
+                "rv": rng.normal(size=nr).round(3),
+            }
+        )
+        sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+        for direction in ("backward", "forward"):
+            out = asof_join(
+                sl, sr, "ts", ["key"], ["rv"], direction=direction,
+                tiebreak_col="tb",
+            )
+            assert _run(out) == _brute_force(left, right, direction), (
+                f"trial {trial} {direction}"
+            )
+
+
 def test_asof_single_shuffle_plan(asof_data):
     sl, sr, *_ = asof_data
     out = asof_join(sl, sr, "ts", ["key"], ["rv"], tiebreak_col="tb")
