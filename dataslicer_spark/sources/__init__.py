@@ -1,2 +1,3 @@
-"""Sources & sinks: parquet write-through cache, FITS reader plumbing,
+"""Sources & sinks: parquet write-through cache, FITS reader plumbing +
+the ``format("fits")`` Python DataSource, partitioned-lake layout,
 external-catalog fetch-then-broadcast, multimodal binary assets."""
