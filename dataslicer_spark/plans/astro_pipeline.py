@@ -110,11 +110,19 @@ def astro_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M1: cluster_sources(3", min_samples=2, purge noise) (objtable.py:116-168)
     # Cached: the IQR pass and the two group-quantified filters below each
     # run driver-side actions — without the cache every one would re-run
-    # the full scan→join→DBSCAN chain.
-    clustered = dbscan(
-        enriched, eps=3.0, min_samples=2, id_col="sourceid",
-        x_col="ra", y_col="dec", coord="sky", purge_noise=True,
-    ).cache()
+    # the full scan→join→DBSCAN chain.  Repartitioned by clusterID at cache
+    # time: every downstream cluster-grain operator (centroid groupBy,
+    # per-cluster IQR aggregate, final group-quantified window) reuses the
+    # cached hash partitioning instead of shuffling the fact table again —
+    # the "reuse a partitioning across stages" contract at pipeline level.
+    clustered = (
+        dbscan(
+            enriched, eps=3.0, min_samples=2, id_col="sourceid",
+            x_col="ra", y_col="dec", coord="sky", purge_noise=True,
+        )
+        .repartition("clusterID")
+        .cache()
+    )
 
     # A2 + J5: centroids → nearest PS1 star within 3" (use='clusters')
     centroids = cluster_centroid(clustered, "clusterID", "ra", "dec").select(
