@@ -175,8 +175,10 @@ def normalized_fingerprint(text: Column) -> Column:
 
 
 def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
-    """Winnowing-style fingerprint: min xxhash64 over token n-gram windows.
-    Engine-specific hash (xxhash64) → no SQL oracle; property-tested."""
+    """Winnowing-style fingerprint: min xxhash64 over token n-gram windows
+    (Schleimer/Wilkerson/Aiken, "Winnowing: local algorithms for document
+    fingerprinting", SIGMOD 2003).  Engine-specific hash (xxhash64) → no
+    SQL oracle; property-tested."""
     sh = word_shingles(text, window)
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
     return F.when(F.size(hashed) == 0, F.lit(None).cast("long")).otherwise(

@@ -36,6 +36,11 @@ Scale notes: both passes shuffle on cell id only; the per-cell kernel is
 O(n_cell²) vectorized numpy — cell size equals eps, so density, not data
 volume, bounds the group size.  Skewed (dense) cells are AQE-splittable
 since the kernel is keyed by cell.
+
+DBSCAN semantics per Ester/Kriegel/Sander/Xu (KDD 1996); the
+grid-partition + local-cluster + merge decomposition follows the
+MR-DBSCAN / RDD-DBSCAN line (He et al., ICPADS 2011; Cordova &
+Moh, HPCS 2015).
 """
 
 from __future__ import annotations

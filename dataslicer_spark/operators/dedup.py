@@ -13,6 +13,12 @@ Scale design notes:
   stop-shingle guard against quadratic postings blowup.
 - All verification math is exact integer/fixed-point arithmetic, so
   results are reproducible across partitionings.
+
+Algorithms are the classic public constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997), banded LSH for Jaccard (Leskovec/Rajaraman/Ullman, *Mining of
+Massive Datasets* ch. 3), and SimHash with pigeonhole chunk search
+(Charikar 2002; Manku/Jain/Sarma, WWW 2007).
 """
 
 from __future__ import annotations

@@ -15,6 +15,12 @@ Two tiers:
 
 All cosines use the fixed-point dot product (order-independent integer
 sums) so results are deterministic across partitionings and engines.
+
+Constructions from the public literature: sign-random-projection LSH
+(Charikar, STOC 2002), IVF coarse quantization + inverted-list probing
+(Sivic/Zisserman "Video Google" 2003; the IVF stage of Jégou et al.'s
+IVFADC, TPAMI 2011), distributed top-k pruning shapes per REPOSE
+(ICDE 2021, PAPERS.md).
 """
 
 from __future__ import annotations
