@@ -428,6 +428,48 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
 """
 
 
+def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly forward-filled resample of each user's purchase value —
+    time grid + as-of join composition (operators/resample.py).  Exact:
+    integer epoch-microsecond grid, tie-deduped observations."""
+    from ..operators.resample import resample_ffill
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").alias("obs_value"),
+        "event_id",
+    )
+    deduped = largest_wins(purchases, ["user_id", "ts_us"], "event_id")
+    out = resample_ffill(
+        deduped, "ts_us", ["user_id"], ["obs_value"], step_us=3_600_000_000
+    )
+    return out.select("user_id", "grid_ts", "obs_ts", "obs_value")
+
+
+EV_RESAMPLE_SQL = """
+WITH obs0 AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'),
+obs AS (SELECT user_id, ts_us, value AS obs_value FROM obs0 WHERE rn = 1),
+spans AS (
+  SELECT user_id,
+         MIN(ts_us) - (MIN(ts_us) % 3600000000) AS lo,
+         MAX(ts_us) - (MAX(ts_us) % 3600000000) + 3600000000 AS hi
+  FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, g.grid_ts
+  FROM spans, LATERAL (SELECT UNNEST(generate_series(lo, hi, 3600000000))
+                       AS grid_ts) g)
+SELECT grid.user_id, grid.grid_ts, obs.ts_us AS obs_ts, obs.obs_value
+FROM grid ASOF LEFT JOIN obs
+  ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts_us
+"""
+
+
 def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     return session_stats(events, gap="30 minutes")
@@ -535,6 +577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_sliding_window": ev_sliding_window,
     "ev_session_window": ev_session_window,
     "ev_asof_join": ev_asof_join,
+    "ev_resample_ffill": ev_resample_ffill,
 }
 
 ORACLES: dict[str, str] = {
@@ -552,4 +595,5 @@ ORACLES: dict[str, str] = {
     "ev_sliding_window": EV_SLIDING_SQL,
     "ev_session_window": EV_SESSION_SQL,
     "ev_asof_join": EV_ASOF_SQL,
+    "ev_resample_ffill": EV_RESAMPLE_SQL,
 }
