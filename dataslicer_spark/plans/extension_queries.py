@@ -33,6 +33,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.asof import asof_join
+from ..operators.sampling import split_thresholds
 from ..operators.similarity import cosine_topk, hyperplane_lsh_topk, ivf_topk
 from ..operators.windows import largest_wins
 from ..streaming.events import (
@@ -501,6 +502,67 @@ GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# training-set assembly: deterministic split + sequence packing
+# ---------------------------------------------------------------------------
+
+def txt_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test assignment (md5-stable — identical in
+    any engine / partitioning / row order), summarized per split."""
+    from ..operators.sampling import add_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = add_split(docs, "doc_id", salt="r2")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_T1, _T2 = split_thresholds((0.9, 0.05, 0.05))
+
+TXT_TRAIN_SPLIT_SQL = f"""
+SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM (
+  SELECT doc_id,
+         CASE WHEN h < {_T1} THEN 'train'
+              WHEN h < {_T2} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5('r2' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM documents))
+GROUP BY split
+"""
+
+
+def txt_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk packing of the corpus into 2048-token
+    sequences (doc_id order): pack_id = chunk each document starts in."""
+    from ..operators.sampling import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_ws(F.col("text"))
+    )
+    out = pack_documents(docs, "doc_id", "n_tokens", max_tokens=2048)
+    return out.select("doc_id", "n_tokens", "pack_id")
+
+
+TXT_PACK_SQL = r"""
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+    FROM documents))
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch aggregates (Spark DataSketches HLL ≠ DuckDB's sketches →
 # rows-only; error bounds pytest-verified against the exact operators)
 # ---------------------------------------------------------------------------
@@ -571,6 +633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_topk_ivf": sim_topk_ivf,
+    "txt_train_split": txt_train_split,
+    "txt_pack_documents": txt_pack_documents,
     "sk_hll_stats": sk_hll_stats,
     "mm_image_features": mm_image_features,
     "ev_tumbling_window": ev_tumbling_window,
@@ -589,6 +653,8 @@ ORACLES: dict[str, str] = {
     "dd_ngram_jaccard": DD_NGRAM_JACCARD_SQL,
     # dd_minhash_lsh / dd_simhash / sim_topk_lsh: engine-specific hashes →
     # rows-only (property-tested in pytest instead)
+    "txt_train_split": TXT_TRAIN_SPLIT_SQL,
+    "txt_pack_documents": TXT_PACK_SQL,
     "dd_embedding_cosine": DD_EMBEDDING_COSINE_SQL,
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     "ev_tumbling_window": EV_TUMBLING_SQL,

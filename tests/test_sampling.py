@@ -1,0 +1,86 @@
+"""Split & packing operators (operators/sampling.py): determinism,
+proportions, and packing invariants."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataslicer_spark.operators.sampling import (
+    add_split,
+    pack_documents,
+    split_thresholds,
+)
+
+
+def test_split_proportions_and_determinism(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = add_split(df, "doc_id")
+    frac = {
+        r.split: r.n / 20_000
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+
+    # row-order / partitioning independence: same assignment after a shuffle
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {
+        r.doc_id: r.split
+        for r in add_split(df.repartition(17).orderBy(F.rand(3)), "doc_id").collect()
+    }
+    assert a == b
+
+    # salt re-draws
+    c = {r.doc_id: r.split for r in add_split(df, "doc_id", salt="x").collect()}
+    assert c != a
+
+
+def test_split_weight_validation(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="align"):
+        add_split(df, "doc_id", weights=(1, 2), names=("a",))
+
+
+def test_pack_documents_invariants(spark):
+    pdf = pd.DataFrame({"doc_id": range(100), "n": [150] * 100})
+    out = (
+        pack_documents(
+            spark.createDataFrame(pdf), "doc_id", "n", max_tokens=1000
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    # pack ids are non-decreasing in order, start at 0, no gaps
+    packs = out.pack_id.tolist()
+    assert packs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
+    # each doc starts in the chunk its cumulative offset falls in
+    cum = 0
+    for _, r in out.iterrows():
+        assert r.pack_id == cum // 1000
+        cum += r.n
+
+
+def test_pack_documents_sharded(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": range(40), "n": [100] * 40, "shard": [0, 1] * 20}
+    )
+    out = pack_documents(
+        spark.createDataFrame(pdf), "doc_id", "n", max_tokens=500,
+        partition_cols=["shard"],
+    ).toPandas()
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        cum = 0
+        for _, r in grp.iterrows():
+            assert r.pack_id == cum // 500
+            cum += r.n
+
+
+def test_split_thresholds_monotone():
+    t = split_thresholds((0.5, 0.25, 0.25))
+    assert t == sorted(t) and len(t) == 2
+    assert t[0] == int(0.5 * 2**32)
