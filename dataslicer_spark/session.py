@@ -58,6 +58,43 @@ def get_spark(
     return spark
 
 
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Recommended conf overrides for a real multi-executor deployment —
+    pass as ``extra_conf`` to :func:`get_spark` (or to spark-submit).
+
+    Rationale per knob:
+
+    - ``shuffle.partitions`` ≈ 2-3× total cores: every core busy through
+      stragglers, partitions still big enough to amortize task overhead;
+      AQE coalesces down when a stage's output is small.
+    - ``files.maxPartitionBytes`` fixes scan-task size; with 128 MB
+      parquet row groups a 100 TB scan is ~800k tasks — fine — while
+      keeping per-task memory bounded.
+    - ``advisoryPartitionSizeInBytes`` gives AQE the same target for
+      post-shuffle coalescing and skew-split sizing.
+    - ``autoBroadcastJoinThreshold`` stays conservative (64 MB): our
+      dimension tables (metadata, calibrators, dust, centroids) are
+      well under it; bigger sides should shuffle, not OOM the driver.
+    - ``shuffle.service.enabled`` / speculation: standard long-job
+      hygiene on shared clusters (harmless locally, left to deployment).
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load one or more parquet tables from an sf directory.
 

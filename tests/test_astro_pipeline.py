@@ -42,12 +42,64 @@ def test_astro_pipeline_end_to_end(spark, sf_dir):
 
 def test_astro_pipeline_rejects_injected_outliers(spark, sf_dir):
     # stars with star_id % 97 == 0 carry a +3 mag reference offset; the
-    # IQR pass plus the final 0.5-mag gate must reject them all
+    # IQR pass plus the final 0.5-mag gate must reject every one of them.
+    # Replays the pipeline's gate stages to inspect the surviving set
+    # (the pipeline itself returns only the per-band summary).
+    from dataslicer_spark.functions.photometry import (
+        band_conditional_color,
+        bandwise_ref_mag,
+        calmag,
+    )
+    from dataslicer_spark.operators.aggregates import cluster_centroid
+    from dataslicer_spark.operators.clustering import dbscan
+    from dataslicer_spark.operators.joins import (
+        merge_metadata_to_sources,
+        select_clusters,
+    )
+    from dataslicer_spark.operators.outliers import ps1based_outlier_rm_iqr
+    from dataslicer_spark.operators.spatial import crossmatch_sky
+    from dataslicer_spark.utils import query_df
+
     sources, metadata, ps1cal = make_astro_fixture(spark, sf_dir)
     outlier_stars = {r._id for r in ps1cal.filter(F.col("_id") % 97 == 0).collect()}
     assert outlier_stars
-    final = astro_flagship_pipeline(spark, sf_dir)
-    assert final.count() == 3  # summary only; detailed check via fixture size
+
+    good = query_df(sources, "flags == 0 and snr > 2")
+    enriched = merge_metadata_to_sources(good, metadata, join_on="OBSID")
+    clustered = dbscan(
+        enriched, eps=3.0, min_samples=2, id_col="sourceid",
+        x_col="ra", y_col="dec", coord="sky", purge_noise=True,
+    ).cache()
+    centroids = cluster_centroid(clustered, "clusterID", "ra", "dec").select(
+        F.col("clusterID"),
+        F.col("ra_centroid").alias("ra"),
+        F.col("dec_centroid").alias("dec"),
+    )
+    matched = crossmatch_sky(
+        centroids, ps1cal, rs_arcsec=3.0, source_id="clusterID", catalog_id="_id"
+    ).select("clusterID", "dist2ps1", "_id", "gmag", "rmag", "imag",
+             "e_gmag", "e_rmag")
+    with_match = clustered.join(F.broadcast(matched), "clusterID", "inner")
+    tight = with_match.filter(F.col("dist2ps1") < 1.0)
+    calibrated = calmag(
+        band_conditional_color(tight),
+        mag_col="mag", err_mag_col="sigmag", zp_col="MAGZP",
+        zp_err_col="MAGZPUNC", clrcoeff_col="CLRCOEFF",
+        clrcoeff_err_col="CLRCOUNC", color1_col="color1", color2_col="color2",
+        color1_err_col="e_gmag", color2_err_col="e_rmag",
+    )
+    with_ref = bandwise_ref_mag(calibrated)
+    kept, _ = ps1based_outlier_rm_iqr(
+        with_ref, "cal_mag", "ps1mag_band", norm_mag_diff_cut=2.5, n_mag_bins=10
+    )
+    final, _ = select_clusters(
+        kept.withColumn("absdiff", F.abs(F.col("cal_mag") - F.col("ps1mag_band"))),
+        "absdiff < 0.5", "clusterID",
+    )
+    survivors = {r._id for r in final.select("_id").distinct().collect()}
+    # every injected +3 mag star was rejected; the clean majority survived
+    assert not (survivors & outlier_stars)
+    assert len(survivors) > 5 * len(outlier_stars)
 
 
 def test_streaming_tumbling_matches_batch(spark, sf_dir):
