@@ -101,6 +101,48 @@ def main() -> None:
         .format("noop").mode("overwrite").save(),
     )
 
+    # temporal kernels: 4× = more users (distinct key space), same per-key
+    # span — the shape a bigger deployment actually has
+    from dataslicer_spark.operators.asof import asof_join
+    from dataslicer_spark.operators.resample import resample_ffill
+    from dataslicer_spark.streaming.events import load_events
+
+    ev1 = load_events(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"), "value",
+    )
+    ev4 = ev1
+    for i in (1, 2, 3):
+        ev4 = ev4.unionByName(
+            ev1.withColumn("user_id", F.col("user_id") + 1_000_000 * i)
+            .withColumn("event_id", F.col("event_id") + 10_000_000 * i)
+        )
+    ev1, ev4 = ev1.cache(), ev4.cache()
+    ev1.count(), ev4.count()
+
+    def asof_fn(ev):
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts_us"
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", F.col("value").alias("pv"), "event_id"
+        ).dropDuplicates(["user_id", "ts_us"])
+        return lambda: asof_join(
+            clicks, purch, "ts_us", ["user_id"], ["pv"], tiebreak_col="event_id"
+        ).write.format("noop").mode("overwrite").save()
+
+    run("asof_join", asof_fn(ev1), asof_fn(ev4))
+
+    def resample_fn(ev):
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", F.col("value").alias("pv")
+        ).dropDuplicates(["user_id", "ts_us"])
+        return lambda: resample_ffill(
+            purch, "ts_us", ["user_id"], ["pv"], step_us=3_600_000_000
+        ).write.format("noop").mode("overwrite").save()
+
+    run("resample_ffill", resample_fn(ev1), resample_fn(ev4))
+
 
 if __name__ == "__main__":
     main()
