@@ -137,3 +137,25 @@ def test_dbscan_labels_deterministic(spark):
     b = dbscan(df.repartition(13), **kw).select("pid", "clusterID").toPandas().sort_values("pid")
     # same labels (not just same partition) regardless of input partitioning
     assert (a.clusterID.to_numpy() == b.clusterID.to_numpy()).all()
+
+
+@pytest.mark.parametrize("min_samples", [2, 5])
+def test_dbscan_dense_single_cell_chunked(spark, min_samples):
+    """A pathologically dense cell (4k points inside one eps-ball) must
+    come back as one cluster — exercises the chunked distance-matrix
+    loop in both kernel passes (4M-element memory cap)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(33)
+    n = 4000
+    pts = rng.uniform(0, 0.4, (n, 2))  # all pairwise dists < eps=1
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": range(n), "x": pts[:, 0], "y": pts[:, 1]})
+    )
+    out = dbscan(
+        df, eps=1.0, min_samples=min_samples, id_col="pid",
+        x_col="x", y_col="y", coord="planar",
+    ).toPandas()
+    assert (out.clusterID == out.clusterID.iloc[0]).all()
+    assert (out.clusterID != -1).all()
+    assert len(out) == n
