@@ -516,6 +516,68 @@ O4_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
 
 
 # ---------------------------------------------------------------------------
+# O7/A9 — pivot / rollup / cube (no reference analogue — SURVEY §2.4 notes
+# their absence; provided as engine surface with DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+def o7_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus → columns (fixed value list keeps the schema
+    static and plan single-pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity", "q"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+    )
+
+
+O7_SQL = """
+SELECT l_returnflag,
+       {qo} , {qf}
+FROM lineitem GROUP BY l_returnflag
+""".format(
+    qo=_sql_fpsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END") + " AS qty_O",
+    qf=_sql_fpsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END") + " AS qty_F",
+)
+
+
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (returnflag, linestatus) — partial-agg
+    friendly hierarchy totals in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+A9_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, {s}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".format(s=_sql_dsum("l_extendedprice", "sum_price"))
+
+
+def a9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all grouping-set combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+A9_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, {s}
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""".format(s=_sql_dsum("l_quantity", "sum_qty"))
+
+
+# ---------------------------------------------------------------------------
 # F — column expressions
 # ---------------------------------------------------------------------------
 
@@ -926,6 +988,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_iqr_by_bin": a5_iqr_by_bin,
     "a6_distinct_stats": a6_distinct_stats,
     "o4_drop_duplicates": o4_drop_duplicates,
+    "o7_pivot": o7_pivot,
+    "a9_rollup": a9_rollup,
+    "a9_cube": a9_cube,
     "f1_calmag": f1_calmag,
     "f2_bandwise_pick": f2_bandwise_pick,
     "f3_camera_coords": f3_camera_coords,
@@ -957,6 +1022,9 @@ ORACLES: dict[str, str] = {
     "a5_iqr_by_bin": A5_SQL,
     "a6_distinct_stats": A6_SQL,
     "o4_drop_duplicates": O4_SQL,
+    "o7_pivot": O7_SQL,
+    "a9_rollup": A9_ROLLUP_SQL,
+    "a9_cube": A9_CUBE_SQL,
     "f1_calmag": F1_SQL,
     "f2_bandwise_pick": F2_SQL,
     "f3_camera_coords": F3_SQL,
