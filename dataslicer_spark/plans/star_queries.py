@@ -546,6 +546,28 @@ FROM lineitem GROUP BY l_returnflag
 )
 
 
+def o8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the per-part price/cost columns into rows —
+    ``unpivot``/``stack``, the inverse surface of o7_pivot."""
+    part = _t(spark, sf_dir, "part")
+    return part.unpivot(
+        ["p_partkey"],
+        ["p_retailprice", "p_size"],
+        "measure",
+        "value",
+    ).select(
+        "p_partkey", "measure", F.col("value").cast("double").alias("value")
+    )
+
+
+O8_SQL = """
+SELECT p_partkey, 'p_retailprice' AS measure,
+       CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+"""
+
+
 def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals over (returnflag, linestatus) — partial-agg
     friendly hierarchy totals in one pass."""
@@ -989,6 +1011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_distinct_stats": a6_distinct_stats,
     "o4_drop_duplicates": o4_drop_duplicates,
     "o7_pivot": o7_pivot,
+    "o8_unpivot": o8_unpivot,
     "a9_rollup": a9_rollup,
     "a9_cube": a9_cube,
     "f1_calmag": f1_calmag,
@@ -1023,6 +1046,7 @@ ORACLES: dict[str, str] = {
     "a6_distinct_stats": A6_SQL,
     "o4_drop_duplicates": O4_SQL,
     "o7_pivot": O7_SQL,
+    "o8_unpivot": O8_SQL,
     "a9_rollup": A9_ROLLUP_SQL,
     "a9_cube": A9_CUBE_SQL,
     "f1_calmag": F1_SQL,
