@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -158,6 +158,44 @@ def _langid_sql() -> str:
 
 
 TXT_LANGID_SQL = _langid_sql()
+
+
+def txt_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams — explode → count → top-k window
+    (partial aggregation map-side; the explode never leaves the executor
+    it ran on until the count shuffle of (ngram, partial_count))."""
+    from ..functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(word_shingles(F.col("text"), 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # top-k via orderBy+limit → distributed TakeOrdered (per-partition
+    # heaps merged on the driver), NOT a single-partition global window —
+    # distinct-ngram cardinality is corpus-sized at scale.  Rank is
+    # assigned by a window over the 20 surviving rows only.
+    top = counts.orderBy(F.col("n").desc(), F.col("ngram").asc()).limit(20)
+    w = Window.partitionBy().orderBy(F.col("n").desc(), F.col("ngram").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "ngram", "n"
+    )
+
+
+TXT_TOP_NGRAMS_SQL = r"""
+SELECT rank, ngram, n FROM (
+  SELECT ngram, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, ngram ASC) AS rank
+  FROM (
+    SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram, COUNT(*) AS n
+    FROM (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''),
+      UNNEST(range(1, len(t) - 1)) AS u(i)
+    GROUP BY 1))
+WHERE rank <= 20
+"""
 
 
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,6 +663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_quality": txt_quality,
     "txt_langid": txt_langid,
     "txt_fingerprint": txt_fingerprint,
+    "txt_top_ngrams": txt_top_ngrams,
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_minhash_lsh": dd_minhash_lsh,
@@ -649,6 +688,7 @@ ORACLES: dict[str, str] = {
     "txt_quality": TXT_QUALITY_SQL,
     "txt_langid": TXT_LANGID_SQL,
     "txt_fingerprint": TXT_FINGERPRINT_SQL,
+    "txt_top_ngrams": TXT_TOP_NGRAMS_SQL,
     "dd_exact": DD_EXACT_SQL,
     "dd_ngram_jaccard": DD_NGRAM_JACCARD_SQL,
     # dd_minhash_lsh / dd_simhash / sim_topk_lsh: engine-specific hashes →
