@@ -85,6 +85,13 @@ def test_asof_tolerance(asof_data):
     assert _run(out) == _brute_force(left, right, "backward", tolerance=5)
 
 
+def test_asof_tolerance_forward(asof_data):
+    sl, sr, left, right = asof_data
+    out = asof_join(sl, sr, "ts", ["key"], ["rv"], direction="forward",
+                    tolerance=F.lit(3), tiebreak_col="tb")
+    assert _run(out) == _brute_force(left, right, "forward", tolerance=3)
+
+
 def test_asof_tie_determinism(spark):
     # two right rows at the same (key, ts): the larger tiebreak wins
     left = spark.createDataFrame(pd.DataFrame({"lid": [0], "key": [1], "ts": [10]}))

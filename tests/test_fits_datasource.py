@@ -110,5 +110,22 @@ def test_push_filters_split():
     assert rest == [unsupported_null, unsupported_path]
 
 
+def test_datasource_in_filter_pushdown(spark, fits_dir):
+    register_fits_source(spark)
+    out = (
+        spark.read.format("fits")
+        .option("parser", PARSER)
+        .load(os.path.join(fits_dir, "*.fits"))
+        .filter("flags in (0, 2) and sourceid is not null")
+    )
+    pdf = out.toPandas()
+    assert set(pdf["flags"].unique()) <= {0, 2}
+    expect = 0
+    for i in range(4):
+        t = synthetic_fits_parser(_fake_fits_bytes(50 + 10 * i, seed=i))
+        expect += int(t["flags"].isin([0, 2]).sum())
+    assert len(pdf) == expect
+
+
 def test_datasource_explicit_name():
     assert FitsDataSource.name() == "fits"
