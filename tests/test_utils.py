@@ -48,3 +48,12 @@ def test_check_col_message(lineitem):
         check_col(["l_orderkey", "nope"], lineitem)
     assert "nope" in str(e.value)
     assert "l_orderkey" in str(e.value)  # lists available columns
+
+
+def test_cluster_conf_shape():
+    from dataslicer_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4)
+    assert conf["spark.sql.shuffle.partitions"] == str(1000 * 4 * 2)
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
+    assert conf["spark.sql.adaptive.enabled"] == "true"
