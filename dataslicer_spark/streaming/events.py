@@ -231,6 +231,57 @@ def stream_running_user_totals(
     )
 
 
+def _click_purchase_frames(events, lookback: str):
+    """Shared projection + join condition for the stream-stream join and
+    its batch twin: each click paired with the same user's purchases in
+    the preceding ``lookback`` (inclusive)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = F.expr(
+        f"c_user = p_user AND p_ts >= c_ts - INTERVAL {lookback} AND p_ts <= c_ts"
+    )
+    return clicks, purchases, cond
+
+
+def stream_click_purchase_join(
+    spark,
+    source_dir: str,
+    schema,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked stream-stream inner join: clicks ⋈ same-user purchases
+    within the trailing ``lookback`` window.
+
+    Both sides carry watermarks and the join has a bounded time-range
+    condition, so Spark can expire buffered state — the required contract
+    for unbounded stream-stream joins; state per side is (rate ×
+    (watermark + lookback)).  The batch twin (same projections, same
+    condition on a static frame) is the correctness oracle in tests.
+    """
+    clicks, purchases, cond = _click_purchase_frames(
+        spark.readStream.schema(schema).parquet(source_dir), lookback
+    )
+    return clicks.withWatermark("c_ts", watermark).join(
+        purchases.withWatermark("p_ts", watermark), cond, "inner"
+    )
+
+
+def batch_click_purchase_join(events, lookback: str = "1 hour"):
+    """The batch twin of :func:`stream_click_purchase_join`."""
+    clicks, purchases, cond = _click_purchase_frames(events, lookback)
+    return clicks.join(purchases, cond, "inner")
+
+
 def stream_running_user_totals_tws(
     spark,
     source_dir: str,
@@ -308,6 +359,8 @@ __all__ = [
     "session_stats",
     "stream_tumbling_counts",
     "stream_dedup_within_watermark",
+    "stream_click_purchase_join",
+    "batch_click_purchase_join",
     "stream_running_user_totals",
     "stream_running_user_totals_tws",
 ]

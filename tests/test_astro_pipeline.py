@@ -158,6 +158,40 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     assert got.event_id.is_unique
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from dataslicer_spark.streaming.events import (
+        batch_click_purchase_join,
+        stream_click_purchase_join,
+    )
+
+    events = load_events(spark, sf_dir).limit(2000).cache()
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in batch_click_purchase_join(events).collect()
+    }
+    assert expected  # fixture must actually produce joined pairs
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        events.write.parquet(src)
+        stream = stream_click_purchase_join(
+            spark, src, spark.read.parquet(src).schema
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql("select click_id, purchase_id from ss_join").collect()
+        }
+    assert got == expected
+
+
 def test_transform_with_state_matches_batch(spark, sf_dir):
     from dataslicer_spark.streaming.events import stream_running_user_totals_tws
 
