@@ -1,0 +1,68 @@
+"""Slowly-changing-dimension (type 2) history from a change log — the
+MERGE-INTO-less lakehouse pattern (no Delta in this environment): pure
+DataFrame ops, so it runs on plain parquet and carries a SQL oracle.
+
+``scd2_history`` turns an append-only change log (key, ts, attributes)
+into one row per (key, version) with ``valid_from`` / ``valid_to``
+(NULL = current), collapsing consecutive rows whose tracked attributes
+did not change.
+
+Scale: one shuffle on the key (both window passes share the same
+partitioning — Catalyst reuses the exchange), no joins, no driver state.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Change log → SCD2 history.
+
+    Rows are versioned per key in (ts, tiebreak) order; a new version
+    starts when any tracked attribute differs from the previous row
+    (NULL-safe comparison).  Output: key + attrs + ``valid_from`` (the
+    change ts) + ``valid_to`` (next change ts; NULL for the current
+    version).  Pass ``tiebreak_col`` when (key, ts) is not unique.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    check_col(keys + [ts_col] + attrs, changes)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    versions = changes.withColumn("__new_version", first | changed).filter(
+        F.col("__new_version")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return versions.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+
+
+def scd2_current(history: DataFrame) -> DataFrame:
+    """The current snapshot: versions with open validity."""
+    check_col(["valid_to"], history)
+    return history.filter(F.col("valid_to").isNull()).drop("valid_to")
+
+
+__all__ = ["scd2_history", "scd2_current"]

@@ -509,6 +509,41 @@ FROM grid ASOF LEFT JOIN obs
 """
 
 
+def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each user's event_type from the event log
+    (operators/scd.py): one row per run of equal consecutive types, with
+    validity interval."""
+    from ..operators.scd import scd2_history
+
+    events = load_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "event_id",
+    )
+    out = scd2_history(
+        events, ["user_id"], "ts_us", ["event_type"], tiebreak_col="event_id"
+    )
+    return out.select("user_id", "event_type", "valid_from", "valid_to")
+
+
+EV_SCD2_SQL = """
+WITH log AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, event_id
+  FROM events),
+flagged AS (
+  SELECT *,
+         LAG(ts_us) OVER w IS NULL
+           OR event_type IS DISTINCT FROM LAG(event_type) OVER w AS new_version
+  FROM log
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+vers AS (SELECT user_id, event_type, ts_us, event_id FROM flagged WHERE new_version)
+SELECT user_id, event_type, ts_us AS valid_from,
+       LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+FROM vers
+"""
+
+
 def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     return session_stats(events, gap="30 minutes")
@@ -681,6 +716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_session_window": ev_session_window,
     "ev_asof_join": ev_asof_join,
     "ev_resample_ffill": ev_resample_ffill,
+    "ev_scd2_history": ev_scd2_history,
 }
 
 ORACLES: dict[str, str] = {
@@ -702,4 +738,5 @@ ORACLES: dict[str, str] = {
     "ev_session_window": EV_SESSION_SQL,
     "ev_asof_join": EV_ASOF_SQL,
     "ev_resample_ffill": EV_RESAMPLE_SQL,
+    "ev_scd2_history": EV_SCD2_SQL,
 }
