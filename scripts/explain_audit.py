@@ -39,6 +39,8 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      ["Window"], ["CartesianProduct", "NestedLoop", "SortMergeJoin"]),
     ("sk_hll_stats", "sketch aggs are JVM partial+final (no Python)",
      ["HashAggregate", "hll_sketch_agg"], ["Python"]),
+    ("ev_scd2_history", "SCD2 is pure windows — one key shuffle, no join",
+     ["Window"], ["Join", "CartesianProduct"]),
 ]
 
 
