@@ -189,6 +189,121 @@ def _kmeans_numpy(M: np.ndarray, k: int, seed: int, n_iter: int = 20) -> np.ndar
     return centroids
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 10_000,
+) -> tuple[np.ndarray, DataFrame]:
+    """Train the IVF coarse quantizer and assign the corpus to inverted
+    lists → ``(centroids, assigned)`` with ``assigned`` columns
+    (vec_id, embedding, norm, list_id).
+
+    The quantizer trains driver-side on a bounded sample (IVF training is
+    always a sampled offline step); centroids ship to executors inside an
+    Arrow UDF closure.  Build once, search many — persist with
+    :func:`save_ivf_index` for cross-job reuse.
+    """
+    check_col([corpus_id, corpus_vec], corpus)
+    sample = corpus.select(corpus_vec).limit(train_sample).collect()
+    M = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    centroids = _kmeans_numpy(M, n_lists, seed)
+
+    @pandas_udf("long")
+    def nearest_list(vs: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1))
+
+    assigned = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("embedding"),
+        F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("norm"),
+        nearest_list(F.col(corpus_vec)).alias("list_id"),
+    )
+    return centroids, assigned
+
+
+def save_ivf_index(centroids: np.ndarray, assigned: DataFrame, path: str) -> None:
+    """Persist the index: inverted lists as ``list_id``-partitioned parquet
+    (so a probe touches only its directories — engine partition pruning)
+    plus a small centroid table."""
+    spark = assigned.sparkSession
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/lists"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id long, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.list_id
+    )
+    centroids = np.array([list(r.centroid) for r in rows], dtype=np.float64)
+    return centroids, spark.read.parquet(f"{path}/lists")
+
+
+def ivf_search(
+    centroids: np.ndarray,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest lists per query and exact-rerank.
+
+    The set of probed lists is collected driver-side (bounded by
+    ``n_lists`` values however many queries there are) and applied as an
+    ``isin`` filter, so a partitioned on-disk index prunes to the probed
+    directories at scan time — each query batch touches
+    ~``n_probe/n_lists`` of the corpus.
+    """
+    check_col([query_id, query_vec], queries)
+    n_probe = min(n_probe, len(centroids))
+
+    @pandas_udf("array<long>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.sqrt(fp_dot(F.col(query_vec), F.col(query_vec))).alias("__qn"),
+        F.explode(probe_lists(F.col(query_vec))).alias("list_id"),
+    ).cache()
+    probed = sorted(r.list_id for r in q.select("list_id").distinct().collect())
+    c = assigned.filter(F.col("list_id").isin(probed))
+
+    joined = c.join(q, "list_id")
+    if not include_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.try_divide(
+            fp_dot(F.col("embedding"), F.col("__qv")), F.col("norm") * F.col("__qn")
+        ),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,62 +318,25 @@ def ivf_topk(
     train_sample: int = 10_000,
     include_self: bool = False,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
-    corpus partitioned into ``n_lists`` inverted lists → each query probes
-    its ``n_probe`` nearest lists → exact cosine re-rank of candidates.
-
-    The quantizer trains driver-side on a bounded sample (IVF training is
-    always a sampled offline step); centroids broadcast to executors as
-    literals inside an Arrow UDF.  At scale the corpus shuffles once on
-    list id (or is written list-partitioned), and each query touches
-    ``n_probe/n_lists`` of the data — the classic IVF trade.
-    """
-    check_col([corpus_id, corpus_vec], corpus)
-    check_col([query_id, query_vec], queries)
-    sample = corpus.select(corpus_vec).limit(train_sample).collect()
-    M = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    centroids = _kmeans_numpy(M, n_lists, seed)
-
-    @pandas_udf("long")
-    def nearest_list(vs: pd.Series) -> pd.Series:
-        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d2.argmin(axis=1))
-
-    @pandas_udf("array<long>")
-    def probe_lists(vs: pd.Series) -> pd.Series:
-        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, : min(n_probe, len(centroids))]
-        return pd.Series(list(order.astype(np.int64)))
-
-    c = corpus.select(
-        F.col(corpus_id).alias("vec_id"),
-        F.col(corpus_vec).alias("__cv"),
-        F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
-        nearest_list(F.col(corpus_vec)).alias("__list"),
+    """One-shot IVF approximate top-k = :func:`build_ivf_index` +
+    :func:`ivf_search` (build once / search many is the production shape —
+    see save/load_ivf_index for the persistent, partition-pruned form)."""
+    centroids, assigned = build_ivf_index(
+        corpus, n_lists, corpus_id, corpus_vec, seed, train_sample
     )
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("__qv"),
-        F.sqrt(fp_dot(F.col(query_vec), F.col(query_vec))).alias("__qn"),
-        F.explode(probe_lists(F.col(query_vec))).alias("__list"),
-    )
-    joined = c.join(q, "__list")
-    if not include_self:
-        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
-    scored = joined.withColumn(
-        "cosine",
-        F.try_divide(fp_dot(F.col("__cv"), F.col("__qv")), F.col("__cn") * F.col("__qn")),
-    ).dropDuplicates(["query_id", "vec_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
+    return ivf_search(
+        centroids, assigned, queries, k, n_probe, query_id, query_vec,
+        include_self,
     )
 
 
-__all__ = ["add_hyperplane_bucket", "cosine_topk", "hyperplane_lsh_topk", "ivf_topk"]
+__all__ = [
+    "add_hyperplane_bucket",
+    "cosine_topk",
+    "hyperplane_lsh_topk",
+    "build_ivf_index",
+    "save_ivf_index",
+    "load_ivf_index",
+    "ivf_search",
+    "ivf_topk",
+]

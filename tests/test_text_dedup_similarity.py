@@ -299,3 +299,54 @@ def test_ivf_topk_recall_on_planted_neighbors(spark, emb):
     top1 = approx[approx["rank"] == 1]
     hits = sum(1 for r in top1.itertuples() if r.vec_id == r.query_id)
     assert hits >= 9  # near-identical queries land in the same/probed lists
+
+
+def test_ivf_index_save_load_roundtrip_and_pruning(spark, emb, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one_shot = ivf_topk(
+        emb, queries, k=5, n_lists=8, n_probe=2, seed=42
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    centroids, assigned = build_ivf_index(emb, n_lists=8, seed=42)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(centroids, assigned, path)
+    c2, a2 = load_ivf_index(spark, path)
+    assert (c2 == centroids).all()
+
+    searched = ivf_search(c2, a2, queries, k=5, n_probe=2).toPandas()
+    searched = searched.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (one_shot[["query_id", "rank", "vec_id"]].to_numpy()
+            == searched[["query_id", "rank", "vec_id"]].to_numpy()).all()
+
+    # probed-list isin filter prunes the partitioned index at scan time:
+    # only the probed list_id directories are read
+    probed = set()
+    X = __import__("numpy").array(
+        [list(r.embedding) for r in queries.collect()], dtype=float
+    )
+    import numpy as np
+
+    d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    for row in np.argsort(d2, axis=1)[:, :2]:
+        probed.update(int(x) for x in row)
+    files = {
+        r[0]
+        for r in a2.filter(F.col("list_id").isin(sorted(probed)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert files
+    assert all(any(f"list_id={p}/" in f for p in probed) for f in files)
