@@ -84,3 +84,50 @@ def test_split_thresholds_monotone():
     t = split_thresholds((0.5, 0.25, 0.25))
     assert t == sorted(t) and len(t) == 2
     assert t[0] == int(0.5 * 2**32)
+
+
+def test_split_weights_property(spark):
+    # arbitrary weight vectors: partition is total and proportions track
+    # weights (fixed-seed sweep; session fixture doesn't compose with @given)
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i,) for i in range(30_000)], "doc_id long"
+    ).cache()
+    for _ in range(3):
+        raw = rng.uniform(0.05, 1.0, rng.integers(2, 5))
+        weights = tuple(raw / raw.sum())
+        names = tuple(f"s{i}" for i in range(len(weights)))
+        got = {
+            r.split: r.n
+            for r in add_split(df, "doc_id", weights, names)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sum(got.values()) == 30_000
+        for w, name in zip(weights, names):
+            frac = got.get(name, 0) / 30_000
+            assert abs(frac - w) < 0.02, (weights, got)
+
+
+def test_pack_documents_random_property(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    for _ in range(3):
+        n = int(rng.integers(5, 200))
+        cap = int(rng.integers(50, 500))
+        toks = rng.integers(1, 120, n)
+        pdf = pd.DataFrame({"doc_id": range(n), "n": toks})
+        out = (
+            pack_documents(spark.createDataFrame(pdf), "doc_id", "n", cap)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        cum = 0
+        for _, r in out.iterrows():
+            assert r.pack_id == cum // cap
+            cum += r.n
