@@ -56,10 +56,21 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     by = list(by_cols)
     check_col(by + [ts_col], left)
-    check_col(by + [ts_col] + list(value_cols), right)
-    overlap = set(value_cols) & set(left.columns)
+    check_col(
+        by + [ts_col] + list(value_cols)
+        + ([tiebreak_col] if tiebreak_col else []),
+        right,
+    )
+    overlap = set(value_cols) | {matched_ts_name}
+    overlap &= set(left.columns)
     if overlap:
-        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+        raise ValueError(
+            f"output columns collide with left columns: {sorted(overlap)}"
+        )
+    # NULL-ts right rows can never satisfy the as-of inequality (SQL ASOF /
+    # merge_asof semantics); without this they'd sort nulls-first and be
+    # picked as "earliest" matches
+    right = right.filter(F.col(ts_col).isNotNull())
 
     # payload struct: leading (ts, tiebreak) make last()'s implicit
     # max-at-equal-sort-position deterministic

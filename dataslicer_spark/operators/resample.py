@@ -31,7 +31,8 @@ def time_grid(
     step_us: int,
 ) -> DataFrame:
     """Per-key regular grid: epoch-microsecond ticks every ``step_us``
-    from each key's first observation (bucket-aligned) to its last.
+    from the bucket of each key's first observation to the bucket of its
+    last (inclusive — pandas ``.resample`` coverage).
 
     Grid ticks are ``floor(ts/step)*step`` multiples — engine-exact
     integer arithmetic (no timestamp rounding ambiguity)."""
@@ -39,12 +40,14 @@ def time_grid(
     spans = df.groupBy(*by_cols).agg(
         F.min(ts_us_col).alias("__lo"), F.max(ts_us_col).alias("__hi")
     )
-    # bucket-align via integer modulo — exact for any int64 epoch (a
-    # double division would round in the 2^50 range, and engines disagree
-    # on int-division semantics: DuckDB's BIGINT cast rounds, Spark's
-    # truncates)
-    start = F.col("__lo") - (F.col("__lo") % step_us)
-    stop = F.col("__hi") - (F.col("__hi") % step_us) + step_us
+    # bucket-align via pmod — exact for any int64 epoch including
+    # pre-1970 negatives (both `%` and a double division would misalign:
+    # `%` follows the dividend's sign, doubles round in the 2^50 range,
+    # and engines disagree on int-division semantics).  The grid ends at
+    # the bucket containing the last observation (pandas .resample
+    # convention).
+    start = F.col("__lo") - F.pmod(F.col("__lo"), F.lit(step_us))
+    stop = F.col("__hi") - F.pmod(F.col("__hi"), F.lit(step_us))
     return spans.select(
         *by_cols,
         F.explode(

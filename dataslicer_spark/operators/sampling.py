@@ -31,31 +31,32 @@ def add_split(
     """Deterministic split assignment by content hash of the id.
 
     ``md5(salt || id)``'s first 8 hex digits → uniform uint32 → bucketed
-    by cumulative weights.  Stable across runs, partitionings, and
+    by cumulative weights (integer thresholds from
+    :func:`split_thresholds` — exact boundaries, no float literal can
+    drift between engines).  Stable across runs, partitionings, and
     engines (md5 is md5 everywhere — this has a DuckDB oracle, unlike
-    ``randomSplit``); changing ``salt`` re-draws the assignment.
+    ``randomSplit``); changing ``salt`` re-draws the assignment.  NULL
+    ids get a NULL split (visible, not silently dumped into a bucket).
     """
     check_col(id_col, df)
     if len(weights) != len(names):
         raise ValueError("weights and names must align")
-    total = float(sum(weights))
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
         16,
         10,
     ).cast("long")
-    # integer thresholds on the uint32 hash — exact boundaries, no float
-    # literal can drift between engines
     expr: Column | None = None
-    acc = 0.0
-    for w, name in zip(weights[:-1], names[:-1]):
-        acc += w / total
-        cond = h < int(acc * (1 << 32))
+    for t, name in zip(split_thresholds(weights), names[:-1]):
+        cond = h < t
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (
         F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
-    return df.withColumn(out_col, expr)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(id_col).isNull(), F.lit(None).cast("string")).otherwise(expr),
+    )
 
 
 def split_thresholds(
@@ -101,8 +102,12 @@ def pack_documents(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     start_offset = cum - F.col(token_col)
-    return df.withColumn(
-        out_col, F.floor(start_offset / F.lit(float(max_tokens))).cast("long")
+    # integer `div` (start_offset ≥ 0, so div == floor) — a double
+    # division would drift past 2^53 cumulative tokens
+    return (
+        df.withColumn("__start_offset", start_offset)
+        .withColumn(out_col, F.expr(f"__start_offset div {int(max_tokens)}"))
+        .drop("__start_offset")
     )
 
 

@@ -46,16 +46,17 @@ def scd2_history(
     changed = F.lit(False)
     for a in attrs:
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
-    first = F.lag(ts_col).over(w).isNull()
+    # row_number, not lag(ts).isNull(): a NULL-ts first row would make the
+    # SECOND row look like a partition start too
+    first = F.row_number().over(w) == 1
     versions = changes.withColumn("__new_version", first | changed).filter(
         F.col("__new_version")
     )
-    w2 = Window.partitionBy(*keys).orderBy(*order)
     return versions.select(
         *keys,
         *attrs,
         F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w).alias("valid_to"),
     )
 
 

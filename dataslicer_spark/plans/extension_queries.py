@@ -497,7 +497,7 @@ obs AS (SELECT user_id, ts_us, value AS obs_value FROM obs0 WHERE rn = 1),
 spans AS (
   SELECT user_id,
          MIN(ts_us) - (MIN(ts_us) % 3600000000) AS lo,
-         MAX(ts_us) - (MAX(ts_us) % 3600000000) + 3600000000 AS hi
+         MAX(ts_us) - (MAX(ts_us) % 3600000000) AS hi
   FROM obs GROUP BY user_id),
 grid AS (
   SELECT user_id, g.grid_ts
@@ -623,7 +623,7 @@ def txt_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TXT_PACK_SQL = r"""
 SELECT doc_id, n_tokens,
-       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
 FROM (
   SELECT doc_id, n_tokens,
          SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum

@@ -52,8 +52,13 @@ def _astropy_table_parser(extension: int, keep_array_cols: bool):
             cols = {}
             for dc in data.columns:
                 vals = data[dc.name]
-                # endianness normalization (reference df_utils.py:66-68)
-                vals = vals.byteswap().newbyteorder() if vals.dtype.byteorder == ">" else vals
+                # endianness normalization (reference df_utils.py:66-68);
+                # numpy-2-safe form (ndarray.newbyteorder was removed)
+                vals = (
+                    vals.byteswap().view(vals.dtype.newbyteorder())
+                    if vals.dtype.byteorder == ">"
+                    else vals
+                )
                 if vals.ndim > 1:
                     if keep_array_cols:
                         cols[dc.name] = list(vals)

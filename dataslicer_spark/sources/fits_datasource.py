@@ -97,8 +97,10 @@ def astropy_fits_parser(extension: int = 1, keep_array_cols: bool = False):
             cols = {}
             for dc in data.columns:
                 vals = data[dc.name]
+                # numpy-2-safe endianness normalization (ndarray
+                # .newbyteorder() was removed; the dtype method remains)
                 vals = (
-                    vals.byteswap().newbyteorder()
+                    vals.byteswap().view(vals.dtype.newbyteorder())
                     if vals.dtype.byteorder == ">"
                     else vals
                 )
@@ -113,11 +115,31 @@ def astropy_fits_parser(extension: int = 1, keep_array_cols: bool = False):
 
 
 def _resolve_parser(spec: str | None, extension: int) -> Callable[[bytes], pd.DataFrame]:
+    """Resolve ``module:callable`` to a ``bytes -> DataFrame`` parser.
+
+    The callable may be the parser itself (first parameter named ``raw``)
+    or a factory taking ``extension`` and returning the parser — detected
+    by signature, so factories like :func:`astropy_fits_parser` receive
+    the configured extension instead of being mistaken for parsers."""
+    import inspect
+
     if not spec:
         return astropy_fits_parser(extension)
     mod, _, attr = spec.partition(":")
     fn = getattr(importlib.import_module(mod), attr)
-    return fn() if attr.endswith("_factory") else fn
+    try:
+        params = list(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        params = []
+    if params and params[0] == "raw":
+        return fn
+    out = fn(extension)
+    if not callable(out):
+        raise TypeError(
+            f"parser spec {spec!r} is neither a parser (first arg 'raw') "
+            f"nor a factory returning one"
+        )
+    return out
 
 
 _COMPARE_OPS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)

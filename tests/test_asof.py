@@ -92,6 +92,28 @@ def test_asof_tolerance_forward(asof_data):
     assert _run(out) == _brute_force(left, right, "forward", tolerance=3)
 
 
+def test_asof_null_ts_right_rows_never_match(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"lid": [0], "key": [1], "ts": [10.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"key": [1, 1], "ts": [None, 20.0], "tb": [1, 2], "rv": [9.0, 8.0]}
+        )
+    )
+    row = asof_join(left, right, "ts", ["key"], ["rv"], tiebreak_col="tb").collect()[0]
+    # the NULL-ts right row must not be treated as an "earliest" match
+    assert row.rv is None and row.matched_ts is None
+
+
+def test_asof_output_collision_raises(spark):
+    left = spark.createDataFrame(pd.DataFrame({"lid": [0], "key": [1], "ts": [1],
+                                               "matched_ts": [0]}))
+    right = spark.createDataFrame(pd.DataFrame({"key": [1], "ts": [1], "rv": [1.0]}))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "ts", ["key"], ["rv"])
+
+
 def test_asof_tie_determinism(spark):
     # two right rows at the same (key, ts): the larger tiebreak wins
     left = spark.createDataFrame(pd.DataFrame({"lid": [0], "key": [1], "ts": [10]}))

@@ -15,9 +15,9 @@ def test_time_grid_covers_span(spark):
     )
     grid = time_grid(df, "ts", ["k"], step_us=1000).toPandas()
     g1 = sorted(grid[grid.k == 1].grid_ts)
-    assert g1 == [0, 1000, 2000, 3000]  # aligned lo..hi+step inclusive
+    assert g1 == [0, 1000, 2000]  # buckets of first..last obs inclusive
     g2 = sorted(grid[grid.k == 2].grid_ts)
-    assert g2 == [0, 1000]
+    assert g2 == [0]
 
 
 def test_resample_matches_pandas(spark):
@@ -41,7 +41,7 @@ def test_resample_matches_pandas(spark):
     for k, grp in obs.groupby("k"):
         grp = grp.sort_values("ts")
         lo = grp.ts.min() - grp.ts.min() % step
-        hi = grp.ts.max() - grp.ts.max() % step + step
+        hi = grp.ts.max() - grp.ts.max() % step
         ticks = np.arange(lo, hi + 1, step)
         # pandas ground truth: merge_asof onto the grid
         expect = pd.merge_asof(
@@ -64,4 +64,15 @@ def test_resample_fills_empty_buckets(spark):
     )
     # ticks 0..4000 carry v=1.0 (forward fill across 4 empty buckets)
     assert out[out.grid_ts < 5000].v.tolist() == [1.0] * 5
-    assert out[out.grid_ts >= 5000].v.tolist() == [2.0, 2.0]
+    assert out[out.grid_ts >= 5000].v.tolist() == [2.0]
+
+
+def test_time_grid_negative_epochs_floor_aligned(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [-2500, 1500]})
+    )
+    grid = sorted(
+        time_grid(df, "ts", ["k"], step_us=1000).toPandas().grid_ts
+    )
+    # floor alignment: bucket of -2500 is -3000 (not -2000)
+    assert grid == [-3000, -2000, -1000, 0, 1000]

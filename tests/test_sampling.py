@@ -131,3 +131,17 @@ def test_pack_documents_random_property(spark):
         for _, r in out.iterrows():
             assert r.pack_id == cum // cap
             cum += r.n
+
+
+def test_split_null_ids_get_null_split(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1.0, 2.0, None]})
+    )
+    out = {r.doc_id: r.split for r in add_split(df, "doc_id").collect()}
+    assert out[1.0] in ("train", "val", "test")
+    import math
+
+    null_rows = [v for k, v in out.items() if k is None or (isinstance(k, float) and math.isnan(k))]
+    assert null_rows == [None]
