@@ -83,8 +83,8 @@ def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TXT_TOKEN_STATS_SQL = rf"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_ws) AS sum_ws_tokens,
-       SUM(n_bpe) AS sum_bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
        MAX(n_ws) AS max_ws_tokens
 FROM (
   SELECT lang,

@@ -29,6 +29,33 @@ def test_query_runs_at_sf0001(spark, name):
         assert n > 0, f"{name} returned 0 rows at sf0.001"
 
 
+def test_oracle_sql_no_hugeint_columns():
+    """DuckDB widens SUM(integer) to HUGEINT (int128); Spark stays BIGINT.
+    Values match but the driver's value-hash serializes the physical type,
+    so any HUGEINT output column flags hash_match=false (round-2 red row
+    txt_token_stats).  Guard: every oracle's output schema must be free of
+    int128 — authors must CAST(SUM(...) AS BIGINT)."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        path = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        huge = [(c, ty) for c, ty, *_ in desc
+                if "INT128" in ty.upper() or "HUGEINT" in ty.upper()]
+        if huge:
+            bad[name] = huge
+    assert not bad, f"oracle SQL returns HUGEINT columns: {bad}"
+
+
 def test_oracle_keys_subset_of_queries():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
