@@ -67,6 +67,12 @@ def asof_join(
         raise ValueError(
             f"output columns collide with left columns: {sorted(overlap)}"
         )
+    internal = {"__side", "__rv", "__m"}
+    clash = internal & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"input columns collide with asof_join internals: {sorted(clash)}"
+        )
     # NULL-ts right rows can never satisfy the as-of inequality (SQL ASOF /
     # merge_asof semantics); without this they'd sort nulls-first and be
     # picked as "earliest" matches

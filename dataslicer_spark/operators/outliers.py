@@ -98,6 +98,27 @@ def bin_by_breaks(
     return df.withColumn(out_col, expr)
 
 
+def _bounded_sample_values(
+    df: DataFrame, col: str, max_sample: int | None
+) -> np.ndarray:
+    """Collect ``col`` to the driver, capped at ``max_sample`` rows no
+    matter how large ``df`` is.
+
+    The cap is enforced DISTRIBUTEDLY: order by a value hash and take the
+    first ``max_sample`` (TakeOrderedAndProject — each executor keeps at
+    most ``max_sample`` rows, the driver merges).  Hash order makes the
+    subset pseudo-random yet deterministic across runs/partitionings —
+    no count-then-sample second job, and the driver never sees more than
+    ``max_sample`` values even at a 10⁶⁺ cluster count.
+    """
+    sel = df.select(F.col(col)).filter(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col))
+    )
+    if max_sample is not None:
+        sel = sel.orderBy(F.xxhash64(F.col(col))).limit(max_sample)
+    return np.asarray([r[0] for r in sel.collect()], dtype=np.float64)
+
+
 def ps1based_outlier_rm_iqr(
     df: DataFrame,
     cal_mag_col: str,
@@ -127,21 +148,7 @@ def ps1based_outlier_rm_iqr(
     )
     per_cluster = per_cluster.cache()
 
-    # One driver action: collect per-cluster means (bounded by cluster
-    # count, not row count) and subsample driver-side if huge — avoids the
-    # count-then-sample second job; jenks_breaks additionally reduces to a
-    # quantile skeleton internally before the quadratic DP.
-    mags = np.asarray(
-        [
-            r.av_mag
-            for r in per_cluster.select("av_mag").collect()
-            if r.av_mag is not None
-        ],
-        dtype=np.float64,
-    )
-    if max_sample is not None and len(mags) > max_sample:
-        rng = np.random.default_rng(7)
-        mags = mags[rng.choice(len(mags), max_sample, replace=False)]
+    mags = _bounded_sample_values(per_cluster, "av_mag", max_sample)
     breaks = jenks_breaks(mags, n_mag_bins)
 
     binned = bin_by_breaks(per_cluster, "av_mag", breaks, out_col="mag_bin")

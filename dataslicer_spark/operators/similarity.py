@@ -281,8 +281,16 @@ def ivf_search(
         F.col(query_vec).alias("__qv"),
         F.sqrt(fp_dot(F.col(query_vec), F.col(query_vec))).alias("__qn"),
         F.explode(probe_lists(F.col(query_vec))).alias("list_id"),
-    ).cache()
-    probed = sorted(r.list_id for r in q.select("list_id").distinct().collect())
+    )
+    # probed lists come from a separate uncached projection: the probe UDF
+    # runs twice (queries are small by contract), but nothing stays pinned
+    # in executor memory across repeated searches on a long-lived session
+    probed = sorted(
+        r.list_id
+        for r in queries.select(
+            F.explode(probe_lists(F.col(query_vec))).alias("list_id")
+        ).distinct().collect()
+    )
     c = assigned.filter(F.col("list_id").isin(probed))
 
     joined = c.join(q, "list_id")

@@ -307,19 +307,51 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline;
-    fixed-point dot products → bit-identical in DuckDB)."""
+    """Embedding-cosine near-dup pairs via the default multi-table
+    sign-LSH path (4 bits × 8 tables, seed 42) + exact fixed-point
+    re-rank.  The planes are seeded literals, so the DuckDB oracle
+    replays the identical buckets → the probabilistic candidate set is
+    still bit-identical cross-engine."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.35)
+    return embedding_near_dup(emb, threshold=0.35, dim=64)
+
+
+def _lsh_planes_values(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """(table, bit, plane) VALUES rows matching _lsh_candidate_pairs'
+    seeded hyperplanes; %.17e literals parse as exact DOUBLEs (decimal
+    literals would go through DECIMAL and lose ulps)."""
+    from ..operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + t)):
+            lit = "[" + ", ".join(f"{x:.17e}" for x in plane) + "]"
+            rows.append(f"({t}, {i}, {lit})")
+    return ",\n".join(rows)
 
 
 DD_EMBEDDING_COSINE_SQL = f"""
-SELECT id_a, id_b, cosine FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ({_sql_fp_dot('a.embedding', 'b.embedding')})
-           / (sqrt({_sql_fp_dot('a.embedding', 'a.embedding')})
-              * sqrt({_sql_fp_dot('b.embedding', 'b.embedding')})) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WITH vecs AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_fp_dot('embedding', 'embedding')}) AS norm
+  FROM embeddings),
+buckets AS (
+  SELECT v.vec_id, p.t,
+         CAST(SUM(CASE WHEN ({_sql_fp_dot('v.embedding', 'p.plane')}) >= 0
+                  THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM vecs v CROSS JOIN (VALUES
+{_lsh_planes_values(64, 4, 8, 42)}) p(t, bit, plane)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       ({_sql_fp_dot('va.embedding', 'vb.embedding')}) / (va.norm * vb.norm)
+         AS cosine
+FROM cand c
+JOIN vecs va ON va.vec_id = c.id_a
+JOIN vecs vb ON vb.vec_id = c.id_b
 WHERE cosine >= 0.35
 """
 

@@ -317,10 +317,24 @@ def stream_running_user_totals_tws(
             "use stream_running_user_totals (applyInPandasWithState) instead"
         ) from e
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # transformWithState only runs on the RocksDB state store.  Setting
+    # providerClass is SESSION-WIDE: it is deliberately NOT set here as a
+    # side effect (it would silently change the state store of every
+    # later-started streaming query on the session) — the caller must opt
+    # in explicitly.
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
+    if spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    ) != rocksdb:
+        raise ValueError(
+            "transformWithStateInPandas requires the RocksDB state store; "
+            "set spark.conf.set('spark.sql.streaming.stateStore."
+            f"providerClass', '{rocksdb}') on the session first (session-"
+            "wide setting — affects all streaming queries)"
+        )
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

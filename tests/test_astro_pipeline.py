@@ -217,6 +217,13 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         "spark.sql.streaming.stateStore.providerClass", None
     )
     try:
+        # transformWithState requires RocksDB; the operator refuses to set
+        # this session-wide config itself — callers opt in explicitly
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         with tempfile.TemporaryDirectory() as d:
             src = os.path.join(d, "in")
             events.write.parquet(src)
@@ -237,6 +244,8 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     got = {r.user_id: (r.total_value, r.n_events) for r in got_rows.itertuples()}
     assert set(got) == set(expected)
     for uid, (tot, n) in expected.items():

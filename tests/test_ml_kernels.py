@@ -204,3 +204,22 @@ def test_photometric_solution_ungrouped(spark):
     assert len(sol) == 1
     assert sol.fit_zp[0] == pytest.approx(20.0, abs=0.01)
     assert sol.fit_clrcoeff[0] == pytest.approx(0.5, abs=0.01)
+
+
+def test_bounded_sample_caps_driver_rows(spark):
+    """The Jenks input collect must stay bounded by max_sample no matter
+    how many clusters exist (100 TB guard: VERDICT r2 #3)."""
+    from dataslicer_spark.operators.outliers import _bounded_sample_values
+
+    big = spark.range(1_000_000).select(
+        (F.col("id").cast("double") / 1000.0).alias("av_mag")
+    )
+    got = _bounded_sample_values(big, "av_mag", 5_000)
+    assert len(got) == 5_000
+    # deterministic across calls (hash order, not sampling RNG state)
+    again = _bounded_sample_values(big, "av_mag", 5_000)
+    assert np.array_equal(np.sort(got), np.sort(again))
+    # uncapped path returns everything
+    small = spark.range(100).select(F.col("id").cast("double").alias("av_mag"))
+    assert len(_bounded_sample_values(small, "av_mag", None)) == 100
+    assert len(_bounded_sample_values(small, "av_mag", 5_000)) == 100
