@@ -195,17 +195,28 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    verify: bool = True,
+    verify: bool | str = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding.
 
     ``bands`` bands of ``num_perm/bands`` rows; docs sharing any band
-    bucket are candidates (P[candidate] ≈ 1−(1−j^r)^b).  Candidates are
-    verified by estimated Jaccard = fraction of equal signature slots
-    (``verify=True``), filtered at ``threshold``.
+    bucket are candidates (P[candidate] ≈ 1−(1−j^r)^b).  Verification of
+    candidates, filtered at ``threshold``:
 
-    Scale: the only shuffles are (band-bucket → ids) and candidate-pair
-    dedup; signatures are fixed-size regardless of document length.
+    - ``verify=True`` — estimated Jaccard = fraction of equal signature
+      slots (cheap, signature-only);
+    - ``verify="exact"`` — true shingle-set Jaccard recomputed for the
+      candidate pairs only (output col ``jaccard``).  The output is then
+      engine-independent: it equals {pairs with exact J ≥ threshold}
+      minus LSH misses, and P[miss | J ≥ t] ≤ (1−t^r)^b — with r=2,
+      b=32, t=0.8 that is < 1e-14 per pair, so a SQL oracle computing
+      the exact-Jaccard pair set matches with near-certainty;
+    - ``verify=False`` — raw candidates.
+
+    Scale: the only shuffles are (band-bucket → ids), candidate-pair
+    dedup, and (exact mode) two id-joins carrying doc-length-bounded
+    shingle arrays for candidates only; signatures are fixed-size
+    regardless of document length.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -239,6 +250,31 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
+    if verify == "exact":
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+        ).filter(F.size("sh") > 0)
+        out = (
+            cand.join(
+                sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (
+                    F.size("sh_a") + F.size("sh_b") - F.col("n_common")
+                ).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.select("id_a", "id_b", "jaccard")
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
     est = (

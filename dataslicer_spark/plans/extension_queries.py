@@ -267,22 +267,53 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (xxhash64 is engine-specific →
-    rows-only check; the recall property is pytest-verified against planted
-    near-duplicates)."""
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    The xxhash64 signatures/buckets are engine-specific, but with
+    ``verify="exact"`` the OUTPUT is the exact-Jaccard pair set minus LSH
+    misses, and at r=2, b=32, t=0.8 the per-pair miss probability is
+    (1−0.64)^32 < 1e-14 — so the DuckDB oracle (exact shingle Jaccard
+    over the same planted corpus) matches with near-certainty, turning
+    the former rows-only check into a full value-hash oracle."""
     docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
     near = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat_ws(
-            " ",
-            F.slice(
-                F.split(F.col("text"), r"\s+"), 1,
-                F.greatest(F.size(F.split(F.col("text"), r"\s+")) - 3, F.lit(1)),
-            ),
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
         ).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(near)
-    return minhash_lsh_pairs(corpus, "doc_id", num_perm=64, bands=16, threshold=0.5)
+    return minhash_lsh_pairs(
+        corpus, "doc_id", num_perm=64, bands=32, threshold=0.8, verify="exact"
+    )
+
+
+DD_MINHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 100000, t[1:greatest(len(t)-3, 1)] AS t FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM corpus, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+"""
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,22 +420,67 @@ WHERE rank <= 5
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer + inverted-list
-    probing + exact re-rank (rows-only; recall pytest-verified)."""
+    """IVF top-k driven end-to-end (k-means index build, list assignment,
+    probed-list collect, exact re-rank) with ``n_probe = n_lists``: probing
+    every list removes only the approximation, so the result provably
+    equals brute-force top-k and the brute-force SQL is a full oracle for
+    the whole IVF machinery.  Pruned probing (n_probe < n_lists) is
+    covered by recall pytests and the partition-pruning plan audit."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=16)
 
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (rows-only; recall pytest-verified)."""
+    """Hyperplane-LSH approximate top-k.  The sign buckets come from
+    seeded plane literals, so the DuckDB oracle replays bucketing,
+    multi-probe, and re-rank exactly — full value-hash check despite the
+    approximate candidate set."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return hyperplane_lsh_topk(emb, queries, k=5, n_planes=8, multiprobe_bits=1)
+
+
+SIM_TOPK_LSH_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_fp_dot('embedding', 'embedding')}) AS norm
+  FROM embeddings),
+buckets AS (
+  SELECT v.vec_id,
+         CAST(SUM(CASE WHEN ({_sql_fp_dot('v.embedding', 'p.plane')}) >= 0
+                  THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM vecs v CROSS JOIN (VALUES
+{_lsh_planes_values(64, 8, 1, 42)}) p(t, bit, plane)
+  GROUP BY 1),
+qprobe AS (
+  SELECT b.vec_id AS query_id,
+         CASE WHEN u.i = 8 THEN b.bucket
+              ELSE xor(b.bucket, CAST(1 << u.i AS BIGINT)) END AS bucket
+  FROM buckets b, UNNEST(range(0, 9)) AS u(i)
+  WHERE b.vec_id < 10),
+cand AS (
+  SELECT DISTINCT p.query_id, cb.vec_id
+  FROM qprobe p
+  JOIN buckets cb ON cb.bucket = p.bucket AND cb.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ({_sql_fp_dot('cv.embedding', 'qv.embedding')})
+           / (cv.norm * qv.norm) AS cosine
+  FROM cand c
+  JOIN vecs cv ON cv.vec_id = c.vec_id
+  JOIN vecs qv ON qv.vec_id = c.query_id)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -673,9 +749,18 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: per-returnflag HLL distinct orderkeys +
-    approx price quartiles — the scale path twin of a6_distinct_stats /
-    a5_iqr_by_bin."""
+    """Mergeable-sketch rollup, self-certified against exact aggregates.
+
+    Runs the sketch scale path (DataSketches HLL distinct counts + KLL-ish
+    approx quartiles, per returnflag) AND its exact twins, and outputs
+    engine-independent values: the exact distinct counts plus booleans
+    asserting each estimate sits within its published bound (HLL lgK=12 →
+    |est/exact−1| ≤ 5% ≈ 3·RSE; percentile_approx accuracy=10⁴ → value
+    between the exact p∓2·10⁻⁴ quantiles).  Both sketches are
+    order-independent (HLL) or deterministically bounded (GK quantiles),
+    so the booleans are TRUE by contract — which the DuckDB oracle can
+    verify with a full value-hash instead of the former rows-only check.
+    The raw-estimate form remains available via functions/sketches.py."""
     from ..functions.sketches import approx_quantiles, hll_distinct
 
     li = _t(spark, sf_dir, "lineitem")
@@ -683,12 +768,50 @@ def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = approx_quantiles(
         li, "l_extendedprice", [0.25, 0.5, 0.75], group_cols=["l_returnflag"]
     )
-    return d.join(q, "l_returnflag").select(
-        "l_returnflag", "n_l_orderkey", "n_l_partkey",
-        F.col("q_l_extendedprice")[0].alias("p25"),
-        F.col("q_l_extendedprice")[1].alias("p50"),
-        F.col("q_l_extendedprice")[2].alias("p75"),
+    eps = 2.0 / 10_000
+    probes = [p + s * eps for p in (0.25, 0.50, 0.75) for s in (-1, 1)]
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orderkey_exact"),
+        F.countDistinct("l_partkey").alias("n_partkey_exact"),
+        F.percentile(
+            F.col("l_extendedprice"), F.array(*[F.lit(p) for p in probes])
+        ).alias("qx"),
     )
+    est = d.join(q, "l_returnflag")
+    out = est.join(exact, "l_returnflag")
+    qv = F.col("q_l_extendedprice")
+
+    def _within(i: int) -> F.Column:
+        return (qv[i] >= F.col("qx")[2 * i]) & (qv[i] <= F.col("qx")[2 * i + 1])
+
+    return out.select(
+        "l_returnflag",
+        "n_orderkey_exact",
+        "n_partkey_exact",
+        (
+            F.abs(F.col("n_l_orderkey") / F.col("n_orderkey_exact") - 1.0) <= 0.05
+        ).alias("hll_orderkey_ok"),
+        (
+            F.abs(F.col("n_l_partkey") / F.col("n_partkey_exact") - 1.0) <= 0.05
+        ).alias("hll_partkey_ok"),
+        _within(0).alias("p25_ok"),
+        _within(1).alias("p50_ok"),
+        _within(2).alias("p75_ok"),
+    )
+
+
+SK_HLL_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orderkey_exact,
+       COUNT(DISTINCT l_partkey) AS n_partkey_exact,
+       TRUE AS hll_orderkey_ok,
+       TRUE AS hll_partkey_ok,
+       TRUE AS p25_ok,
+       TRUE AS p50_ok,
+       TRUE AS p75_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -759,12 +882,21 @@ ORACLES: dict[str, str] = {
     "txt_top_ngrams": TXT_TOP_NGRAMS_SQL,
     "dd_exact": DD_EXACT_SQL,
     "dd_ngram_jaccard": DD_NGRAM_JACCARD_SQL,
-    # dd_minhash_lsh / dd_simhash / sim_topk_lsh: engine-specific hashes →
-    # rows-only (property-tested in pytest instead)
+    # exact-verification output → engine-independent despite xxhash64
+    # candidates (miss probability < 1e-14/pair at r=2 b=32 t=0.8)
+    "dd_minhash_lsh": DD_MINHASH_SQL,
+    # dd_simhash: engine-specific 64-bit hash IS the output → rows-only
+    # (planted-pair recall property-tested in pytest instead)
     "txt_train_split": TXT_TRAIN_SPLIT_SQL,
     "txt_pack_documents": TXT_PACK_SQL,
     "dd_embedding_cosine": DD_EMBEDDING_COSINE_SQL,
     "sim_topk_bruteforce": SIM_TOPK_SQL,
+    # seeded-plane bucket replay → exact oracle for the approximate path
+    "sim_topk_lsh": SIM_TOPK_LSH_SQL,
+    # n_probe = n_lists ⇒ provably equals brute force (see sim_topk_ivf)
+    "sim_topk_ivf": SIM_TOPK_SQL,
+    # exact counts + bound-certification booleans (TRUE by sketch contract)
+    "sk_hll_stats": SK_HLL_SQL,
     "ev_tumbling_window": EV_TUMBLING_SQL,
     "ev_sliding_window": EV_SLIDING_SQL,
     "ev_session_window": EV_SESSION_SQL,
