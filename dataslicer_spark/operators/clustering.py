@@ -27,10 +27,14 @@ MR-DBSCAN / RDD-DBSCAN decomposition):
    deterministic intent).  Every *copy* of a core point reports its
    group's label, so a core point spanning cells yields equivalence edges
    between local labels.
-5. **Union-find** over the (small) local-cluster graph on the driver →
-   global labels.  The cluster graph is orders of magnitude smaller than
-   the point set; at extreme scale swap for an iterative-join connected
-   components — the point-side plan is unchanged.
+5. **Merge** over the local-cluster graph → global labels.  The cluster
+   graph is orders of magnitude smaller than the point set.  Two paths,
+   selected by ``merge_mode``: a driver union-find (fast for the common
+   case of ≤ ~10⁵ local clusters) and a DataFrame-only connected
+   components (min-label propagation + pointer jumping, O(log diameter)
+   join rounds) for when the local-cluster count itself is cluster-scale;
+   ``merge_mode='auto'`` probes with a bounded ``limit()`` collect so the
+   driver never materializes more than ``driver_merge_max_sets`` rows.
 
 Scale notes: both passes shuffle on cell id only; the per-cell kernel is
 O(n_cell²) vectorized numpy — cell size equals eps, so density, not data
@@ -50,7 +54,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -133,6 +137,89 @@ def _explode_sky_cells(pts: DataFrame, x_col: str, y_col: str, cell_deg: float) 
     return out.drop("__ob", "__or", "__band0")
 
 
+def _merge_map_distributed(key_sets_df: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(label_key, __gcid) mapping via DataFrame-only connected components.
+
+    ``key_sets_df`` holds one ``keys: array<string>`` row per distinct
+    per-core-point label-key set (sorted).  Sets of size >1 are the
+    equivalence edges; connectivity of {(keys[0], k) for k in keys[1:]}
+    equals connectivity of the full clique per set.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node takes the min representative over {itself} ∪ neighbors,
+    then shortcuts rep ← rep(rep).  At the fixed point every node in a
+    component carries the component's lexicographically smallest key,
+    identical to the driver union-find's representative choice.  Rounds
+    are plain shuffles; ``localCheckpoint`` truncates the growing lineage.
+    Final dense ids are ``row_number`` over the distinct representatives —
+    a single-partition sort over #components rows, the same driver-scale
+    object the union-find path returns.
+    """
+    pairs = key_sets_df.filter(F.size("keys") > 1).select(
+        F.element_at("keys", 1).alias("a"),
+        F.explode(F.slice("keys", 2, F.size("keys") - 1)).alias("b"),
+    )
+    nbrs = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    labels = (
+        key_sets_df.select(F.explode("keys").alias("node"))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            nbrs.join(labels, nbrs.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        stepped = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
+            labels.node,
+            F.least(labels.rep, F.coalesce(F.col("nrep"), labels.rep)).alias("rep"),
+        )
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("rep").alias("prep")
+        )
+        jumped = (
+            stepped.join(ptr, stepped.rep == ptr.pnode, "left")
+            .select(
+                stepped.node,
+                F.least(
+                    stepped.rep, F.coalesce(F.col("prep"), stepped.rep)
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"DBSCAN merge did not converge in {max_iter} rounds"
+        )
+    rep_ids = (
+        labels.select("rep")
+        .distinct()
+        .withColumn(
+            "__gcid",
+            (F.row_number().over(Window.orderBy("rep")) - 1).cast("long"),
+        )
+    )
+    return labels.join(rep_ids, "rep").select(
+        F.col("node").alias("label_key"), "__gcid"
+    )
+
+
 def dbscan(
     df: DataFrame,
     eps: float,
@@ -144,6 +231,8 @@ def dbscan(
     out_col: str = "clusterID",
     purge_noise: bool = False,
     cell_factor: float = 4.0,
+    merge_mode: str = "auto",
+    driver_merge_max_sets: int = 100_000,
 ) -> DataFrame:
     """Distributed DBSCAN; adds ``out_col`` (long; −1 = noise).
 
@@ -162,7 +251,21 @@ def dbscan(
     fewer, bigger local groups — less per-group (Arrow) overhead for
     sparse data, more O(n_cell²) work for dense data.  Correctness is
     unaffected (cells ≥ eps keep the 3×3 neighborhood complete).
+
+    ``merge_mode``: how local-cluster labels are merged globally.
+    ``'driver'`` collects the distinct core key-sets into a driver
+    union-find (one action, rows ≤ local-cluster count); ``'distributed'``
+    runs iterative-join connected components with no unbounded collect;
+    ``'auto'`` (default) collects at most ``driver_merge_max_sets + 1``
+    rows via ``limit()`` and falls back to the distributed path when the
+    cap is exceeded.  Both paths produce identical labels (component
+    representative = lexicographically smallest local key; ASCII keys, so
+    Python and UTF8-binary string orderings agree).
     """
+    if merge_mode not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"merge_mode must be 'auto', 'driver' or 'distributed', got {merge_mode!r}"
+        )
     check_col([id_col, x_col, y_col], df)
     pts, eeps, ndim = _project(df, x_col, y_col, coord, eps)
     if coord == "sky":
@@ -355,56 +458,70 @@ def dbscan(
     labeled = labeled.cache()
 
     # ---- merge: equivalence edges via multi-cell core points --------------
-    # One driver action for both the merge edges AND the key universe:
-    # distinct per-core-point key *sets*.  Every non-null label key is
-    # emitted by at least one core row (border labels reuse their core
-    # neighbor's key), so the union of the sets is the key universe, and
-    # sets with >1 element are exactly the multi-cell equivalence edges.
-    # Row count ≤ number of local clusters — same driver-side scale as the
-    # point count never appears.
-    key_sets = (
+    # The merge input is the distinct per-core-point key *sets*.  Every
+    # non-null label key is emitted by at least one core row (border labels
+    # reuse their core neighbor's key), so the union of the sets is the key
+    # universe, and sets with >1 element are exactly the multi-cell
+    # equivalence edges.  Row count ≤ number of local clusters — the point
+    # count never appears on the driver.
+    key_sets_df = (
         labeled.filter(F.col("is_core"))
         .groupBy("id")
         .agg(F.array_sort(F.collect_set("label_key")).alias("keys"))
         .select("keys")
         .distinct()
-        .collect()
     )
-    parent: dict[str, str] = {}
+    key_sets = None
+    if merge_mode == "driver":
+        key_sets = key_sets_df.collect()
+    elif merge_mode == "auto":
+        probe = key_sets_df.limit(driver_merge_max_sets + 1).collect()
+        if len(probe) <= driver_merge_max_sets:
+            key_sets = probe
 
-    def ufind(k: str) -> str:
-        root = k
-        while parent.setdefault(root, root) != root:
-            root = parent[root]
-        while parent[k] != root:
-            parent[k], k = root, parent[k]
-        return root
+    if key_sets is not None:
+        # driver union-find: one bounded action over the local-cluster graph
+        parent: dict[str, str] = {}
 
-    all_keys_set: set[str] = set()
-    for row in key_sets:
-        keys = row.keys
-        all_keys_set.update(keys)
-        if len(keys) < 2:
-            continue
-        r0 = ufind(keys[0])
-        for k in keys[1:]:
-            r = ufind(k)
-            if r != r0:
-                a, b = sorted((r, r0))
-                parent[b] = a
-                r0 = a
+        def ufind(k: str) -> str:
+            root = k
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[k] != root:
+                parent[k], k = root, parent[k]
+            return root
 
-    all_keys = sorted(all_keys_set)
-    rep = {k: ufind(k) for k in all_keys}
-    reps_sorted = sorted(set(rep.values()))
-    global_id = {r: i for i, r in enumerate(reps_sorted)}
-    mapping = [(k, global_id[rep[k]]) for k in all_keys]
-    spark = df.sparkSession
-    map_df = spark.createDataFrame(mapping, "label_key string, __gcid long")
+        all_keys_set: set[str] = set()
+        for row in key_sets:
+            keys = row.keys
+            all_keys_set.update(keys)
+            if len(keys) < 2:
+                continue
+            r0 = ufind(keys[0])
+            for k in keys[1:]:
+                r = ufind(k)
+                if r != r0:
+                    a, b = sorted((r, r0))
+                    parent[b] = a
+                    r0 = a
+
+        all_keys = sorted(all_keys_set)
+        rep = {k: ufind(k) for k in all_keys}
+        reps_sorted = sorted(set(rep.values()))
+        global_id = {r: i for i, r in enumerate(reps_sorted)}
+        mapping = [(k, global_id[rep[k]]) for k in all_keys]
+        spark = df.sparkSession
+        map_df = F.broadcast(
+            spark.createDataFrame(mapping, "label_key string, __gcid long")
+        )
+    else:
+        # iterative-join connected components; the mapping can be large, so
+        # the join below is a plain shuffle join (no broadcast)
+        map_df = _merge_map_distributed(key_sets_df)
 
     home_labels = (
         labeled.filter(F.col("is_home"))
-        .join(F.broadcast(map_df), on="label_key", how="left")
+        .join(map_df, on="label_key", how="left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("__gcid"), F.lit(-1)).alias(out_col),

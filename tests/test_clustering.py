@@ -139,6 +139,59 @@ def test_dbscan_labels_deterministic(spark):
     assert (a.clusterID.to_numpy() == b.clusterID.to_numpy()).all()
 
 
+@pytest.mark.parametrize("merge_mode", ["driver", "distributed"])
+def test_dbscan_merge_paths_identical(spark, merge_mode):
+    """Both merge paths must produce byte-identical labels — including a
+    long chain cluster threading dozens of grid cells (worst case for the
+    iterative merge: component diameter ≈ cell count)."""
+    rng = np.random.default_rng(31)
+    # chain: points every 0.8 < eps=1 along x → one cluster over ~40 cells
+    chain = np.column_stack([np.arange(0, 40, 0.8), np.zeros(50)])
+    clumps = np.concatenate(
+        [c + rng.normal(0, 0.3, (8, 2)) for c in rng.uniform(0, 60, (6, 2))]
+    )
+    noise = rng.uniform(0, 60, (25, 2))
+    pts = np.concatenate([chain, clumps, noise])
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "pid long, x double, y double",
+    )
+    kw = dict(eps=1.0, min_samples=2, id_col="pid", x_col="x", y_col="y",
+              coord="planar")
+    got = (
+        dbscan(df, merge_mode=merge_mode, **kw)
+        .select("pid", "clusterID").toPandas().set_index("pid").clusterID
+    )
+    is_core, expect = brute_dbscan(pts, 1.0, 2)
+    assert _partition(got.index, got.to_numpy()) == _partition(
+        np.arange(len(pts)), expect
+    )
+    assert set(got.index[got == -1]) == set(np.where(expect == -1)[0])
+    # labels (not just partitions) must match the driver path exactly
+    if merge_mode == "distributed":
+        drv = (
+            dbscan(df, merge_mode="driver", **kw)
+            .select("pid", "clusterID").toPandas().set_index("pid").clusterID
+        )
+        assert (got.sort_index().to_numpy() == drv.sort_index().to_numpy()).all()
+
+
+def test_dbscan_auto_falls_back_to_distributed(spark):
+    """auto with a tiny driver cap must still be correct (forces the
+    distributed merge through the public default path)."""
+    pts = [(0, 0.0, 0.0), (1, 0.5, 0.0), (2, 1.0, 0.0), (3, 30.0, 30.0),
+           (4, 30.5, 30.0), (5, 90.0, 90.0)]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    out = dbscan(df, eps=1.0, min_samples=2, id_col="pid", x_col="x",
+                 y_col="y", coord="planar", merge_mode="auto",
+                 driver_merge_max_sets=1)
+    got = {r.pid: r.clusterID for r in out.collect()}
+    assert got[0] == got[1] == got[2] != -1
+    assert got[3] == got[4] != -1
+    assert got[0] != got[3]
+    assert got[5] == -1
+
+
 @pytest.mark.parametrize("min_samples", [2, 5])
 def test_dbscan_dense_single_cell_chunked(spark, min_samples):
     """A pathologically dense cell (4k points inside one eps-ball) must
