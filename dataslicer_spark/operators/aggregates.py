@@ -147,21 +147,61 @@ def calibration_quality(
 
 
 def iqr_by_bin(
-    df: DataFrame, bin_col: str, value_col: str
+    df: DataFrame,
+    bin_col: str,
+    value_col: str,
+    method: str = "auto",
+    approx_threshold: int = 100_000,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """A5 — per-bin inter-quartile range and median.
 
-    Reference: ``_objtable_methods.py:345-358``.  Exact percentiles (bins are
-    few after aggregation); swap to ``approx_percentile`` if bins carry
-    billions of rows.
+    Reference: ``_objtable_methods.py:345-358``.
+
+    Spark's exact ``percentile`` buffers every value of a group in executor
+    memory — correct for post-aggregation bins, an OOM at 100 TB.
+    ``method`` gates the physical strategy:
+
+    - ``'exact'``: exact interpolated percentiles (cross-engine
+      deterministic — the oracle path).
+    - ``'approx'``: ``percentile_approx`` (KLL-style mergeable summary,
+      bounded memory, rank error ≤ n/``accuracy``; partial+final agg, no
+      per-group buffering).
+    - ``'auto'`` (default): one cheap count-only probe (map-side combined,
+      no value buffering) picks exact when the largest bin holds ≤
+      ``approx_threshold`` rows, approx above.  Callers that know their
+      scale should pass ``method`` explicitly and skip the probe scan.
     """
     check_col([bin_col, value_col], df)
+    if method not in ("auto", "exact", "approx"):
+        raise ValueError(
+            f"method must be 'auto', 'exact' or 'approx', got {method!r}"
+        )
+    if method == "auto":
+        biggest = (
+            df.groupBy(bin_col).count().agg(F.max("count")).first()[0] or 0
+        )
+        method = "exact" if biggest <= approx_threshold else "approx"
     c = F.col(value_col)
-    return df.groupBy(bin_col).agg(
-        (F.percentile(c, F.lit(0.75)) - F.percentile(c, F.lit(0.25))).alias(
-            f"iqr_{value_col}"
-        ),
-        F.median(c).alias(f"median_{value_col}"),
+    if method == "exact":
+        return df.groupBy(bin_col).agg(
+            (F.percentile(c, F.lit(0.75)) - F.percentile(c, F.lit(0.25))).alias(
+                f"iqr_{value_col}"
+            ),
+            F.median(c).alias(f"median_{value_col}"),
+        )
+    # one KLL summary per group, quartiles read out of the single sketch
+    qs = F.percentile_approx(
+        c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(accuracy)
+    )
+    return (
+        df.groupBy(bin_col)
+        .agg(qs.alias("__q"))
+        .select(
+            bin_col,
+            (F.col("__q")[2] - F.col("__q")[0]).alias(f"iqr_{value_col}"),
+            F.col("__q")[1].alias(f"median_{value_col}"),
+        )
     )
 
 

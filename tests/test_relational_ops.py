@@ -267,3 +267,59 @@ def test_salted_join_equals_plain(spark):
     assert got.count() == expect.count()
     assert got.agg(F.sum("payload"), F.sum("attr")).collect() == \
         expect.agg(F.sum("payload"), F.sum("attr")).collect()
+
+
+# ---- A5 iqr_by_bin: exact vs approx gate ---------------------------------
+
+
+def test_iqr_by_bin_auto_gate_and_accuracy(spark):
+    """auto must pick exact below the threshold (matching numpy linear
+    interpolation) and approx above it (within the KLL rank-error bound)."""
+    from dataslicer_spark.operators.aggregates import iqr_by_bin
+
+    rng = np.random.default_rng(7)
+    big = rng.uniform(0.0, 1.0, 50_000)  # one bin above threshold=10k
+    small = rng.normal(5.0, 1.0, 500)  # one bin below
+    pdf = pd.DataFrame(
+        {
+            "b": ["big"] * len(big) + ["small"] * len(small),
+            "v": np.concatenate([big, small]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    exact = (
+        iqr_by_bin(df, "b", "v", method="exact")
+        .toPandas().set_index("b").sort_index()
+    )
+    for name, arr in (("big", big), ("small", small)):
+        q25, q50, q75 = np.percentile(arr, [25, 50, 75])
+        assert exact.loc[name, "iqr_v"] == pytest.approx(q75 - q25, abs=1e-12)
+        assert exact.loc[name, "median_v"] == pytest.approx(q50, abs=1e-12)
+
+    # auto with a low threshold → approx path; rank error ≤ n/accuracy
+    # (uniform data: value error ≈ rank fraction, generous 50x margin)
+    approx = (
+        iqr_by_bin(df, "b", "v", method="auto", approx_threshold=10_000,
+                   accuracy=10_000)
+        .toPandas().set_index("b").sort_index()
+    )
+    q25, q50, q75 = np.percentile(big, [25, 50, 75])
+    assert approx.loc["big", "iqr_v"] == pytest.approx(q75 - q25, abs=0.05)
+    assert approx.loc["big", "median_v"] == pytest.approx(q50, abs=0.05)
+    # approx returns actual data values, not interpolations — never exact
+    # equality asserted; exact path must be bit-stable for the oracle
+    auto_small = iqr_by_bin(
+        df.filter(F.col("b") == "small"), "b", "v", method="auto",
+        approx_threshold=10_000,
+    ).toPandas().set_index("b")
+    assert auto_small.loc["small", "iqr_v"] == exact.loc["small", "iqr_v"]
+    assert auto_small.loc["small", "median_v"] == exact.loc["small", "median_v"]
+
+
+def test_iqr_by_bin_bad_method(spark):
+    from dataslicer_spark.operators.aggregates import iqr_by_bin
+
+    df = spark.createDataFrame([("a", 1.0)], "b string, v double")
+    with pytest.raises(ValueError, match="method"):
+        iqr_by_bin(df, "b", "v", method="banana")
