@@ -301,16 +301,33 @@ def minhash_lsh_pairs(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def simhash64(text: Column, n: int = 2) -> Column:
-    """64-bit SimHash over word n-gram xxhash64 values: bit k of the result
+def simhash64(text: Column, n: int = 2, hash_mode: str = "xxhash64") -> Column:
+    """64-bit SimHash over word n-gram hash values: bit k of the result
     is the majority vote of shingle-hash bit k.
 
-    Shingle hashing stays JVM-side (xxhash64 in codegen); the 64-way bit
-    majority runs as an Arrow pandas UDF over the hash arrays — a single
+    Shingle hashing stays JVM-side (codegen); the 64-way bit majority
+    runs as an Arrow pandas UDF over the hash arrays — a single
     (n_shingles × 64) numpy reduction per row, versus 64 chained HOF
     filter passes in pure expressions (~50× slower measured).
+
+    ``hash_mode``: ``'xxhash64'`` (default, fastest) is Spark-specific;
+    ``'md5'`` derives a 60-bit hash from the first 15 hex chars of
+    ``md5(shingle)`` — slower, but every engine with md5 reproduces it
+    bit-for-bit (the DuckDB oracle replays the full fingerprint), and the
+    fingerprint stays below 2⁶⁰ so all bit ops remain in signed-64 range.
+    The pigeonhole chunking in ``simhash_pairs`` is width-agnostic.
     """
-    hashes = F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+    if hash_mode == "xxhash64":
+        hashes = F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+    elif hash_mode == "md5":
+        hashes = F.transform(
+            word_shingles(text, n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        raise ValueError(
+            f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}"
+        )
 
     @pandas_udf("long")
     def simhash_udf(hs: pd.Series) -> pd.Series:
@@ -357,18 +374,22 @@ def simhash_pairs(
     text_col: str = "text",
     n: int = 2,
     max_hamming: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation by chunk banding (pigeonhole: split 64 bits into
     ``max_hamming+1`` chunks — any pair within the distance agrees on at
     least one full chunk), then exact popcount verification.
+    ``hash_mode='md5'`` makes the whole pipeline engine-reproducible (see
+    ``simhash64``).
     """
     check_col([id_col, text_col], df)
     chunks = max_hamming + 1
     width = 64 // chunks
     hashed = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), n, hash_mode=hash_mode).alias("sh"),
     ).filter(F.col("sh").isNotNull()).cache()
     bucketed = hashed.select(
         "id",

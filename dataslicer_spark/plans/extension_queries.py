@@ -317,24 +317,58 @@ WHERE CAST(n_common AS DOUBLE)
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤k pairs over the near-dup corpus (engine-specific
-    hash → rows-only)."""
+    """SimHash Hamming-≤k pairs over the near-dup corpus.
+
+    ``hash_mode='md5'`` makes the 60-bit shingle hashes (first 15 hex
+    chars of md5) — and therefore the fingerprints, the pigeonhole
+    buckets, AND the surviving pair set — bit-identical across engines,
+    so the DuckDB oracle replays the entire pipeline in SQL."""
     docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
     near = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat_ws(
-            " ",
-            F.slice(
-                F.split(F.col("text"), r"\s+"), 1,
-                F.greatest(F.size(F.split(F.col("text"), r"\s+")) - 2, F.lit(1)),
-            ),
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
         ).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(near)
     # max_hamming=3 → 4 chunks of 16 bits: 64k bucket values keep the
     # candidate join sparse (6-bit-wide chunks at max_hamming=6 put ~100
     # docs per bucket → tens of millions of candidate pairs)
-    return simhash_pairs(corpus, "doc_id", n=2, max_hamming=3)
+    return simhash_pairs(corpus, "doc_id", n=2, max_hamming=3, hash_mode="md5")
+
+
+DD_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 100000, t[1:greatest(len(t)-2, 1)] AS t FROM toks),
+sh AS (  -- word bigrams, duplicates kept (majority vote is weighted)
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS s
+  FROM corpus, UNNEST(range(1, len(t))) AS u(i)),
+hs AS (  -- 60-bit hash: first 15 hex chars of md5, as in simhash64('md5')
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+bitsum AS (
+  SELECT doc_id, i, SUM((h >> i) & 1) AS n1, COUNT(*) AS n
+  FROM hs, UNNEST(range(0, 60)) AS u(i)
+  GROUP BY doc_id, i),
+fp AS (  -- strict majority per bit, matching the numpy kernel
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2*n1 > n THEN (CAST(1 AS BIGINT) << i)
+                       ELSE 0 END) AS BIGINT) AS f
+  FROM bitsum GROUP BY doc_id),
+ch AS (
+  SELECT doc_id, f, c, (f >> CAST(c*16 AS INTEGER)) & 65535 AS val
+  FROM fp, UNNEST(range(0, 4)) AS u(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+  FROM ch a JOIN ch b ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
 
 
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,8 +919,8 @@ ORACLES: dict[str, str] = {
     # exact-verification output → engine-independent despite xxhash64
     # candidates (miss probability < 1e-14/pair at r=2 b=32 t=0.8)
     "dd_minhash_lsh": DD_MINHASH_SQL,
-    # dd_simhash: engine-specific 64-bit hash IS the output → rows-only
-    # (planted-pair recall property-tested in pytest instead)
+    # md5-derived 60-bit hashes → full fingerprint replay in SQL
+    "dd_simhash": DD_SIMHASH_SQL,
     "txt_train_split": TXT_TRAIN_SPLIT_SQL,
     "txt_pack_documents": TXT_PACK_SQL,
     "dd_embedding_cosine": DD_EMBEDDING_COSINE_SQL,

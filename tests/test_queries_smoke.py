@@ -60,9 +60,7 @@ def test_oracle_keys_subset_of_queries():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     # every non-oracle query is a documented engine-specific op:
-    # dd_simhash's output IS the engine hash; mm's fake codec is
-    # PCG-seeded numpy; the astro pipeline contains DBSCAN/Jenks
+    # mm's fake codec is PCG-seeded numpy; the astro pipeline
+    # contains DBSCAN/Jenks (no SQL twin)
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {
-        "dd_simhash", "astro_flagship_pipeline", "mm_image_features",
-    }
+    assert rows_only <= {"astro_flagship_pipeline", "mm_image_features"}

@@ -199,6 +199,30 @@ def test_simhash_near_dup(spark):
     assert (1, 3) not in found
 
 
+def test_simhash_md5_mode_same_semantics(spark):
+    """hash_mode='md5' (the oracle-replayable 60-bit variant) must keep
+    the near-dup/far separation; fingerprints stay below 2^60."""
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.operators.dedup import simhash64
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tonight")),
+        (3, "completely different words about spark and parquet files here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = simhash_pairs(df, "id", max_hamming=12, hash_mode="md5").toPandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+    fps = df.select(simhash64(F.col("text"), 2, hash_mode="md5").alias("f")).collect()
+    assert all(0 <= r.f < 2**60 for r in fps)
+    with pytest.raises(ValueError, match="hash_mode"):
+        simhash_pairs(df, "id", hash_mode="sha9000").toPandas()
+
+
 def test_embedding_near_dup_and_fp_dot(spark, emb):
     # fp_dot equals numpy dot to quantization precision
     pdf = emb.limit(20).toPandas()
