@@ -848,6 +848,34 @@ GROUP BY l_returnflag
 """
 
 
+# Replays sha_cycle_decoder + extract_image_features exactly: pixel j of
+# the 8x8x3 fake image is digest byte j%32, so each of the 32 sha256
+# bytes appears 6 times; s = 6*s32, ssq = 6*ssq32, n = 192.  The feature
+# math uses the same fixed IEEE op sequence as the Python kernel
+# (mean = s/n; var = (ssq - s*s/n)/n; std = sqrt(var) if var > 0) so the
+# doubles agree bit-for-bit — no rounding needed.
+MM_IMAGE_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+           (strpos('0123456789abcdef', h[2*i+1]) - 1) * 16
+           + (strpos('0123456789abcdef', h[2*i+2]) - 1)) AS bytes
+  FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+), s AS (
+  SELECT doc_id,
+         6 * list_sum(bytes) AS s,
+         6 * list_sum(list_transform(bytes, x -> x * x)) AS ssq
+  FROM b
+)
+SELECT doc_id,
+       CAST(s AS DOUBLE) / 192 AS mean_intensity,
+       CASE WHEN (CAST(ssq AS DOUBLE) - CAST(s * s AS DOUBLE) / 192) / 192 > 0
+            THEN sqrt((CAST(ssq AS DOUBLE) - CAST(s * s AS DOUBLE) / 192) / 192)
+            ELSE 0.0 END AS std_intensity
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (documents' bytes as stand-in blobs; deterministic
 # fake codec — real codecs are one-argument swaps, see sources/multimodal)
@@ -855,13 +883,15 @@ GROUP BY l_returnflag
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode → feature-extraction plumbing end-to-end:
-    blobs (document bytes) → mapInPandas decode (seeded fake codec) →
-    per-image intensity features.  Rows-only (the fake codec is
-    hash-seeded, not SQL-expressible)."""
+    blobs (document bytes) → mapInPandas decode → per-image intensity
+    features.  Uses the SQL-replayable ``sha_cycle_decoder`` (pixel j =
+    digest byte j%32), so DuckDB reproduces the full decode + exact-sum
+    feature math bit-for-bit — a value-hash oracle for the multimodal
+    path, not just a rows-only check."""
     from ..sources.multimodal import (
         decode_media,
-        deterministic_fake_decoder,
         extract_image_features,
+        sha_cycle_decoder,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -869,12 +899,12 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("path"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
-    decoded = decode_media(blobs, decoder=deterministic_fake_decoder)
+    decoded = decode_media(blobs, decoder=sha_cycle_decoder)
     feats = extract_image_features(decoded)
     return feats.select(
         F.col("path").cast("long").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
-        F.round("std_intensity", 6).alias("std_intensity"),
+        F.col("mean_intensity"),
+        F.col("std_intensity"),
     )
 
 
@@ -931,6 +961,8 @@ ORACLES: dict[str, str] = {
     "sim_topk_ivf": SIM_TOPK_SQL,
     # exact counts + bound-certification booleans (TRUE by sketch contract)
     "sk_hll_stats": SK_HLL_SQL,
+    # sha-cycle decode replay → bit-identical feature doubles (see SQL)
+    "mm_image_features": MM_IMAGE_FEATURES_SQL,
     "ev_tumbling_window": EV_TUMBLING_SQL,
     "ev_sliding_window": EV_SLIDING_SQL,
     "ev_session_window": EV_SESSION_SQL,

@@ -18,6 +18,7 @@ tested end-to-end.  Swapping in a real codec changes one argument.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Callable, Iterator
 
 import numpy as np
@@ -79,6 +80,22 @@ def deterministic_fake_decoder(
     seed = int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, (height, width, channels), dtype=np.uint8)
+
+
+def sha_cycle_decoder(
+    raw: bytes, height: int = 8, width: int = 8, channels: int = 3
+) -> np.ndarray:
+    """SQL-replayable stand-in codec: pixel ``j`` is byte ``j % 32`` of the
+    blob's sha256 digest.  Unlike :func:`deterministic_fake_decoder` (which
+    routes the digest through numpy's PCG64, opaque to SQL), every pixel
+    here is recomputable in any engine with a ``sha256`` function — DuckDB
+    replays the full decode + feature math, giving the multimodal pipeline
+    a value-level cross-engine oracle instead of a rows-only check."""
+    digest = hashlib.sha256(raw).digest()
+    n = height * width * channels
+    reps = -(-n // len(digest))  # ceil
+    flat = np.frombuffer(digest * reps, dtype=np.uint8)[:n]
+    return flat.reshape(height, width, channels)
 
 
 DECODED_SCHEMA = T.StructType(
@@ -146,7 +163,14 @@ FEATURES_SCHEMA = T.StructType(
 def extract_image_features(decoded: DataFrame) -> DataFrame:
     """Per-image intensity statistics from decoded pixel arrays — the
     feature-extraction stage's plumbing (swap the numpy body for a real
-    embedding model's batch inference; the Spark shape is identical)."""
+    embedding model's batch inference; the Spark shape is identical).
+
+    Statistics are computed from *exact integer* pixel sums (``s``,
+    ``ssq`` are exact in int64 for any image < 2^53 total intensity) and
+    a fixed IEEE op sequence — ``mean = s/n``, ``std = sqrt((ssq -
+    s*s/n)/n)`` (population std, matching ``np.std`` ddof=0) — so the
+    same formula in another engine reproduces the doubles bit-for-bit.
+    """
     check_col(["path", "pixels", "height", "width", "n_channels"], decoded)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -157,15 +181,22 @@ def extract_image_features(decoded: DataFrame) -> DataFrame:
                     rows.append(dict(path=r.path, mean_intensity=None,
                                      std_intensity=None, channel_means=None))
                     continue
-                arr = np.asarray(r.pixels, dtype=np.float64).reshape(
+                arr = np.asarray(r.pixels, dtype=np.int64).reshape(
                     r.height, r.width, r.n_channels
                 )
+                n = arr.size
+                s = int(arr.sum())
+                ssq = int((arr * arr).sum())
+                var = (ssq - s * s / n) / n
                 rows.append(
                     dict(
                         path=r.path,
-                        mean_intensity=float(arr.mean()),
-                        std_intensity=float(arr.std()),
-                        channel_means=[float(x) for x in arr.mean(axis=(0, 1))],
+                        mean_intensity=s / n,
+                        std_intensity=math.sqrt(var) if var > 0 else 0.0,
+                        channel_means=[
+                            int(c) / (n // r.n_channels)
+                            for c in arr.sum(axis=(0, 1))
+                        ],
                     )
                 )
             yield pd.DataFrame(rows)

@@ -262,6 +262,33 @@ def test_decode_and_features_with_fake_codec(media_df):
     assert all(list(x) == list(y) for x, y in zip(a.pixels, b.pixels))
 
 
+def test_sha_cycle_decoder_replayable_features(media_df):
+    """sha_cycle_decoder: pixel j == sha256 digest byte j%32, and the
+    exact-sum feature math matches numpy's float formulas to fp noise —
+    the property the DuckDB mm_image_features oracle relies on."""
+    import hashlib
+
+    from dataslicer_spark.sources.multimodal import sha_cycle_decoder
+
+    decoded = decode_media(media_df, decoder=sha_cycle_decoder)
+    pdf = decoded.toPandas().sort_values("path").reset_index(drop=True)
+    raws = {
+        r.path: bytes(r.content)
+        for r in media_df.select("path", "content").collect()
+    }
+    for r in pdf.itertuples():
+        digest = hashlib.sha256(raws[r.path]).digest()
+        expect = [digest[j % 32] for j in range(8 * 8 * 3)]
+        assert list(r.pixels) == expect
+
+    feats = extract_image_features(decoded).toPandas()
+    for r in feats.itertuples():
+        digest = hashlib.sha256(raws[r.path]).digest()
+        arr = np.array([digest[j % 32] for j in range(192)], dtype=np.float64)
+        assert r.mean_intensity == arr.mean()  # integer sums: exact
+        assert abs(r.std_intensity - arr.std()) < 1e-10
+
+
 def test_frame_sample(media_df):
     frames = frame_sample(media_df, n_frames=3).toPandas()
     assert len(frames) == 18  # 6 blobs × 3 frames
