@@ -90,12 +90,18 @@ def make_astro_fixture(
     return sources, exposures, ps1cal
 
 
-def astro_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def astro_flagship_pipeline(
+    spark: SparkSession, sf_dir: str, return_stages: bool = False
+) -> DataFrame:
     """The full E2 chain; returns a per-band summary (rows-only check — the
     chain includes DBSCAN and Jenks, which have no SQL oracle).
 
     Stage mapping (SURVEY.md §3 E2): P1 → J1 → M1 → A2+J5+J3 → J8 → F1+F2
     → M3 → F2 → J8 → summary agg.
+
+    With ``return_stages=True`` also returns a dict of the named
+    intermediate DataFrames, so tests can pin per-stage row counts
+    (golden invariants per SURVEY §5.4) instead of only rows>0 at the end.
     """
     sources, metadata, ps1cal = make_astro_fixture(spark, sf_dir)
 
@@ -174,7 +180,7 @@ def astro_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # summary per band (the notebook's mag_diff + to_csv step, as an agg)
-    return (
+    summary = (
         final.groupBy("FILTERID")
         .agg(
             F.countDistinct("clusterID").alias("n_clusters"),
@@ -186,6 +192,19 @@ def astro_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("FILTERID")
     )
+    if return_stages:
+        return summary, {
+            "good": good,
+            "enriched": enriched,
+            "clustered": clustered,
+            "centroids": centroids,
+            "matched": matched,
+            "with_match": with_match,
+            "tight": tight,
+            "kept": kept,
+            "final": final,
+        }
+    return summary
 
 
 QUERIES = {"astro_flagship_pipeline": astro_flagship_pipeline}

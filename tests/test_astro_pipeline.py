@@ -40,6 +40,30 @@ def test_astro_pipeline_end_to_end(spark, sf_dir):
         assert 0 <= r.mean_dist2ps1 < 1.0
 
 
+def test_astro_pipeline_stage_golden_counts(spark, sf_dir):
+    """Per-stage row invariants (SURVEY §5.4): the flagship chain's
+    intermediate cardinalities are pinned, not just rows>0 at the end.
+    Golden values captured from a verified sf0.001 run (fixture is fully
+    deterministic from customer.parquet)."""
+    summary, stages = astro_flagship_pipeline(spark, sf_dir, return_stages=True)
+    got = {k: v.count() for k, v in stages.items()}
+    assert got == {
+        "good": 735,        # P1: flags==0 & snr>2 drops 1-in-50 flagged rows
+        "enriched": 735,    # J1 is 1:1 (every OBSID has metadata)
+        "clustered": 735,   # min_samples=2: every star has >=4 epochs left
+        "centroids": 150,   # one centroid per cluster (= per star)
+        "matched": 150,     # every centroid within 3" of its PS1 star
+        "with_match": 735,  # J3 re-attach is 1:1 on clusterID
+        "tight": 735,       # all matches are sub-arcsec here
+        "kept": 665,        # M3 rejects the ~1/97 injected +3mag outliers
+        "final": 665,       # |cal-ps1| < 0.5 keeps all survivors
+    }
+    rows = summary.collect()
+    assert [r.FILTERID for r in rows] == [1, 2, 3]
+    assert [r.n_clusters for r in rows] == [133, 133, 133]
+    assert [r.n_sources for r in rows] == [133, 266, 266]
+
+
 def test_astro_pipeline_rejects_injected_outliers(spark, sf_dir):
     # stars with star_id % 97 == 0 carry a +3 mag reference offset; the
     # IQR pass plus the final 0.5-mag gate must reject every one of them.
