@@ -627,6 +627,38 @@ def embedding_near_dup(
     return out.select("id_a", "id_b", "cosine")
 
 
+def resolve_duplicate_groups(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Pair mining → purge list: the dedup pipeline's final stage.
+
+    Near-dup pairs (from any of the miners above) form a similarity
+    graph; each connected component is one duplicate group and its
+    smallest id is the canonical survivor.  Returns one row per document
+    that appears in any pair:
+
+    ``(doc_id, keep_id, n_members, is_kept)``
+
+    ``is_kept`` FALSE rows are the purge list.  Documents in no pair are
+    trivially kept and not emitted (anti-join the purge list to filter a
+    corpus).  Distributed end-to-end: O(log diameter) label-propagation
+    shuffles (``graph.connected_components``) plus one component-size
+    aggregation — no driver collect, so a 100 TB corpus with millions of
+    duplicate groups resolves without touching the driver.
+    """
+    from .graph import connected_components
+
+    check_col([id_a, id_b], pairs)
+    labels = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "rep").select(
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("keep_id"),
+        "n_members",
+        (F.col("node") == F.col("rep")).alias("is_kept"),
+    )
+
+
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
@@ -636,4 +668,5 @@ __all__ = [
     "simhash_pairs",
     "fp_dot",
     "embedding_near_dup",
+    "resolve_duplicate_groups",
 ]

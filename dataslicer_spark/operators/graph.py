@@ -1,0 +1,88 @@
+"""Generic distributed connected components over an edge DataFrame.
+
+The training-data dedup pipeline needs the step AFTER near-dup pair
+mining (``dedup.py``): pairs form a similarity graph, every connected
+component is one duplicate group, and the group's canonical document is
+the one that survives.  The reference has no analogue (its dedup is
+pandas ``drop_duplicates``); this is the set-based Spark formulation.
+
+Algorithm: min-label propagation with pointer jumping, the same
+construction the DBSCAN merge fallback uses (``clustering.py``,
+``_merge_map_distributed``) but over arbitrary vertex ids instead of
+cell-label strings.  Each round every node takes the min representative
+over {itself} ∪ neighbors, then shortcuts ``rep ← rep(rep)`` — the
+pointer jump halves chain lengths, so rounds are O(log diameter), each a
+plain hash shuffle on the node id.  No driver collect at any point; the
+growing plan lineage is truncated per-round with ``localCheckpoint``.
+At the fixed point every node carries its component's smallest id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """(node, rep) for every vertex in ``edges``; ``rep`` is the smallest
+    vertex id (by the column's natural ordering) in the node's component.
+
+    Vertices appear only via edges — isolated vertices (no pair) are the
+    caller's concern (they are their own representative by definition).
+    """
+    nbrs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # truncate the (possibly expensive) edge-mining lineage once:
+        # every propagation round joins nbrs twice, and without this the
+        # full upstream plan would re-execute each round
+        .localCheckpoint()
+    )
+    labels = (
+        nbrs.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            nbrs.join(labels, nbrs.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        # carry the pre-round rep as `old` so convergence detection is a
+        # filter over the checkpointed result, not another join
+        stepped = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
+            labels.node,
+            labels.rep.alias("old"),
+            F.least(labels.rep, F.coalesce(F.col("nrep"), labels.rep)).alias(
+                "rep"
+            ),
+        )
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("rep").alias("prep")
+        )
+        jumped = (
+            stepped.join(ptr, stepped.rep == ptr.pnode, "left")
+            .select(
+                stepped.node,
+                F.col("old"),
+                F.least(
+                    stepped.rep, F.coalesce(F.col("prep"), stepped.rep)
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter(F.col("rep") != F.col("old")).limit(1).count()
+        labels = jumped.drop("old")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels

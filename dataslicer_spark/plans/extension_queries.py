@@ -30,6 +30,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    resolve_duplicate_groups,
     simhash_pairs,
 )
 from ..operators.asof import asof_join
@@ -263,6 +264,55 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
       >= 0.05
+"""
+
+
+def dd_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline final stage: near-dup pairs → connected components →
+    canonical survivor + purge list.  Distributed min-label propagation
+    (O(log diameter) shuffles, no driver collect); the DuckDB oracle
+    computes the same components via a recursive transitive-closure CTE
+    with MIN-id representatives."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.05)
+    return resolve_duplicate_groups(pairs)
+
+
+# Same pair derivation as DD_NGRAM_JACCARD_SQL, then components via
+# recursive reachability: reach(node, r) holds every node reachable from
+# `node`; MIN(r) per node is the component representative — identical to
+# the Spark side's min-label fixed point.
+DD_RESOLVE_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+        >= 0.05),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+lab AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node),
+csize AS (SELECT rep, COUNT(*) AS n_members FROM lab GROUP BY rep)
+SELECT l.node AS doc_id, l.rep AS keep_id, c.n_members,
+       l.node = l.rep AS is_kept
+FROM lab l JOIN csize c USING (rep)
 """
 
 
@@ -920,6 +970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_top_ngrams": txt_top_ngrams,
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_resolve_groups": dd_resolve_groups,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
@@ -946,6 +997,8 @@ ORACLES: dict[str, str] = {
     "txt_top_ngrams": TXT_TOP_NGRAMS_SQL,
     "dd_exact": DD_EXACT_SQL,
     "dd_ngram_jaccard": DD_NGRAM_JACCARD_SQL,
+    # recursive transitive-closure CTE = min-label propagation fixed point
+    "dd_resolve_groups": DD_RESOLVE_SQL,
     # exact-verification output → engine-independent despite xxhash64
     # candidates (miss probability < 1e-14/pair at r=2 b=32 t=0.8)
     "dd_minhash_lsh": DD_MINHASH_SQL,
