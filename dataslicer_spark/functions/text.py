@@ -186,6 +186,65 @@ def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition ratios — the Gopher/MassiveText filter
+    family (Rae et al. 2021 §A1.1: "fraction of characters in the most
+    common n-gram", duplicate-fraction rules), word-level:
+
+    - ``dup_word_frac`` — fraction of word occurrences that are repeats
+      of an earlier word (``1 − distinct/total``);
+    - ``top_word_frac`` — most frequent word's share of all words;
+    - ``top_bigram_frac`` — most frequent word-bigram's share of all
+      bigrams (NULL for one-word documents).
+
+    Highly repetitive machine-generated or boilerplate text scores high
+    and gets dropped by thresholding downstream.
+
+    Plan: explode grams → (doc, gram) count → per-doc agg; two shuffle
+    stages per gram order, both keyed on the document id, and the two
+    per-doc aggregates join co-partitioned.  No Python, no driver.
+    Fractions are single IEEE divisions of exact integer counts —
+    bit-reproducible in any engine (the DuckDB oracle replays them).
+    """
+    check_col([id_col, text_col], df)
+
+    def per_doc(gram_order: int, n_name: str, top_name: str) -> DataFrame:
+        grams = df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), gram_order)).alias("g"),
+        )
+        counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        agg = [
+            F.sum("c").alias(n_name),
+            F.max("c").alias(top_name),
+        ]
+        if gram_order == 1:
+            agg.append(F.count(F.lit(1)).alias("n_distinct_words"))
+        return counts.groupBy(id_col).agg(*agg)
+
+    w = per_doc(1, "n_words", "top_word_count")
+    b = per_doc(2, "n_bigrams", "top_bigram_count")
+    joined = w.join(b, id_col, "left")
+    return joined.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.col("n_distinct_words"),
+        (
+            (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words")
+        ).alias("dup_word_frac"),
+        (F.col("top_word_count") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("top_bigram_count") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 __all__ = [
     "tokens_ws",
     "token_count_ws",
@@ -195,6 +254,7 @@ __all__ = [
     "add_language_id",
     "normalized_fingerprint",
     "rolling_hash_fingerprint",
+    "repetition_stats",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]

@@ -59,6 +59,34 @@ def add_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str] | str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, stratum size)`` rows per stratum, deterministic.
+
+    Rows are ranked inside each stratum by ``md5(salt || key)`` — a
+    content hash, so the chosen subset is pseudo-random yet identical
+    across runs, partitionings, and engines (unlike ``sampleBy``, which
+    is per-partition Bernoulli: approximate counts AND row-order
+    dependent).  One shuffle on the strata key; each task ranks its
+    strata locally — no global sort, no driver.  ``salt`` re-draws.
+    """
+    if isinstance(strata_cols, str):
+        strata_cols = [strata_cols]
+    check_col([*strata_cols, key_col], df)
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
 def split_thresholds(
     weights: Sequence[float] = (0.9, 0.05, 0.05)
 ) -> list[int]:

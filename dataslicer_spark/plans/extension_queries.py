@@ -132,6 +132,49 @@ FROM (
 """
 
 
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios (dup-word / top-word / top-bigram
+    fractions) — the quality-filter family for machine-generated or
+    boilerplate text."""
+    from ..functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id")
+
+
+TXT_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+words AS (
+  SELECT doc_id, u.w FROM toks, UNNEST(t) AS u(w)),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+wagg AS (
+  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word_count,
+         COUNT(*) AS n_distinct_words
+  FROM wc GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+bc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g),
+bagg AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
+  FROM bc GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       CAST(w.n_distinct_words AS BIGINT) AS n_distinct_words,
+       CAST(w.n_words - w.n_distinct_words AS DOUBLE)
+         / CAST(w.n_words AS DOUBLE) AS dup_word_frac,
+       CAST(w.top_word_count AS DOUBLE)
+         / CAST(w.n_words AS DOUBLE) AS top_word_frac,
+       CAST(b.top_bigram_count AS DOUBLE)
+         / CAST(b.n_bigrams AS DOUBLE) AS top_bigram_frac
+FROM wagg w LEFT JOIN bagg b USING (doc_id)
+"""
+
+
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID; compared against the heuristic's own SQL
     mirror (the ground-truth ``lang`` column is a separate accuracy test)."""
@@ -264,6 +307,77 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
       >= 0.05
+"""
+
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization summarized per vector with exact
+    integer statistics (sum/sumsq/min/max of the quantized values), so
+    the DuckDB oracle checks every quantized element's contribution
+    without comparing array columns."""
+    from ..operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, "vec_id")
+    q = F.col("q_embedding")
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.col("embedding_scale").alias("scale"),
+        F.aggregate(q, zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, zero, lambda a, x: a + (x * x).cast("long")).alias(
+            "q_sumsq"
+        ),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH a AS (
+  SELECT vec_id, embedding AS e,
+         list_max(list_transform(embedding, x -> abs(x))) AS amax
+  FROM embeddings),
+q AS (
+  SELECT vec_id,
+         CAST(len(e) AS INTEGER) AS n_dims,
+         127.0 / NULLIF(CAST(amax AS DOUBLE), 0.0) AS scale,
+         list_transform(e, x ->
+           CAST(round(CAST(x AS DOUBLE)
+                      * (127.0 / NULLIF(CAST(amax AS DOUBLE), 0.0)))
+                AS INTEGER)) AS qv
+  FROM a)
+SELECT vec_id, n_dims, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sumsq,
+       CAST(list_min(qv) AS INTEGER) AS q_min,
+       CAST(list_max(qv) AS INTEGER) AS q_max
+FROM q
+"""
+
+
+def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample: 50 events per event_type, chosen by
+    content hash (engine/partitioning/row-order independent, unlike
+    ``sampleBy``'s Bernoulli draw)."""
+    from ..operators.sampling import stratified_sample
+
+    ev = load_events(spark, sf_dir)
+    out = stratified_sample(ev, "event_type", 50, key_col="event_id")
+    return out.select("event_id", "event_type", "user_id", "value")
+
+
+SAMP_STRATIFIED_SQL = """
+SELECT event_id, event_type, user_id, value
+FROM (
+  SELECT event_id, event_type, user_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR))
+         ) AS rk
+  FROM events)
+WHERE rk <= 50
 """
 
 
@@ -965,6 +1079,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_token_stats": txt_token_stats,
     "txt_quality": txt_quality,
+    "txt_repetition": txt_repetition,
     "txt_langid": txt_langid,
     "txt_fingerprint": txt_fingerprint,
     "txt_top_ngrams": txt_top_ngrams,
@@ -979,6 +1094,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": sim_topk_ivf,
     "txt_train_split": txt_train_split,
     "txt_pack_documents": txt_pack_documents,
+    "samp_stratified": samp_stratified,
+    "emb_quantize": emb_quantize,
     "sk_hll_stats": sk_hll_stats,
     "mm_image_features": mm_image_features,
     "ev_tumbling_window": ev_tumbling_window,
@@ -992,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "txt_token_stats": TXT_TOKEN_STATS_SQL,
     "txt_quality": TXT_QUALITY_SQL,
+    "txt_repetition": TXT_REPETITION_SQL,
     "txt_langid": TXT_LANGID_SQL,
     "txt_fingerprint": TXT_FINGERPRINT_SQL,
     "txt_top_ngrams": TXT_TOP_NGRAMS_SQL,
@@ -1006,6 +1124,8 @@ ORACLES: dict[str, str] = {
     "dd_simhash": DD_SIMHASH_SQL,
     "txt_train_split": TXT_TRAIN_SPLIT_SQL,
     "txt_pack_documents": TXT_PACK_SQL,
+    "samp_stratified": SAMP_STRATIFIED_SQL,
+    "emb_quantize": EMB_QUANTIZE_SQL,
     "dd_embedding_cosine": DD_EMBEDDING_COSINE_SQL,
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     # seeded-plane bucket replay → exact oracle for the approximate path

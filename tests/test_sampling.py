@@ -145,3 +145,61 @@ def test_split_null_ids_get_null_split(spark):
 
     null_rows = [v for k, v in out.items() if k is None or (isinstance(k, float) and math.isnan(k))]
     assert null_rows == [None]
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from dataslicer_spark.operators.sampling import stratified_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    out = stratified_sample(df, "g", 30, key_col="k")
+    counts = {r.g: r.c for r in out.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert counts == {0: 30, 1: 30, 2: 30, 3: 30}
+
+    # partitioning-independent: same subset after a repartition
+    a = {(r.g, r.k) for r in out.collect()}
+    b = {
+        (r.g, r.k)
+        for r in stratified_sample(df.repartition(17), "g", 30, key_col="k").collect()
+    }
+    assert a == b
+
+    # stratum smaller than n: keep all of it
+    small = df.filter((F.col("g") != 0) | (F.col("k") < 8))
+    c2 = {
+        r.g: r.c
+        for r in stratified_sample(small, "g", 30, key_col="k")
+        .groupBy("g").agg(F.count("*").alias("c")).collect()
+    }
+    assert c2[0] == 2  # only k in {0,4} survive the filter for g=0
+    assert c2[1] == c2[2] == c2[3] == 30
+
+    # salt re-draws
+    c = {
+        (r.g, r.k)
+        for r in stratified_sample(df, "g", 30, key_col="k", salt="x").collect()
+    }
+    assert c != a
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(spark):
+    import numpy as np
+
+    from dataslicer_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    vecs.append((99, [0.0] * 16))  # all-zero vector: NULL scale, no blow-up
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_embeddings(df, "vec_id").collect()}
+
+    assert out[99].embedding_scale is None
+    assert all(q is None for q in out[99].q_embedding)
+    for i, v in vecs[:-1]:
+        r = out[i]
+        assert max(abs(q) for q in r.q_embedding) == 127  # amax maps to ±127
+        for x, q in zip(v, r.q_embedding):
+            assert abs(q) <= 127
+            # dequantized value within half a quantization step
+            assert abs(x - q / r.embedding_scale) <= 0.5 / r.embedding_scale + 1e-12
