@@ -38,6 +38,7 @@ from ..operators.sampling import split_thresholds
 from ..operators.similarity import cosine_topk, hyperplane_lsh_topk, ivf_topk
 from ..operators.windows import largest_wins
 from ..streaming.events import (
+    _epoch_us,
     load_events,
     session_stats,
     sliding_window_stats,
@@ -749,8 +750,8 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        F.unix_micros(F.col("matched_ts")).alias("matched_ts"),
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        _epoch_us(F.col("matched_ts")).alias("matched_ts"),
         "purchase_value",
         "purchase_event",
     )
@@ -782,7 +783,7 @@ def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        _epoch_us(F.col("ts")).alias("ts_us"),
         F.col("value").alias("obs_value"),
         "event_id",
     )
@@ -823,7 +824,7 @@ def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_events(spark, sf_dir).select(
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        _epoch_us(F.col("ts")).alias("ts_us"),
         "event_type",
         "event_id",
     )

@@ -26,18 +26,32 @@ _FP = float(2**20)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, normalizing nanosecond timestamps.
+    """Load the events table, normalizing the ``ts`` physical type.
 
-    The driver's parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark 4
-    rejects by default; with ``spark.sql.legacy.parquet.nanosAsLong`` the
-    column reads as epoch-nanos long, converted here to a microsecond
-    timestamp via integer division (``div`` — exact; a double division
-    would lose precision above 2^53 ns)."""
+    The driver's parquet has stored ``ts`` as TIMESTAMP(NANOS) (which
+    Spark 4 rejects by default; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it reads as epoch-nanos long, converted here via exact integer
+    division) and, in later generations, as un-adjusted TIMESTAMP(MICROS)
+    (isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ.  Both
+    are normalized to session-tz TIMESTAMP so epoch arithmetic
+    (``unix_micros``) and event-time windows behave identically across
+    data generations; the session timezone is pinned to UTC
+    (session.py), so the NTZ→TIMESTAMP cast is an exact re-tag."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _epoch_us(col):
+    """``unix_micros`` tolerant of TIMESTAMP_NTZ inputs: the cast re-tags
+    NTZ as session-tz TIMESTAMP (exact — session tz is pinned to UTC) and
+    is a no-op on TIMESTAMP, so callers may pass frames of either type."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def _fp_sum(col):
@@ -61,7 +75,7 @@ def tumbling_window_stats(
             _fp_sum(F.col(value_col)).alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("w.start")).alias("window_start"),
+            _epoch_us(F.col("w.start")).alias("window_start"),
             key_col,
             "n_events",
             "sum_value",
@@ -87,7 +101,7 @@ def sliding_window_stats(
             _fp_sum(F.col(value_col)).alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("w.start")).alias("window_start"),
+            _epoch_us(F.col("w.start")).alias("window_start"),
             key_col,
             "n_events",
             "sum_value",
@@ -119,7 +133,7 @@ def session_stats(
         )
         .select(
             user_col,
-            F.unix_micros(F.col("w.start")).alias("session_start"),
+            _epoch_us(F.col("w.start")).alias("session_start"),
             "n_events",
             "sum_value",
         )
