@@ -1,0 +1,130 @@
+"""Benchmark decontamination: flag training documents that share n-gram
+shingles with an evaluation/benchmark set (north-star training-pipeline
+extension; the reference engine has no corpus-vs-corpus operator — its
+closest surface is the pairwise match in dataslicer/objtable.py, which is
+within-table only).
+
+This is the standard n-gram collision decontamination used for LLM
+training corpora (documented publicly in the GPT-3, PaLM, and Llama
+reports): a training document is *contaminated* when it shares at least
+``min_common`` distinct word n-grams with some eval document.
+
+Scale design — the asymmetry is the whole point:
+
+- The eval/benchmark side is small (thousands of documents, MBs) while
+  the corpus side is the 100 TB table.  Eval shingles are therefore
+  **broadcast**; the corpus is scanned once, exploded to (id, shingle)
+  and hash-joined against the broadcast set map-side — the corpus is
+  never shuffled by shingle.
+- Only colliding (corpus_id, eval_id, shingle) triples survive the
+  broadcast join; the single shuffle aggregates those by pair.  Its size
+  is bounded by true-collision volume, not corpus size.
+- ``max_posting`` optionally drops eval shingles occurring in more than
+  that many eval docs (stop-shingles) — same guard as
+  dedup.ngram_jaccard_pairs.
+- Verification math is exact integer arithmetic (shingle counts), so the
+  result is independent of partitioning and engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+from ..utils import check_col
+
+
+def _shingle_set(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(id, shingle) with per-document distinct shingles."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"),
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    corpus_id: str,
+    eval_id: str,
+    text_col: str = "text",
+    n: int = 8,
+    min_common: int = 1,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """(corpus doc, eval doc) pairs sharing ≥ ``min_common`` distinct
+    n-gram shingles, with overlap statistics.
+
+    Returns columns: ``corpus_id, eval_id, n_common, n_eval_sh,
+    coverage`` where coverage = n_common / n_eval_sh (the fraction of the
+    eval document's shingles present in the training document — the
+    quantity decontamination thresholds are stated in).
+    """
+    check_col([corpus_id, text_col], corpus)
+    check_col([eval_id, text_col], eval_df)
+    ev = _shingle_set(eval_df, eval_id, text_col, n, "__eid")
+    if max_posting is not None:
+        hot = (
+            ev.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_posting)
+            .select("s")
+        )
+        ev = ev.join(hot, "s", "inner")
+    ev_sizes = ev.groupBy("__eid").agg(F.count(F.lit(1)).alias("n_eval_sh"))
+    co = _shingle_set(corpus, corpus_id, text_col, n, "__cid")
+    pairs = (
+        co.join(F.broadcast(ev), "s", "inner")
+        .groupBy("__cid", "__eid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        pairs.join(F.broadcast(ev_sizes), "__eid", "inner")
+        .select(
+            F.col("__cid").alias(corpus_id),
+            F.col("__eid").alias(eval_id),
+            "n_common",
+            "n_eval_sh",
+            (
+                F.col("n_common").cast("double")
+                / F.col("n_eval_sh").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    corpus_id: str,
+    eval_id: str,
+    text_col: str = "text",
+    n: int = 8,
+    min_common: int = 1,
+    max_posting: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the corpus into (clean, contaminated_stats).
+
+    ``clean`` is the corpus minus every document contaminated against any
+    eval document (left-anti join on the flagged id set — one small
+    shuffle of ids, never of bodies).  ``contaminated_stats`` aggregates
+    the pair table per corpus document: how many eval docs it hits and
+    the worst overlap.
+    """
+    pairs = contamination_pairs(
+        corpus, eval_df, corpus_id, eval_id, text_col, n, min_common, max_posting
+    )
+    stats = pairs.groupBy(corpus_id).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("n_common").alias("max_common"),
+        F.max("coverage").alias("max_coverage"),
+    )
+    clean = corpus.join(stats.select(corpus_id), corpus_id, "left_anti")
+    return clean, stats
+
+
+__all__ = ["contamination_pairs", "decontaminate"]

@@ -139,4 +139,124 @@ def pack_documents(
     )
 
 
-__all__ = ["add_split", "split_thresholds", "pack_documents"]
+def temperature_resample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    salt: str = "",
+    weight_scale: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-based source rebalancing: keep a deterministic subset
+    whose per-source share follows ``n_s**alpha`` instead of ``n_s``
+    (alpha < 1 flattens the source mix — the standard multilingual /
+    multi-corpus pretraining reweighting, e.g. the mBERT/XLM-R exponent).
+
+    Math (all exact until one fixed scalar IEEE expression, identical in
+    the DuckDB oracle): per-source counts ``n_s``; integer weights
+    ``w_s = floor(n_s**alpha · weight_scale)``; weight total ``W = Σ w_s``
+    (integer sum — exact and order-free, unlike a float Σ n_s**alpha);
+    per-source keep probability ``p_s = min(1, target_total·w_s/(W·n_s))``
+    where ``target_total = floor(target_fraction · N)``; a row is kept iff
+    ``uint32(md5(salt‖id)) < floor(p_s · 2³²)``.
+
+    Scale: one aggregation over the (tiny) source dimension, broadcast
+    back, then a row-local hash filter — the corpus shuffles zero times.
+    Deterministic in the data: re-partitioned, re-ordered input selects
+    the identical rows.
+    """
+    check_col([source_col, id_col], df)
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    # floor to integer weights so the cross-source total is an exact
+    # integer sum; pow(x, 0.5) is emitted as sqrt (correctly rounded in
+    # IEEE 754, so bit-identical across engines — other exponents are
+    # engine-dependent and excluded from the oracle query)
+    wexpr = (
+        F.sqrt(F.col("__n_s").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n_s").cast("double"), F.lit(float(alpha)))
+    )
+    weights = counts.withColumn(
+        "__w_s", F.floor(wexpr * F.lit(float(weight_scale))).cast("long")
+    )
+    tot = weights.agg(
+        F.sum("__w_s").alias("__w"), F.sum("__n_s").alias("__n")
+    )
+    # single-row cross join (broadcast, not a shuffle) to attach totals
+    per_src = weights.crossJoin(F.broadcast(tot))
+    target_total = F.floor(
+        F.lit(float(target_fraction)) * F.col("__n").cast("double")
+    ).cast("double")
+    p = F.least(
+        F.lit(1.0),
+        target_total
+        * F.col("__w_s").cast("double")
+        / F.col("__w").cast("double")
+        / F.col("__n_s").cast("double"),
+    )
+    thresholds = per_src.select(
+        source_col,
+        F.floor(p * F.lit(4294967296.0)).cast("long").alias("__thr"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thresholds), source_col, "inner")
+        .filter(h < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def quantile_filter_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str] | str,
+    score_col: str,
+    keep_fraction: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of rows per group by score —
+    rank-based CDF filtering (per-language quality cuts in pretraining
+    pipelines).
+
+    Rank-based rather than value-based on purpose: a value threshold from
+    ``percentile(score, q)`` depends on float interpolation (engine- and
+    implementation-specific), while ``row_number`` ordered by
+    ``(score DESC, tiebreak ASC)`` with an integer cutoff
+    ``ceil(keep_fraction · n_g)`` is exact, deterministic, and keeps an
+    exact per-group count.  One shuffle on the group key; group
+    cardinality (languages, sources) is bounded, so window state per key
+    is the group's row count — for very hot groups compose with
+    ``stratified_sample`` first.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    check_col([*group_cols, score_col, tiebreak_col], df)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    wn = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n_g", F.count(F.lit(1)).over(wn))
+        .filter(
+            F.col("__rk")
+            <= F.ceil(F.lit(float(keep_fraction)) * F.col("__n_g").cast("double"))
+        )
+        .drop("__rk", "__n_g")
+    )
+
+
+__all__ = [
+    "add_split",
+    "split_thresholds",
+    "stratified_sample",
+    "pack_documents",
+    "temperature_resample",
+    "quantile_filter_by_group",
+]

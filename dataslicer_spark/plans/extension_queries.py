@@ -1074,6 +1074,162 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# decontamination / resampling / quality-CDF filtering
+# ---------------------------------------------------------------------------
+
+def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): md5-split the
+    corpus into train (80%) / eval (20%), flag train docs sharing ≥ 2
+    distinct 3-gram shingles with any eval doc, and summarize per train
+    doc.  Eval shingles broadcast; the corpus never shuffles by shingle."""
+    from ..operators.decontam import decontaminate
+    from ..operators.sampling import add_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = add_split(
+        docs, "doc_id", weights=(0.8, 0.2), names=("train", "eval"), salt="dc"
+    )
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    ev = split.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    _clean, stats = decontaminate(
+        train, ev, "doc_id", "eval_id", n=3, min_common=2
+    )
+    return stats.select(
+        "doc_id", "n_eval_matches", "max_common", "max_coverage"
+    )
+
+
+_DC_T1 = split_thresholds((0.8, 0.2))[0]
+TXT_DECONTAM_SQL = rf"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN ('0x' || substr(md5('dc' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   < {_DC_T1}
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+toks AS (
+  SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM split WHERE trim(text) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, split, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+ev_sizes AS (
+  SELECT doc_id AS eval_id, COUNT(*) AS n_eval_sh
+  FROM sh WHERE split = 'eval' GROUP BY 1),
+pairs AS (
+  SELECT c.doc_id, e.doc_id AS eval_id, COUNT(*) AS n_common
+  FROM sh c JOIN sh e ON c.s = e.s
+  WHERE c.split = 'train' AND e.split = 'eval'
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       CAST(MAX(n_common) AS BIGINT) AS max_common,
+       MAX(CAST(n_common AS DOUBLE) / CAST(n_eval_sh AS DOUBLE))
+         AS max_coverage
+FROM pairs p JOIN ev_sizes USING (eval_id)
+GROUP BY p.doc_id
+"""
+
+
+def samp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling (α = 0.5) of the corpus source mix
+    (operators/sampling.py): per-source keep probability ∝ √n_s / n_s,
+    selected by content hash — summarized per source with an id-sum so
+    the oracle certifies exact row membership."""
+    from ..operators.sampling import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_resample(
+        docs, "source", "doc_id", alpha=0.5, target_fraction=0.5, salt="tr3"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# mirrors temperature_resample exactly: integer weights w_s = floor(√n_s·2²⁰)
+# (integer Σ — order-free), p = LEAST(1, floor(0.5·N)·w_s/W/n_s) evaluated
+# with the identical IEEE op order, threshold = floor(p·2³²)
+SAMP_TEMPERATURE_SQL = """
+WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_s,
+         CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE)) * 1048576.0) AS BIGINT) AS w_s
+  FROM c),
+t AS (
+  SELECT CAST(SUM(w_s) AS BIGINT) AS big_w, CAST(SUM(n_s) AS BIGINT) AS n
+  FROM w),
+thr AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+                FLOOR(0.5 * CAST(n AS DOUBLE))
+                * CAST(w_s AS DOUBLE) / CAST(big_w AS DOUBLE)
+                / CAST(n_s AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
+  FROM w, t)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents d JOIN thr USING (source)
+WHERE ('0x' || substr(md5('tr3' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < thr
+GROUP BY d.source
+"""
+
+
+def txt_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-CDF cut (operators/sampling.py): keep the top
+    25% of documents per lang by composite quality score, rank-based
+    (exact integer cutoff — no float percentile interpolation)."""
+    from ..functions.text import add_text_quality
+    from ..operators.sampling import quantile_filter_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = add_text_quality(docs)
+    kept = quantile_filter_by_group(
+        scored, "lang", "quality_score", keep_fraction=0.25, tiebreak_col="doc_id"
+    )
+    return kept.select("doc_id", "lang", "quality_score")
+
+
+TXT_QUANTILE_FILTER_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_tokens > 0 THEN
+           LEAST(stops / NULLIF(n_tokens, 0) * 2.5, 1.0) * 0.4
+           + CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.0 END * 0.3
+           + (1 - LEAST(digits / NULLIF(n_chars_m, 0) * 5, 1.0)) * 0.15
+           + (1 - LEAST(punct / NULLIF(n_chars_m, 0) * 5, 1.0)) * 0.15
+         ELSE 0.0 END AS quality_score
+  FROM (
+    SELECT *, (n_chars_m - (n_tokens - 1)) / NULLIF(n_tokens, 0) AS mtl
+    FROM (
+      SELECT doc_id, lang, length(text) AS n_chars_m,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS n_tokens,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+             len(regexp_extract_all(text, '[0-9]')) AS digits,
+             len(regexp_extract_all(text, '(?i){_STOP_PATT}')) AS stops
+      FROM documents))),
+ranked AS (
+  SELECT doc_id, lang, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY quality_score DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_g
+  FROM scored)
+SELECT doc_id, lang, quality_score
+FROM ranked
+WHERE rk <= CEIL(0.25 * CAST(n_g AS DOUBLE))
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1105,6 +1261,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_asof_join": ev_asof_join,
     "ev_resample_ffill": ev_resample_ffill,
     "ev_scd2_history": ev_scd2_history,
+    "txt_decontaminate": txt_decontaminate,
+    "samp_temperature": samp_temperature,
+    "txt_quantile_filter": txt_quantile_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -1143,4 +1302,7 @@ ORACLES: dict[str, str] = {
     "ev_asof_join": EV_ASOF_SQL,
     "ev_resample_ffill": EV_RESAMPLE_SQL,
     "ev_scd2_history": EV_SCD2_SQL,
+    "txt_decontaminate": TXT_DECONTAM_SQL,
+    "samp_temperature": SAMP_TEMPERATURE_SQL,
+    "txt_quantile_filter": TXT_QUANTILE_FILTER_SQL,
 }
