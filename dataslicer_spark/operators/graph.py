@@ -21,17 +21,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    mode: str = "auto",
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, rep) for every vertex in ``edges``; ``rep`` is the smallest
     vertex id (by the column's natural ordering) in the node's component.
 
     Vertices appear only via edges — isolated vertices (no pair) are the
     caller's concern (they are their own representative by definition).
+
+    ``mode``: ``'driver'`` collects the (deduplicated, bidirectional)
+    edge list into a driver union-find — one action, no propagation
+    rounds; ``'distributed'`` always runs iterative min-label propagation;
+    ``'auto'`` (default) probes with a bounded ``limit()`` collect and
+    takes the driver path when the edge count is ≤ ``driver_max_edges``
+    (≈16 MB of long pairs at the default — trivial driver memory), else
+    falls back to the distributed rounds.  Both paths produce identical
+    labels (rep = smallest id in the component).  The same dual-path
+    rationale as the DBSCAN merge (clustering.py): near-dup graphs are
+    orders of magnitude smaller than the corpus, so the driver path is
+    the common case even at large corpus scale, while the distributed
+    path removes the unbounded collect for adversarial graphs.
     """
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"mode must be 'auto', 'driver' or 'distributed', got {mode!r}"
+        )
     nbrs = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -42,6 +65,38 @@ def connected_components(
         # full upstream plan would re-execute each round
         .localCheckpoint()
     )
+    if mode != "distributed":
+        rows = (
+            nbrs.collect()
+            if mode == "driver"
+            else nbrs.limit(driver_max_edges + 1).collect()
+        )
+        if mode == "driver" or len(rows) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(k):
+                root = k
+                while parent.setdefault(root, root) != root:
+                    root = parent[root]
+                while parent[k] != root:
+                    parent[k], k = root, parent[k]
+                return root
+
+            for r in rows:
+                a, b = find(r.u), find(r.v)
+                if a != b:
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            mapping = [(n, find(n)) for n in parent]
+            spark = edges.sparkSession
+            node_type = nbrs.schema["u"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("rep", node_type),
+                ]
+            )
+            return spark.createDataFrame(mapping, schema)
     labels = (
         nbrs.select(F.col("u").alias("node"))
         .distinct()

@@ -26,8 +26,9 @@ def _uf_components(edges):
     return {n: find(n) for n in parent}
 
 
+@pytest.mark.parametrize("mode", ["driver", "distributed", "auto"])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(0, 30, 20), (1, 200, 150), (2, 500, 700)])
-def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges, mode):
     rng = np.random.default_rng(seed)
     edges = [
         (int(a), int(b))
@@ -38,7 +39,7 @@ def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
     ]
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
-        r.node: r.rep for r in connected_components(df).collect()
+        r.node: r.rep for r in connected_components(df, mode=mode).collect()
     }
     # reference: min-id representative per component via union-find, but a
     # union-find root is not necessarily the min id — remap by component
@@ -57,9 +58,22 @@ def test_connected_components_long_chain_converges(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "src long, dst long"
     )
-    got = connected_components(df, max_iter=20).collect()
+    got = connected_components(df, max_iter=20, mode="distributed").collect()
     assert len(got) == n + 1
     assert {r.rep for r in got} == {0}
+
+
+def test_auto_mode_cap_falls_back_to_distributed(spark):
+    """With a tiny driver_max_edges cap, auto must take the distributed
+    path and still produce identical labels."""
+    pairs = [(i, i + 1) for i in range(50)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    a = {r.node: r.rep for r in connected_components(df, mode="driver").collect()}
+    b = {
+        r.node: r.rep
+        for r in connected_components(df, mode="auto", driver_max_edges=5).collect()
+    }
+    assert a == b
 
 
 def test_resolve_duplicate_groups(spark):
