@@ -245,6 +245,98 @@ def repetition_stats(
     )
 
 
+# ---------------------------------------------------------------------------
+# document chunking (sliding token windows)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    stride_tokens: int = 192,
+) -> DataFrame:
+    """Sliding-window chunking: one output row per (document, window) of
+    ``chunk_tokens`` whitespace tokens advancing by ``stride_tokens`` —
+    the context-window split for RAG indexing / long-document training.
+
+    Windows start at 0, stride, 2·stride, …; the last window starts at
+    the largest multiple of stride < n (so the tail is always covered,
+    possibly shorter than ``chunk_tokens``).  Chunk count is exact
+    integer arithmetic (``1 + ceil((n − chunk)/stride)`` via ``div``),
+    never float.  Pure JVM expressions: tokenization, ``sequence`` +
+    ``explode`` for window indices, ``slice`` + ``array_join`` for the
+    chunk text — a map-side-only plan that composes with any downstream
+    partitioning (no shuffle, no Python).  Empty documents emit no rows.
+
+    Output: input id plus ``chunk_id`` (0-based), ``chunk_start`` (0-based
+    token offset), ``n_chunk_tokens``, ``chunk_text``.
+    """
+    if stride_tokens <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride_tokens must be positive")
+    check_col([id_col, text_col], df)
+    tcol = "__toks"
+    # integer ceil((n - chunk)/stride) via `div`; never float
+    n_chunks = F.lit(1) + F.when(
+        F.size(F.col(tcol)) <= chunk_tokens, F.lit(0)
+    ).otherwise(
+        F.expr(
+            f"(size({tcol}) - {int(chunk_tokens)}"
+            f" + {int(stride_tokens)} - 1) div {int(stride_tokens)}"
+        )
+    )
+    out = (
+        df.withColumn(tcol, tokens_ws(F.col(text_col)))
+        .filter(F.size(tcol) > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("chunk_start", F.col("chunk_id") * stride_tokens)
+        .withColumn(
+            "__chunk",
+            F.slice(F.col(tcol), F.col("chunk_start") + 1, F.lit(chunk_tokens)),
+        )
+        .withColumn("n_chunk_tokens", F.size("__chunk"))
+        .withColumn("chunk_text", F.array_join("__chunk", " "))
+        .drop(tcol, "__chunk")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction with counts)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no backreferences/lookahead) so the same patterns run
+# in Spark (java.util.regex) and DuckDB (RE2) byte-identically
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("number", r"\b[0-9]{9,}\b", "<NUMBER>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and ≥9-digit number runs, keeping
+    per-pattern match counts (the audit trail a compliance pass needs).
+
+    Patterns apply in a fixed order (email → ip → number) so their
+    replacements cannot cascade; counts are taken on the ORIGINAL text.
+    Pure regexp expressions — JVM-side, no shuffle, and replayable in any
+    RE2-compatible engine (the patterns avoid Java-only constructs).
+    """
+    check_col(text_col, df)
+    out = df
+    scrubbed = F.col(text_col)
+    for name, patt, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(patt), F.lit(0))),
+        )
+        scrubbed = F.regexp_replace(scrubbed, patt, token)
+    return out.withColumn(out_col, scrubbed)
+
+
 __all__ = [
     "tokens_ws",
     "token_count_ws",
@@ -255,6 +347,9 @@ __all__ = [
     "normalized_fingerprint",
     "rolling_hash_fingerprint",
     "repetition_stats",
+    "chunk_documents",
+    "scrub_pii",
+    "PII_PATTERNS",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]

@@ -627,6 +627,34 @@ def embedding_near_dup(
     return out.select("id_a", "id_b", "cosine")
 
 
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    key: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-corpus exact dedup: drop new documents whose content
+    fingerprint already exists in a reference corpus (incremental-crawl
+    ingestion — the corpus-vs-corpus twin of :func:`exact_dedup`).
+
+    Returns ``(fresh, dropped)``: ``fresh`` = new docs with no fingerprint
+    match in the reference (left-anti join), ``dropped`` = the
+    complement (left-semi).  Only (fingerprint) keys shuffle — document
+    bodies never move — and the reference side reduces to its DISTINCT
+    fingerprints before the join, so a heavily duplicated reference adds
+    no join fanout.
+    """
+    check_col([id_col, text_col], new_df)
+    check_col(text_col, ref_df)
+    k = key if key is not None else normalized_fingerprint(F.col(text_col))
+    new_keyed = new_df.withColumn("__fp", k)
+    ref_keys = ref_df.select(k.alias("__fp")).distinct()
+    fresh = new_keyed.join(ref_keys, "__fp", "left_anti").drop("__fp")
+    dropped = new_keyed.join(ref_keys, "__fp", "left_semi").drop("__fp")
+    return fresh, dropped
+
+
 def resolve_duplicate_groups(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:
@@ -668,5 +696,6 @@ __all__ = [
     "simhash_pairs",
     "fp_dot",
     "embedding_near_dup",
+    "dedup_against",
     "resolve_duplicate_groups",
 ]

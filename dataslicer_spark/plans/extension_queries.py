@@ -26,6 +26,7 @@ from ..functions.text import (
     token_count_ws,
 )
 from ..operators.dedup import (
+    dedup_against,
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_pairs,
@@ -1229,6 +1230,148 @@ WHERE rk <= CEIL(0.25 * CAST(n_g AS DOUBLE))
 """
 
 
+def txt_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (functions/text.py chunk_documents):
+    32-token windows, stride 24; chunk text emitted as an md5 so the
+    oracle certifies exact window content without hashing megabytes."""
+    from ..functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", chunk_tokens=32, stride_tokens=24)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+    )
+
+
+TXT_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+spans AS (
+  SELECT doc_id, t, len(t) AS n,
+         1 + CASE WHEN len(t) <= 32 THEN 0
+                  ELSE (len(t) - 32 + 24 - 1) // 24 END AS n_chunks
+  FROM toks)
+SELECT doc_id,
+       CAST(u.i AS INTEGER) AS chunk_id,
+       CAST(u.i * 24 AS INTEGER) AS chunk_start,
+       CAST(len(t[u.i * 24 + 1 : u.i * 24 + 32]) AS INTEGER)
+         AS n_chunk_tokens,
+       md5(array_to_string(t[u.i * 24 + 1 : u.i * 24 + 32], ' '))
+         AS chunk_fp
+FROM spans, UNNEST(range(0, n_chunks)) AS u(i)
+"""
+
+
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (functions/text.py scrub_pii) over documents
+    with deterministically injected emails / IPs / long numbers (the
+    synthetic corpus contains none); outputs per-doc match counts and
+    the scrubbed-text fingerprint."""
+    from ..functions.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" id 90210"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("77 from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_number",
+        F.md5(F.col("scrubbed")).alias("scrubbed_fp"),
+    )
+
+
+TXT_PII_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' id 90210' || CAST(doc_id AS VARCHAR)
+                      || '77 from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.1' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+       len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS n_number,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9]{9,}\b', '<NUMBER>', 'g')) AS scrubbed_fp
+FROM injected
+"""
+
+
+def dd_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup (operators/dedup.py dedup_against): the
+    'new crawl' = docs 250+ plus re-crawled copies of the first 100 docs
+    under fresh ids; everything fingerprint-matching the reference
+    corpus (docs < 250) is dropped.  Output = surviving new docs."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") < 250)
+    recrawl = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text").unionByName(
+        recrawl
+    )
+    fresh, _dropped = dedup_against(new, ref, "doc_id")
+    return fresh.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+DD_CROSS_CORPUS_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+  FROM documents),
+ref AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+new AS (
+  SELECT doc_id, fingerprint FROM fp WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 500000, fingerprint FROM fp WHERE doc_id < 100)
+SELECT n.doc_id, n.fingerprint
+FROM new n ANTI JOIN ref r ON n.fingerprint = r.fingerprint
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1264,6 +1407,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_decontaminate": txt_decontaminate,
     "samp_temperature": samp_temperature,
     "txt_quantile_filter": txt_quantile_filter,
+    "txt_chunk_documents": txt_chunk_documents,
+    "txt_pii_scrub": txt_pii_scrub,
+    "dd_cross_corpus": dd_cross_corpus,
 }
 
 ORACLES: dict[str, str] = {
@@ -1305,4 +1451,7 @@ ORACLES: dict[str, str] = {
     "txt_decontaminate": TXT_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,
     "txt_quantile_filter": TXT_QUANTILE_FILTER_SQL,
+    "txt_chunk_documents": TXT_CHUNK_SQL,
+    "txt_pii_scrub": TXT_PII_SQL,
+    "dd_cross_corpus": DD_CROSS_CORPUS_SQL,
 }
