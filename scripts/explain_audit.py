@@ -41,6 +41,18 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      ["HashAggregate", "hll_sketch_agg"], ["Python"]),
     ("ev_scd2_history", "SCD2 is pure windows — one key shuffle, no join",
      ["Window"], ["Join", "CartesianProduct"]),
+    ("txt_decontaminate", "eval shingles broadcast — corpus never "
+     "shuffles by shingle",
+     ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    ("samp_temperature", "per-source thresholds broadcast back; corpus "
+     "side is a row-local hash filter",
+     ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("txt_chunk_documents", "chunking is a map-only plan — no shuffle, "
+     "no Python",
+     [], ["Exchange", "Python", "Join"]),
+    ("dd_cross_corpus", "cross-corpus dedup is an anti join on "
+     "fingerprints only",
+     ["LeftAnti"], ["CartesianProduct", "NestedLoop"]),
 ]
 
 
