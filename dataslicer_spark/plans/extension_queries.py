@@ -1372,6 +1372,175 @@ FROM new n ANTI JOIN ref r ON n.fingerprint = r.fingerprint
 """
 
 
+def llm_data_pipeline(
+    spark: SparkSession, sf_dir: str, return_stages: bool = False
+):
+    """The end-to-end LLM training-data pipeline, composed purely from the
+    repo's operators — the training-data twin of the astro flagship, but
+    every stage is SQL-expressible, so the WHOLE chain carries a DuckDB
+    value-hash oracle (the astro flagship is rows-only by necessity).
+
+    exact dedup → per-lang quality CDF cut (keep top 50%) → heldout
+    split + decontamination (≥2 shared 3-grams vs the 10% eval split) →
+    temperature resampling (α=0.5, keep 75%) → train/val/test split →
+    512-token sequence packing per split → per-split summary.
+
+    Scale shape: stages 1–2 shuffle on (fingerprint)/(lang); stage 3
+    broadcasts eval shingles; stage 4 broadcasts per-source thresholds;
+    stage 5 is row-local; packing shuffles once on the split key.  The
+    corpus body never fans out.
+    """
+    from ..functions.text import add_text_quality
+    from ..operators.decontam import decontaminate
+    from ..operators.sampling import (
+        add_split,
+        pack_documents,
+        quantile_filter_by_group,
+        temperature_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s1, _stats = exact_dedup(docs, "doc_id")
+    s2 = quantile_filter_by_group(
+        add_text_quality(s1), "lang", "quality_score", 0.5, "doc_id"
+    ).select("doc_id", "text", "lang", "source")
+    sp = add_split(
+        s2, "doc_id", weights=(0.9, 0.1), names=("pretrain", "eval"), salt="lp"
+    )
+    pre = sp.filter(F.col("split") == "pretrain").drop("split")
+    ev = sp.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    s3, _contam = decontaminate(pre, ev, "doc_id", "eval_id", n=3, min_common=2)
+    s4 = temperature_resample(
+        s3, "source", "doc_id", alpha=0.5, target_fraction=0.75, salt="lp2"
+    )
+    s5 = add_split(s4, "doc_id", salt="lp3").withColumn(
+        "n_tokens", token_count_ws(F.col("text"))
+    )
+    packed = pack_documents(
+        s5, "doc_id", "n_tokens", max_tokens=512, partition_cols=["split"]
+    )
+    summary = (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("split")
+    )
+    if return_stages:
+        return summary, {"s1": s1, "s2": s2, "s3": s3, "s4": s4, "s5": s5}
+    return summary
+
+
+_LP_T1 = split_thresholds((0.9, 0.1))[0]
+LLM_PIPELINE_SQL = rf"""
+WITH fp AS (
+  SELECT doc_id, text, lang, source,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents),
+s1 AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1),
+scored AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN n_tokens > 0 THEN
+           LEAST(stops / NULLIF(n_tokens, 0) * 2.5, 1.0) * 0.4
+           + CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.0 END * 0.3
+           + (1 - LEAST(digits / NULLIF(n_chars_m, 0) * 5, 1.0)) * 0.15
+           + (1 - LEAST(punct / NULLIF(n_chars_m, 0) * 5, 1.0)) * 0.15
+         ELSE 0.0 END AS quality_score
+  FROM (
+    SELECT *, (n_chars_m - (n_tokens - 1)) / NULLIF(n_tokens, 0) AS mtl
+    FROM (
+      SELECT doc_id, text, lang, source, length(text) AS n_chars_m,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS n_tokens,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+             len(regexp_extract_all(text, '[0-9]')) AS digits,
+             len(regexp_extract_all(text, '(?i){_STOP_PATT}')) AS stops
+      FROM s1))),
+s2 AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY quality_score DESC, doc_id ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY lang) AS n_g
+    FROM scored)
+  WHERE rk <= CEIL(0.5 * CAST(n_g AS DOUBLE))),
+sp AS (
+  SELECT *, CASE WHEN ('0x' || substr(md5('lp' || CAST(doc_id AS VARCHAR)),
+                       1, 8))::BIGINT < {_LP_T1}
+                 THEN 'pretrain' ELSE 'eval' END AS split
+  FROM s2),
+toks AS (
+  SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM sp WHERE trim(text) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, split, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+contam AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN sh e ON c.s = e.s
+  WHERE c.split = 'pretrain' AND e.split = 'eval'
+  GROUP BY c.doc_id, e.doc_id
+  HAVING COUNT(*) >= 2),
+s3 AS (
+  SELECT p.doc_id, p.text, p.lang, p.source
+  FROM sp p ANTI JOIN contam x ON p.doc_id = x.doc_id
+  WHERE p.split = 'pretrain'),
+srcc AS (SELECT source, COUNT(*) AS n_s FROM s3 GROUP BY source),
+srcw AS (
+  SELECT source, n_s,
+         CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE)) * 1048576.0) AS BIGINT) AS w_s
+  FROM srcc),
+srct AS (
+  SELECT CAST(SUM(w_s) AS BIGINT) AS big_w, CAST(SUM(n_s) AS BIGINT) AS n
+  FROM srcw),
+thr AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+                FLOOR(0.75 * CAST(n AS DOUBLE))
+                * CAST(w_s AS DOUBLE) / CAST(big_w AS DOUBLE)
+                / CAST(n_s AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
+  FROM srcw, srct),
+s4 AS (
+  SELECT d.doc_id, d.text, d.source FROM s3 d JOIN thr USING (source)
+  WHERE ('0x' || substr(md5('lp2' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        < thr),
+s5 AS (
+  SELECT doc_id,
+         CASE WHEN h < {_T1} THEN 'train'
+              WHEN h < {_T2} THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM (
+    SELECT *, ('0x' || substr(md5('lp3' || CAST(doc_id AS VARCHAR)),
+               1, 8))::BIGINT AS h
+    FROM s4)),
+packed AS (
+  SELECT doc_id, split, n_tokens,
+         CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+  FROM (
+    SELECT *, SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+    FROM s5))
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM packed
+GROUP BY split
+ORDER BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1410,6 +1579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_chunk_documents": txt_chunk_documents,
     "txt_pii_scrub": txt_pii_scrub,
     "dd_cross_corpus": dd_cross_corpus,
+    "llm_data_pipeline": llm_data_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1454,4 +1624,6 @@ ORACLES: dict[str, str] = {
     "txt_chunk_documents": TXT_CHUNK_SQL,
     "txt_pii_scrub": TXT_PII_SQL,
     "dd_cross_corpus": DD_CROSS_CORPUS_SQL,
+    # the full pipeline chain replayed as one CTE cascade
+    "llm_data_pipeline": LLM_PIPELINE_SQL,
 }
