@@ -109,9 +109,16 @@ def astro_flagship_pipeline(
     good = query_df(sources, "flags == 0 and snr > 2")
 
     # J1: metadata enrich on OBSID (dataset.py:206-246)
+    # Cached: DBSCAN's construction actions (merge probe) read it through
+    # cells, and the labeled output re-attaches to it for the full-width
+    # rows — without the cache each of those pays the fixture's long
+    # projection lineage again, and (measured) the flagship's whole-stage
+    # codegen recompiles per action: min-of-2 drops ~20s→~12s at sf0.1.
+    # MEMORY_AND_DISK default: legitimate for a fact table reused by
+    # multiple downstream actions; spills rather than OOMs at scale.
     enriched = merge_metadata_to_sources(
         good, metadata, join_on="OBSID"
-    )
+    ).cache()
 
     # M1: cluster_sources(3", min_samples=2, purge noise) (objtable.py:116-168)
     # Cached: the IQR pass and the two group-quantified filters below each
