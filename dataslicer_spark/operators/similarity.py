@@ -338,6 +338,62 @@ def ivf_topk(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """kNN majority-vote label assignment over an embedding column —
+    pseudo-labeling / auto-labeling for a training pipeline: each query
+    vector takes the most common label among its ``k`` nearest labeled
+    neighbors (exact cosine).
+
+    Deterministic winner selection: most votes, then smallest best rank
+    (the class owning the nearest neighbor wins ties), then label order —
+    all integer comparisons, so the result is engine- and
+    partitioning-independent and carries a SQL oracle.
+
+    Scale: inherits :func:`cosine_topk`'s shape (labeled corpus never
+    shuffles; query batch broadcasts); the vote aggregation shuffles only
+    (query, label) pairs — ≤ k rows per query.  Swap ``cosine_topk`` for
+    the LSH/IVF variants upstream when the corpus outgrows brute force.
+    """
+    check_col([corpus_id, corpus_vec, label_col], corpus)
+    nn = cosine_topk(
+        corpus, queries, k=k, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
+    )
+    labels = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        nn.join(labels, "vec_id")
+        .groupBy("query_id", "__lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.min("rank").alias("best_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("best_rank").asc(), F.col("__lbl").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__lbl").alias("pred_label"),
+            "n_votes",
+            "best_rank",
+        )
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -375,5 +431,6 @@ __all__ = [
     "load_ivf_index",
     "ivf_search",
     "ivf_topk",
+    "knn_classify",
     "quantize_embeddings",
 ]

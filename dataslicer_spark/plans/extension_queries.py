@@ -1372,6 +1372,49 @@ FROM new n ANTI JOIN ref r ON n.fingerprint = r.fingerprint
 """
 
 
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN pseudo-labeling (operators/similarity.knn_classify): vectors
+    with ``vec_id % 20 = 7`` play the unlabeled batch; each takes the
+    majority label of its 5 nearest labeled neighbors by exact cosine."""
+    from ..operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 7)
+    return knn_classify(corpus, queries, "label", k=5)
+
+
+EMB_KNN_SQL = f"""
+WITH nn AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({_sql_fp_dot('c.embedding', 'q.embedding')})
+               / (sqrt({_sql_fp_dot('c.embedding', 'c.embedding')})
+                  * sqrt({_sql_fp_dot('q.embedding', 'q.embedding')})) DESC,
+               c.vec_id ASC) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id % 20 <> 7) c
+    JOIN (SELECT * FROM embeddings WHERE vec_id % 20 = 7) q
+      ON c.vec_id <> q.vec_id)
+  WHERE rank <= 5),
+votes AS (
+  SELECT nn.query_id, e.label AS lbl,
+         CAST(COUNT(*) AS BIGINT) AS n_votes,
+         CAST(MIN(nn.rank) AS INTEGER) AS best_rank
+  FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+  GROUP BY 1, 2)
+SELECT query_id, lbl AS pred_label, n_votes, best_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY n_votes DESC, best_rank ASC, lbl ASC) AS rn
+  FROM votes)
+WHERE rn = 1
+"""
+
+
 def llm_data_pipeline(
     spark: SparkSession, sf_dir: str, return_stages: bool = False
 ):
@@ -1579,6 +1622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_chunk_documents": txt_chunk_documents,
     "txt_pii_scrub": txt_pii_scrub,
     "dd_cross_corpus": dd_cross_corpus,
+    "emb_knn_classify": emb_knn_classify,
     "llm_data_pipeline": llm_data_pipeline,
 }
 
@@ -1624,6 +1668,7 @@ ORACLES: dict[str, str] = {
     "txt_chunk_documents": TXT_CHUNK_SQL,
     "txt_pii_scrub": TXT_PII_SQL,
     "dd_cross_corpus": DD_CROSS_CORPUS_SQL,
+    "emb_knn_classify": EMB_KNN_SQL,
     # the full pipeline chain replayed as one CTE cascade
     "llm_data_pipeline": LLM_PIPELINE_SQL,
 }

@@ -374,3 +374,37 @@ def test_ivf_index_save_load_roundtrip_and_pruning(spark, emb, tmp_path):
     }
     assert files
     assert all(any(f"list_id={p}/" in f for p in probed) for f in files)
+
+
+def test_knn_classify_matches_numpy(emb):
+    from dataslicer_spark.operators.similarity import knn_classify
+
+    queries = emb.filter(F.col("vec_id") % 20 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 7)
+    got = {
+        r.query_id: (r.pred_label, r.n_votes, r.best_rank)
+        for r in knn_classify(corpus, queries, "label", k=5).collect()
+    }
+
+    pdf = corpus.toPandas()
+    qdf = queries.toPandas()
+    M = np.array([list(v) for v in pdf.embedding], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    ids = pdf.vec_id.to_numpy()
+    labels = pdf.label.to_numpy()
+    for _, q in qdf.iterrows():
+        qv = np.asarray(list(q.embedding), dtype=np.float64)
+        cos = (M @ qv) / (norms * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:5]
+        votes = {}
+        for rank, idx in enumerate(order, start=1):
+            lbl = int(labels[idx])
+            n, best = votes.get(lbl, (0, 99))
+            votes[lbl] = (n + 1, min(best, rank))
+        winner = sorted(
+            votes.items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0])
+        )[0]
+        assert got[q.query_id] == (winner[0], winner[1][0], winner[1][1])
+    assert len(got) == len(qdf)
