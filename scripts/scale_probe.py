@@ -152,6 +152,29 @@ def main() -> None:
 
     run("resample_ffill", resample_fn(ev1), resample_fn(ev4))
 
+    # decontamination: the corpus grows 4×, the eval/benchmark set stays
+    # fixed (its real-world shape) — linear-in-corpus is the claim
+    from dataslicer_spark.operators.decontam import contamination_pairs
+    from dataslicer_spark.operators.sampling import temperature_resample
+
+    ev_docs = docs1.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+
+    def decontam_fn(docs):
+        return lambda: contamination_pairs(
+            docs, ev_docs, "doc_id", "eval_id", n=3, min_common=2
+        ).write.format("noop").mode("overwrite").save()
+
+    run("decontaminate", decontam_fn(docs1), decontam_fn(docs4))
+
+    def temper_fn(docs):
+        return lambda: temperature_resample(
+            docs, "source", "doc_id", alpha=0.5, target_fraction=0.5
+        ).write.format("noop").mode("overwrite").save()
+
+    run("temperature_resample", temper_fn(docs1), temper_fn(docs4))
+
 
 if __name__ == "__main__":
     main()
