@@ -53,6 +53,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("dd_cross_corpus", "cross-corpus dedup is an anti join on "
      "fingerprints only",
      ["LeftAnti"], ["CartesianProduct", "NestedLoop"]),
+    ("emb_knn_classify", "kNN scoring broadcasts the query batch "
+     "(corpus never shuffles)",
+     ["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    ("llm_data_pipeline", "pipeline chain: broadcast joins + windows, "
+     "no cartesian anywhere",
+     ["BroadcastHashJoin", "Window", "HashAggregate"],
+     ["CartesianProduct"]),
 ]
 
 
