@@ -139,6 +139,46 @@ def pack_documents(
     )
 
 
+def materialize_packs(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    text_col: str,
+    pack_col: str = "pack_id",
+    partition_cols: Sequence[str] = (),
+    separator: str = " <eos> ",
+) -> DataFrame:
+    """Turn :func:`pack_documents` assignments into the packed sequences a
+    trainer consumes: one row per pack with its documents concatenated in
+    ``id_col`` order, joined by ``separator``.
+
+    One shuffle on the pack key; order inside a pack comes from
+    ``array_sort`` over (id, text) structs — deterministic regardless of
+    partitioning, no window needed.  A pack's token total can exceed the
+    packing window because a document belongs to the chunk it *starts*
+    in (boundary straddling — the standard pretraining layout).
+
+    Output: ``partition_cols + [pack_col, n_docs, total_tokens,
+    pack_text]``.
+    """
+    check_col([id_col, token_col, text_col, pack_col, *partition_cols], df)
+    keys = [*partition_cols, pack_col]
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+            ),
+            lambda x: x[text_col],
+        ),
+        separator,
+    )
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("total_tokens"),
+        seq.alias("pack_text"),
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     source_col: str,
@@ -257,6 +297,7 @@ __all__ = [
     "split_thresholds",
     "stratified_sample",
     "pack_documents",
+    "materialize_packs",
     "temperature_resample",
     "quantile_filter_by_group",
 ]

@@ -1372,6 +1372,49 @@ FROM new n ANTI JOIN ref r ON n.fingerprint = r.fingerprint
 """
 
 
+def txt_materialize_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training sequences (operators/sampling.materialize_packs):
+    512-token packing in doc_id order, then one row per pack with the
+    concatenated text emitted as an md5 fingerprint (the oracle certifies
+    every byte of every sequence without shipping megabytes)."""
+    from ..operators.sampling import materialize_packs, pack_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_ws(F.col("text"))
+    )
+    packed = pack_documents(docs, "doc_id", "n_tokens", max_tokens=512)
+    out = materialize_packs(packed, "doc_id", "n_tokens", "text")
+    return out.select(
+        "pack_id",
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.md5(F.col("pack_text")).alias("pack_fp"),
+    )
+
+
+TXT_MATERIALIZE_PACKS_SQL = r"""
+WITH packed AS (
+  SELECT doc_id, text, n_tokens,
+         CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+  FROM (
+    SELECT doc_id, text, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             AS cum
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS n_tokens
+      FROM documents)))
+SELECT pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS pack_fp
+FROM packed
+GROUP BY pack_id
+"""
+
+
 def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN pseudo-labeling (operators/similarity.knn_classify): vectors
     with ``vec_id % 20 = 7`` play the unlabeled batch; each takes the
@@ -1623,6 +1666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_pii_scrub": txt_pii_scrub,
     "dd_cross_corpus": dd_cross_corpus,
     "emb_knn_classify": emb_knn_classify,
+    "txt_materialize_packs": txt_materialize_packs,
     "llm_data_pipeline": llm_data_pipeline,
 }
 
@@ -1669,6 +1713,7 @@ ORACLES: dict[str, str] = {
     "txt_pii_scrub": TXT_PII_SQL,
     "dd_cross_corpus": DD_CROSS_CORPUS_SQL,
     "emb_knn_classify": EMB_KNN_SQL,
+    "txt_materialize_packs": TXT_MATERIALIZE_PACKS_SQL,
     # the full pipeline chain replayed as one CTE cascade
     "llm_data_pipeline": LLM_PIPELINE_SQL,
 }

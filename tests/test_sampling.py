@@ -203,3 +203,35 @@ def test_quantize_embeddings_bounds_and_reconstruction(spark):
             assert abs(q) <= 127
             # dequantized value within half a quantization step
             assert abs(x - q / r.embedding_scale) <= 0.5 / r.embedding_scale + 1e-12
+
+
+def test_materialize_packs_concatenates_in_id_order(spark):
+    from dataslicer_spark.operators.sampling import materialize_packs
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [3, 1, 2, 10],
+            "n": [4, 2, 3, 1],
+            "text": ["cc", "aa", "bb", "dd"],
+            "pack_id": [0, 0, 0, 1],
+        }
+    )
+    out = {
+        r.pack_id: r
+        for r in materialize_packs(
+            spark.createDataFrame(pdf).repartition(7),
+            "doc_id", "n", "text",
+        ).collect()
+    }
+    assert out[0].pack_text == "aa <eos> bb <eos> cc"
+    assert (out[0].n_docs, out[0].total_tokens) == (3, 9)
+    assert out[1].pack_text == "dd"
+    # deterministic under reordering
+    out2 = {
+        r.pack_id: r.pack_text
+        for r in materialize_packs(
+            spark.createDataFrame(pdf.sample(frac=1.0, random_state=3)),
+            "doc_id", "n", "text",
+        ).collect()
+    }
+    assert out2 == {k: v.pack_text for k, v in out.items()}
