@@ -274,6 +274,13 @@ def chunk_documents(
     """
     if stride_tokens <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride_tokens must be positive")
+    if stride_tokens > chunk_tokens:
+        # stride past the window guarantees uncovered token gaps and an
+        # empty trailing chunk — never what a caller wants
+        raise ValueError(
+            f"stride_tokens ({stride_tokens}) must be <= chunk_tokens "
+            f"({chunk_tokens}); larger strides leave tokens in no chunk"
+        )
     check_col([id_col, text_col], df)
     tcol = "__toks"
     # integer ceil((n - chunk)/stride) via `div`; never float

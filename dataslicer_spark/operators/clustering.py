@@ -143,70 +143,30 @@ def _merge_map_distributed(key_sets_df: DataFrame, max_iter: int = 50) -> DataFr
     ``key_sets_df`` holds one ``keys: array<string>`` row per distinct
     per-core-point label-key set (sorted).  Sets of size >1 are the
     equivalence edges; connectivity of {(keys[0], k) for k in keys[1:]}
-    equals connectivity of the full clique per set.
-
-    Algorithm: min-label propagation with pointer jumping — each round
-    every node takes the min representative over {itself} ∪ neighbors,
-    then shortcuts rep ← rep(rep).  At the fixed point every node in a
-    component carries the component's lexicographically smallest key,
-    identical to the driver union-find's representative choice.  Rounds
-    are plain shuffles; ``localCheckpoint`` truncates the growing lineage.
-    Final dense ids are ``row_number`` over the distinct representatives —
-    a single-partition sort over #components rows, the same driver-scale
-    object the union-find path returns.
+    equals connectivity of the full clique per set.  Components come
+    from :func:`..graph.connected_components` (min-label propagation +
+    pointer jumping, ``mode='distributed'`` — this path is chosen
+    precisely because the graph exceeded the driver budget, so no inner
+    re-probe); singleton keys (in no multi-cell set) are their own
+    representative via the left join.  Final dense ids are ``row_number``
+    over the distinct representatives — a single-partition sort over
+    #components rows, the same driver-scale object the union-find path
+    returns, and identical labels (rep = lexicographically smallest key;
+    ASCII keys, so Python and UTF8-binary orderings agree).
     """
+    from .graph import connected_components
+
     pairs = key_sets_df.filter(F.size("keys") > 1).select(
-        F.element_at("keys", 1).alias("a"),
-        F.explode(F.slice("keys", 2, F.size("keys") - 1)).alias("b"),
+        F.element_at("keys", 1).alias("src"),
+        F.explode(F.slice("keys", 2, F.size("keys") - 1)).alias("dst"),
     )
-    nbrs = (
-        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .distinct()
+    cc = connected_components(
+        pairs, src="src", dst="dst", max_iter=max_iter, mode="distributed"
     )
-    labels = (
-        key_sets_df.select(F.explode("keys").alias("node"))
-        .distinct()
-        .withColumn("rep", F.col("node"))
-        .localCheckpoint()
+    all_keys = key_sets_df.select(F.explode("keys").alias("node")).distinct()
+    labels = all_keys.join(cc, "node", "left").select(
+        "node", F.coalesce(F.col("rep"), F.col("node")).alias("rep")
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            nbrs.join(labels, nbrs.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("rep").alias("nrep"))
-        )
-        stepped = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
-            labels.node,
-            F.least(labels.rep, F.coalesce(F.col("nrep"), labels.rep)).alias("rep"),
-        )
-        ptr = stepped.select(
-            F.col("node").alias("pnode"), F.col("rep").alias("prep")
-        )
-        jumped = (
-            stepped.join(ptr, stepped.rep == ptr.pnode, "left")
-            .select(
-                stepped.node,
-                F.least(
-                    stepped.rep, F.coalesce(F.col("prep"), stepped.rep)
-                ).alias("rep"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"DBSCAN merge did not converge in {max_iter} rounds"
-        )
     rep_ids = (
         labels.select("rep")
         .distinct()

@@ -220,6 +220,10 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
+    if verify not in (True, False, "exact"):
+        raise ValueError(
+            f"verify must be True, False or 'exact', got {verify!r}"
+        )
     r = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
     bucketed = sigs.select(
@@ -584,6 +588,9 @@ def embedding_near_dup(
     Cosines use fixed-point arithmetic → cross-engine exact either way.
     """
     check_col([id_col, vec_col], df)
+    # NULL vectors can't be scored (np.stack in the fixed-point kernel
+    # would raise); drop them up front like the join paths drop unmatched
+    df = df.filter(F.col(vec_col).isNotNull())
     if exact and df.count() <= max_matrix_rows:
         return _matrix_pairwise_cosine(df, id_col, vec_col, threshold)
     norms = df.select(
@@ -603,7 +610,15 @@ def embedding_near_dup(
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            probe = df.select(vec_col).first()
+            if probe is None:
+                # empty corpus → no pairs (schema-stable, id type preserved)
+                return norms.select(
+                    F.col("id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).limit(0)
+            dim = len(probe[0])
         cand = _lsh_candidate_pairs(norms, n_planes, n_tables, seed, dim)
         pairs = cand.join(
             norms.select(

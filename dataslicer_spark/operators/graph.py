@@ -66,12 +66,15 @@ def connected_components(
         .localCheckpoint()
     )
     if mode != "distributed":
+        # nbrs holds BOTH directions of every undirected edge, so the
+        # probe budget is 2× the documented edge cap
+        cap = 2 * driver_max_edges
         rows = (
             nbrs.collect()
             if mode == "driver"
-            else nbrs.limit(driver_max_edges + 1).collect()
+            else nbrs.limit(cap + 1).collect()
         )
-        if mode == "driver" or len(rows) <= driver_max_edges:
+        if mode == "driver" or len(rows) <= cap:
             parent: dict = {}
 
             def find(k):

@@ -74,12 +74,18 @@ def stratified_sample(
     is per-partition Bernoulli: approximate counts AND row-order
     dependent).  One shuffle on the strata key; each task ranks its
     strata locally — no global sort, no driver.  ``salt`` re-draws.
+
+    Determinism requires ``key_col`` to uniquely identify rows (a
+    primary key): rows sharing a key value hash identically and their
+    relative order at the ``n_per_stratum`` boundary is then
+    partition-dependent.  (``key_col`` itself is the secondary sort, so
+    distinct keys never depend on scan order even under hash collision.)
     """
     if isinstance(strata_cols, str):
         strata_cols = [strata_cols]
     check_col([*strata_cols, key_col], df)
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    w = Window.partitionBy(*strata_cols).orderBy(h)
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(key_col))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_stratum)

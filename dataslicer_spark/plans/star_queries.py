@@ -458,7 +458,12 @@ ORDER BY l_returnflag, l_linestatus
 def a5_iqr_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — per-bin IQR + median (_objtable_methods.py:345-358)."""
     li = _t(spark, sf_dir, "lineitem")
-    out = iqr_by_bin(li, bin_col="l_returnflag", value_col="l_extendedprice")
+    # method pinned: the oracle needs exact percentiles, and 'auto' would
+    # pay a count-probe scan per run just to rediscover that
+    out = iqr_by_bin(
+        li, bin_col="l_returnflag", value_col="l_extendedprice",
+        method="exact",
+    )
     return out.select(
         "l_returnflag",
         F.round("iqr_l_extendedprice", 6).alias("iqr_price"),

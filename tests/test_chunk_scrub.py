@@ -67,6 +67,9 @@ def test_chunk_documents_validates_params(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
     with pytest.raises(ValueError, match="positive"):
         chunk_documents(df, "doc_id", chunk_tokens=0)
+    # stride past the window would leave token gaps -> rejected
+    with pytest.raises(ValueError, match="stride_tokens"):
+        chunk_documents(df, "doc_id", chunk_tokens=2, stride_tokens=8)
 
 
 def test_scrub_pii_counts_and_redaction(spark):

@@ -408,3 +408,20 @@ def test_knn_classify_matches_numpy(emb):
         )[0]
         assert got[q.query_id] == (winner[0], winner[1][0], winner[1][1])
     assert len(got) == len(qdf)
+
+
+def test_minhash_verify_mode_validated(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="verify"):
+        minhash_lsh_pairs(df, "doc_id", verify="Exact")
+
+
+def test_embedding_near_dup_empty_and_null_vectors(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_dup(empty).count() == 0
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_near_dup(withnull, threshold=0.9, n_tables=16)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 3)}
