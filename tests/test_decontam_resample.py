@@ -171,3 +171,62 @@ def test_quantile_filter_by_group_exact_counts(spark):
     assert set(out[out.g == "b"].doc_id) == want_b
     a_rows = pdf[pdf.g == "a"].sort_values(["score", "doc_id"], ascending=[False, True])
     assert set(out[out.g == "a"].doc_id) == set(a_rows.head(8).doc_id)
+
+
+def test_temperature_resample_edge_fractions(spark):
+    rows = [(i, "a") for i in range(200)] + [(200 + i, "b") for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    # alpha=1, target 1.0: p_s = 1 exactly for every source -> all kept.
+    # (With alpha<1 and target 1.0 some mass is lost by design: small
+    # sources clip at p=1 and the surplus is not redistributed.)
+    assert (
+        temperature_resample(
+            df, "source", "doc_id", alpha=1.0, target_fraction=1.0
+        ).count()
+        == 250
+    )
+    flattened = temperature_resample(
+        df, "source", "doc_id", alpha=0.5, target_fraction=1.0
+    )
+    by_src = {r.source: r.n for r in flattened.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["b"] == 50 and by_src["a"] < 200  # clip keeps b whole
+    # target 0.0: floor(0 * N) = 0 -> threshold 0 -> nothing kept
+    assert (
+        temperature_resample(df, "source", "doc_id", target_fraction=0.0).count()
+        == 0
+    )
+    # single source: reduces to plain hash subsampling near the target
+    single = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(2000), "source": ["x"] * 2000})
+    )
+    n = temperature_resample(
+        single, "source", "doc_id", target_fraction=0.5
+    ).count()
+    assert abs(n - 1000) < 100
+
+
+def test_temperature_resample_alpha_one_preserves_mix(spark):
+    # alpha=1: weights proportional to n_s -> uniform keep probability
+    rows = [(i, "a") for i in range(1000)] + [(1000 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    out = temperature_resample(
+        df, "source", "doc_id", alpha=1.0, target_fraction=0.5
+    )
+    frac = {
+        r.source: r.n / (1000 if r.source == "a" else 100)
+        for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert abs(frac["a"] - frac["b"]) < 0.15
+
+
+def test_quantile_filter_empty_and_single_row_groups(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "g": ["only"], "score": [0.5]})
+    )
+    # ceil(0.25 * 1) = 1 -> the lone row survives
+    assert quantile_filter_by_group(df, "g", "score", 0.25, "doc_id").count() == 1
+    empty = df.filter(F.col("doc_id") < 0)
+    assert quantile_filter_by_group(empty, "g", "score", 0.25, "doc_id").count() == 0
