@@ -882,6 +882,225 @@ GROUP BY user_id, session_id
 """
 
 
+def ev_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling count/sum/max of each user's purchase
+    values — native RANGE window over integer epoch-µs (one key shuffle,
+    no time-range self-join fanout; operators/timeseries.py)."""
+    from ..operators.timeseries import rolling_window_stats
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", _epoch_us(F.col("ts")).alias("ts_us"), "value"
+    )
+    out = rolling_window_stats(
+        purchases, "ts_us", ["user_id"], "value", width_us=3_600_000_000
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "roll_n", "roll_sum", "roll_max"
+    )
+
+
+EV_ROLLING_SQL = """
+SELECT event_id, user_id, ts_us,
+       COUNT(*) OVER w AS roll_n,
+       CAST(SUM(CAST(FLOOR(value * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
+            OVER w AS DOUBLE) / CAST(1048576.0 AS DOUBLE) AS roll_sum,
+       MAX(value) OVER w AS roll_max
+FROM (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events WHERE event_type = 'purchase')
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase within 7 days of the first
+    view (operators/timeseries.py: chained window minima over one
+    exchange)."""
+    from ..operators.timeseries import funnel_conversion
+
+    events = load_events(spark, sf_dir).select(
+        "user_id", _epoch_us(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    return funnel_conversion(
+        events,
+        steps=["view", "click", "purchase"],
+        ts_us_col="ts_us",
+        user_col="user_id",
+        type_col="event_type",
+        horizon_us=7 * 86_400_000_000,
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+  FROM events),
+w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t1 FROM base),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= t1 THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t2 FROM w1),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= t2 THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t3 FROM w2),
+u AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM w3 GROUP BY user_id),
+c AS (
+  SELECT
+    COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n1,
+    COUNT(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= 604800000000 THEN 1 END) AS n2,
+    COUNT(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= 604800000000 THEN 1 END) AS n3
+  FROM u)
+SELECT CAST(1 AS INT) AS step_index, 'view' AS step, n1 AS n_users FROM c
+UNION ALL
+SELECT CAST(2 AS INT), 'click', n2 FROM c
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', n3 FROM c
+"""
+
+
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: distinct active users per (first-seen
+    week, week offset) — two high-cardinality shuffles
+    (operators/timeseries.py)."""
+    from ..operators.timeseries import retention_cohorts
+
+    events = load_events(spark, sf_dir).select(
+        "user_id", _epoch_us(F.col("ts")).alias("ts_us")
+    )
+    return retention_cohorts(
+        events, "ts_us", "user_id", period_us=7 * 86_400_000_000
+    )
+
+
+EV_RETENTION_SQL = """
+WITH base AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - (epoch_us(CAST(ts AS TIMESTAMP)) % 604800000000) AS bucket
+  FROM events),
+c AS (
+  SELECT user_id, bucket,
+         MIN(bucket) OVER (PARTITION BY user_id) AS cohort
+  FROM base)
+SELECT cohort AS cohort_start,
+       CAST((bucket - cohort) / 604800000000 AS BIGINT) AS period_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+def ev_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly linear-interpolation resample of each user's purchase value
+    (np.interp semantics, edge-clamped) — union + one window sort per
+    key resolves both endpoints (operators/timeseries.py)."""
+    from ..operators.timeseries import interpolate_linear
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        F.col("value").alias("obs_value"),
+        "event_id",
+    )
+    deduped = largest_wins(purchases, ["user_id", "ts_us"], "event_id").select(
+        "user_id", "ts_us", "obs_value"
+    )
+    return interpolate_linear(
+        deduped, "ts_us", ["user_id"], "obs_value", step_us=3_600_000_000
+    )
+
+
+EV_INTERPOLATE_SQL = """
+WITH obs0 AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'),
+obs AS (SELECT user_id, ts_us, value AS obs_value FROM obs0 WHERE rn = 1),
+spans AS (
+  SELECT user_id,
+         MIN(ts_us) - (MIN(ts_us) % 3600000000) AS lo,
+         MAX(ts_us) - (MAX(ts_us) % 3600000000) AS hi
+  FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, g.grid_ts
+  FROM spans, LATERAL (SELECT UNNEST(generate_series(lo, hi, 3600000000))
+                       AS grid_ts) g),
+u AS (
+  SELECT user_id, ts_us AS t, 0 AS side, ts_us AS ots,
+         CAST(obs_value AS DOUBLE) AS oval
+  FROM obs
+  UNION ALL
+  SELECT user_id, grid_ts, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM grid),
+ann AS (
+  SELECT user_id, t, side,
+         LAST_VALUE(ots IGNORE NULLS) OVER wb AS pts,
+         LAST_VALUE(oval IGNORE NULLS) OVER wb AS pval,
+         FIRST_VALUE(ots IGNORE NULLS) OVER wf AS nts,
+         FIRST_VALUE(oval IGNORE NULLS) OVER wf AS nval
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY t, side
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY t, side
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT user_id, t AS grid_ts,
+       CASE WHEN pts = t THEN pval
+            WHEN pts IS NOT NULL AND nts IS NOT NULL
+              THEN pval + (nval - pval)
+                   * (CAST(t - pts AS DOUBLE) / CAST(nts - pts AS DOUBLE))
+            WHEN pts IS NOT NULL THEN pval
+            ELSE nval END AS obs_value_interp
+FROM ann WHERE side = 1
+"""
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long (label, dim) form — posexplode
+    then one partial+final aggregate on (label, dim); fixed-point sums for
+    cross-engine bit-identity.  The shuffle carries n_labels·dim rows per
+    partition regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fp30 = float(2**30)
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    )
+    return (
+        ex.groupBy(
+            "label", (F.col("dim0") + 1).cast("int").alias("dim")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(fp30)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(fp30)
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+        )
+    )
+
+
+EMB_CENTROIDS_SQL = f"""
+SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * CAST({FP30} AS DOUBLE))
+                     AS BIGINT)) AS DOUBLE)
+         / CAST({FP30} AS DOUBLE) / COUNT(*) AS centroid
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+  FROM embeddings)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-set assembly: deterministic split + sequence packing
 # ---------------------------------------------------------------------------
@@ -1659,6 +1878,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_asof_join": ev_asof_join,
     "ev_resample_ffill": ev_resample_ffill,
     "ev_scd2_history": ev_scd2_history,
+    "ev_rolling_stats": ev_rolling_stats,
+    "ev_funnel": ev_funnel,
+    "ev_retention": ev_retention,
+    "ev_interpolate": ev_interpolate,
+    "emb_label_centroids": emb_label_centroids,
     "txt_decontaminate": txt_decontaminate,
     "samp_temperature": samp_temperature,
     "txt_quantile_filter": txt_quantile_filter,
@@ -1706,6 +1930,11 @@ ORACLES: dict[str, str] = {
     "ev_asof_join": EV_ASOF_SQL,
     "ev_resample_ffill": EV_RESAMPLE_SQL,
     "ev_scd2_history": EV_SCD2_SQL,
+    "ev_rolling_stats": EV_ROLLING_SQL,
+    "ev_funnel": EV_FUNNEL_SQL,
+    "ev_retention": EV_RETENTION_SQL,
+    "ev_interpolate": EV_INTERPOLATE_SQL,
+    "emb_label_centroids": EMB_CENTROIDS_SQL,
     "txt_decontaminate": TXT_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,
     "txt_quantile_filter": TXT_QUANTILE_FILTER_SQL,

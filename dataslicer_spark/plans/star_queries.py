@@ -991,6 +991,68 @@ FROM c
 )
 
 
+def o9_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family extension — generic top-k per group: the 3 highest-value
+    lineitems per supplier (deterministic tiebreak on the row key).
+
+    Partitioning by the *supplier* key keeps the window shuffle
+    high-cardinality (10k groups/SF — no skew); per-partition sort + early
+    row_number cutoff, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+O9_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rk
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+         ) AS rk
+  FROM lineitem)
+WHERE rk <= 3
+"""
+
+
+def a10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension — equi-width histogram of lineitem prices.
+
+    Fixed bin width (constant, not data-dependent) keeps it one map-side
+    bucket expression + one partial+final aggregate: a single shuffle of
+    ~n_bins rows per partition, regardless of table size.  floor of an
+    exactly-representable division is cross-engine deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_c = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("long")
+    return (
+        li.groupBy(bin_c.alias("price_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+A10_SQL = """
+SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS price_bin,
+       COUNT(*) AS n_items,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1028,6 +1090,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f4_ccd_coords": f4_ccd_coords,
     "m3_iqr_outliers": m3_iqr_outliers,
     "f7_odr_fit": f7_odr_fit,
+    "o9_topk_per_group": o9_topk_per_group,
+    "a10_histogram": a10_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -1063,4 +1127,6 @@ ORACLES: dict[str, str] = {
     "f4_ccd_coords": F4_SQL,
     "m3_iqr_outliers": M3_SQL,
     "f7_odr_fit": F7_SQL,
+    "o9_topk_per_group": O9_SQL,
+    "a10_histogram": A10_SQL,
 }

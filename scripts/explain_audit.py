@@ -60,6 +60,18 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "no cartesian anywhere",
      ["BroadcastHashJoin", "Window", "HashAggregate"],
      ["CartesianProduct"]),
+    ("ev_rolling_stats", "rolling stats is one native RANGE window — "
+     "no self-join fanout, no Python",
+     ["Window"], ["Join", "CartesianProduct", "Python"]),
+    ("ev_interpolate", "interpolation is union+window — both endpoints "
+     "from one sort, no join",
+     ["Window", "Union"], ["Join", "CartesianProduct", "Python"]),
+    ("ev_funnel", "funnel chains step minima over windows, no per-step "
+     "join",
+     ["Window"], ["Join", "CartesianProduct", "Python"]),
+    ("a10_histogram", "histogram is partial+final agg over a map-side "
+     "bucket expression",
+     ["HashAggregate"], ["Exchange rangepartitioning", "Join"]),
 ]
 
 

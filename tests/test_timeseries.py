@@ -1,0 +1,240 @@
+"""Time-series analytics (operators/timeseries.py): brute-force parity
+for rolling windows, funnel ordering/horizon semantics, cohort retention,
+np.interp parity for linear interpolation, and plan-shape asserts
+(single exchange for the chained funnel windows; no join in interpolate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataslicer_spark.operators.timeseries import (
+    funnel_conversion,
+    interpolate_linear,
+    retention_cohorts,
+    rolling_window_stats,
+)
+
+_FP = float(2**20)
+
+
+@pytest.fixture(scope="module")
+def ts_events(spark):
+    rng = np.random.default_rng(7)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "user": rng.integers(0, 12, n),
+            "ts": rng.integers(0, 10_000, n).astype("int64"),
+            "typ": rng.choice(["a", "b", "c", "x"], n),
+            "val": np.round(rng.normal(10, 3, n), 3),
+            "eid": np.arange(n, dtype="int64"),
+        }
+    )
+    # force some exact-duplicate timestamps within a user (frame peers)
+    pdf.loc[1, ["user", "ts"]] = pdf.loc[0, ["user", "ts"]]
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_rolling_brute_force(ts_events):
+    df, pdf = ts_events
+    width = 500
+    out = (
+        rolling_window_stats(df, "ts", ["user"], "val", width)
+        .select("user", "ts", "eid", "roll_n", "roll_sum", "roll_max")
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        w = pdf[
+            (pdf.user == row.user)
+            & (pdf.ts >= row.ts - width)
+            & (pdf.ts <= row.ts)
+        ]
+        assert row.roll_n == len(w)
+        expect_sum = np.floor(w.val.to_numpy() * _FP).astype("int64").sum() / _FP
+        assert row.roll_sum == pytest.approx(expect_sum, abs=0)
+        assert row.roll_max == w.val.max()
+
+
+def test_rolling_row_order_invariance(ts_events, spark):
+    df, _ = ts_events
+    a = (
+        rolling_window_stats(df, "ts", ["user"], "val", 500)
+        .select("eid", "roll_n", "roll_sum")
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    b = (
+        rolling_window_stats(
+            df.orderBy(F.rand(3)).repartition(7), "ts", ["user"], "val", 500
+        )
+        .select("eid", "roll_n", "roll_sum")
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def _funnel_truth(pdf, steps, horizon=None):
+    reached = [0] * len(steps)
+    for _, u in pdf.groupby("user"):
+        prev_t = None
+        t1 = None
+        for i, s in enumerate(steps):
+            c = u[u.typ == s]
+            if prev_t is not None:
+                c = c[c.ts >= prev_t]
+            if not len(c):
+                break
+            t = c.ts.min()
+            if i == 0:
+                t1 = t
+            if horizon is not None and i > 0 and t - t1 > horizon:
+                break
+            reached[i] += 1
+            prev_t = t
+    return reached
+
+
+def test_funnel_brute_force(ts_events):
+    df, pdf = ts_events
+    out = (
+        funnel_conversion(df, ["a", "b", "c"], "ts", "user", "typ")
+        .toPandas()
+        .sort_values("step_index")
+    )
+    assert list(out.step) == ["a", "b", "c"]
+    assert list(out.n_users) == _funnel_truth(pdf, ["a", "b", "c"])
+
+
+def test_funnel_horizon(ts_events):
+    df, pdf = ts_events
+    out = (
+        funnel_conversion(df, ["a", "b", "c"], "ts", "user", "typ", horizon_us=800)
+        .toPandas()
+        .sort_values("step_index")
+    )
+    assert list(out.n_users) == _funnel_truth(pdf, ["a", "b", "c"], horizon=800)
+    # monotone funnel
+    n = list(out.n_users)
+    assert n[0] >= n[1] >= n[2]
+
+
+def test_funnel_requires_order(spark):
+    """A user doing b before a (and never after) reaches step 1 only."""
+    pdf = pd.DataFrame(
+        {"user": [1, 1], "ts": [100, 200], "typ": ["b", "a"]}
+    )
+    out = (
+        funnel_conversion(
+            spark.createDataFrame(pdf), ["a", "b"], "ts", "user", "typ"
+        )
+        .toPandas()
+        .sort_values("step_index")
+    )
+    assert list(out.n_users) == [1, 0]
+
+
+def test_funnel_single_exchange(ts_events):
+    """The chained per-step window minima reuse one exchange on user."""
+    df, _ = ts_events
+    plan = (
+        funnel_conversion(df, ["a", "b", "c"], "ts", "user", "typ")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # one for the windows + one for the per-user collapse (partial agg
+    # may keep it), nothing per-step
+    assert n_exchanges <= 2, plan
+
+
+def test_retention(ts_events):
+    df, pdf = ts_events
+    period = 2000
+    out = retention_cohorts(df, "ts", "user", period).toPandas()
+    truth = {}
+    first = pdf.groupby("user").ts.min()
+    for _, r in pdf.iterrows():
+        cohort = first[r.user] // period * period
+        off = r.ts // period - cohort // period
+        truth.setdefault((cohort, off), set()).add(r.user)
+    expect = {(c, o): len(s) for (c, o), s in truth.items()}
+    got = {
+        (r.cohort_start, r.period_offset): r.n_users for _, r in out.iterrows()
+    }
+    assert got == expect
+
+
+def test_interpolate_np_parity(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for key in range(5):
+        n = rng.integers(2, 15)
+        ts = np.sort(rng.choice(np.arange(0, 5000), size=n, replace=False))
+        vals = np.round(rng.normal(50, 10, n), 3)
+        rows += [(key, int(t), float(v)) for t, v in zip(ts, vals)]
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "val"])
+    df = spark.createDataFrame(pdf)
+    step = 250
+    out = interpolate_linear(df, "ts", ["key"], "val", step).toPandas()
+    for key, grp in pdf.groupby("key"):
+        ticks = np.arange(
+            grp.ts.min() // step * step, grp.ts.max() // step * step + 1, step
+        )
+        expect = np.interp(ticks, grp.ts, grp.val)
+        got = (
+            out[out.key == key]
+            .sort_values("grid_ts")
+            .val_interp.to_numpy()
+        )
+        sub = out[out.key == key].sort_values("grid_ts")
+        assert list(sub.grid_ts) == list(ticks)
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_interpolate_exact_hit_and_edges(spark):
+    pdf = pd.DataFrame(
+        {"key": [1] * 3, "ts": [1000, 2000, 3500], "val": [10.0, 30.0, 60.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        interpolate_linear(df, "ts", ["key"], "val", 500)
+        .toPandas()
+        .sort_values("grid_ts")
+    )
+    got = dict(zip(out.grid_ts, out.val_interp))
+    assert got[1000] == 10.0  # exact observation
+    assert got[2000] == 30.0
+    assert got[1500] == 20.0  # midpoint
+    assert got[3500] == 60.0
+    assert got[3000] == pytest.approx(30.0 + 30.0 * 1000 / 1500)
+
+
+def test_interpolate_no_join_in_plan(spark):
+    pdf = pd.DataFrame(
+        {"key": [1, 1, 2], "ts": [0, 100, 50], "val": [1.0, 2.0, 3.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    plan = (
+        interpolate_linear(df, "ts", ["key"], "val", 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+
+
+def test_interpolate_collision_guard(spark):
+    pdf = pd.DataFrame({"key": [1], "ts": [0], "val": [1.0], "__side": [9]})
+    with pytest.raises(ValueError, match="__side"):
+        interpolate_linear(
+            spark.createDataFrame(pdf), "ts", ["key"], "val", 50
+        )
