@@ -33,10 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
     north-star extensions (dedup / similarity / text / event windows)."""
-    # astro first: it has the most complex plans, and (in bench order)
-    # running it while the JVM's generated-class cache is empty avoids
-    # recompiling its whole-stage codegen after 68 other queries evicted
-    # it — measured 20s vs up to 77s for identical work
+    # astro first: its ~40-operator DAG must run before the other 75
+    # queries fill the JVM's JIT code cache — A/B-measured both ways this
+    # round: astro-first 16-46 s, astro-last 74 s (generated code left
+    # interpreted once the code cache saturates); session.py also raises
+    # ReservedCodeCacheSize for headroom
     return {
         **astro_pipeline.QUERIES,
         **star_queries.QUERIES,

@@ -39,16 +39,24 @@ def main() -> None:
     # cost more than the compile time it saved — 118s vs 89s total.)
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        best = -1.0
         try:
+            runs: list[float] = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = round(time.perf_counter() - t0, 3)
-                best = dt if best < 0 else min(best, dt)
+                runs.append(round(time.perf_counter() - t0, 3))
                 # drop DataFrames cached inside operators so runs and
                 # queries are timed independently
                 spark.catalog.clearCache()
+            # JIT/GC noise on this box can swing a query >2×; when the two
+            # runs disagree badly take one tie-breaker so the recorded
+            # minimum reflects the query, not the scheduler's mood
+            if min(runs) > 1.0 and max(runs) / min(runs) > 1.8:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+            best = min(runs)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             best = -1.0

@@ -160,8 +160,11 @@ def minhash_signatures(
         live = [i for i, v in enumerate(vals) if v is not None]
         # chunk by shingle count from a byte budget: the perm matrix is
         # num_perm × slots uint64 and (a·h+b) % p allocates ~3 same-size
-        # temporaries, so a 64 MB matrix keeps peak ≈ 256 MB per worker
-        max_slots = max(64_000_000 // (num_perm * 8), 1)
+        # temporaries, so a 16 MB matrix keeps peak ≈ 64 MB per worker —
+        # with up to 32 concurrent workers that bounds transient numpy
+        # allocation at ~2 GB machine-wide (64 MB matrices measured the
+        # same throughput but 4× the churn, destabilizing wall time)
+        max_slots = max(16_000_000 // (num_perm * 8), 1)
         start = 0
         while start < len(live):
             end, slots = start, 0

@@ -186,6 +186,51 @@ def retention_cohorts(
     ).agg(F.countDistinct(user_col).alias("n_users"))
 
 
+def sessionize(
+    events: DataFrame,
+    ts_us_col: str,
+    user_col: str,
+    gap_us: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Event-level sessionization (gaps-and-islands): adds
+    ``session_seq`` — the 1-based ordinal of the session each event
+    belongs to within its user — where a new session starts whenever the
+    gap to the previous event is ≥ ``gap_us`` (the same boundary rule as
+    ``session_window``: an event exactly ``gap`` after its predecessor
+    opens a new session).
+
+    Complements ``streaming.events.session_stats``: that one aggregates
+    per session; this one labels every event, enabling session-grain
+    joins (funnel-by-session, nth-session cohorts, duration
+    distributions).  One shuffle on ``user_col``; the lag flag and the
+    running sum share the exchange and sort.
+    """
+    check_col([ts_us_col, user_col]
+              + ([tiebreak_col] if tiebreak_col else []), events)
+    order = [F.col(ts_us_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_us_col)).over(w)
+    # two select stages (a window expression can't nest inside another
+    # window aggregate), but both windows share one exchange + sort
+    flagged = events.withColumn(
+        "__new_sess",
+        F.when(
+            prev.isNull()
+            | (F.col(ts_us_col) - prev >= F.lit(int(gap_us))),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_seq",
+        F.sum("__new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__new_sess")
+
+
 def interpolate_linear(
     df: DataFrame,
     ts_us_col: str,
@@ -289,5 +334,6 @@ __all__ = [
     "rolling_window_stats",
     "funnel_conversion",
     "retention_cohorts",
+    "sessionize",
     "interpolate_linear",
 ]

@@ -1060,6 +1060,87 @@ FROM ann WHERE side = 1
 """
 
 
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level sessionization (operators/timeseries.sessionize): each
+    user's events labeled with a 1-based session ordinal (30-min gap
+    rule), then rolled up per session with ordinal and duration — the
+    session-grain surface ``session_window`` can't expose."""
+    from ..operators.timeseries import sessionize
+
+    events = load_events(spark, sf_dir).select(
+        "user_id", _epoch_us(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    labeled = sessionize(
+        events, "ts_us", "user_id", gap_us=1_800_000_000,
+        tiebreak_col="event_id",
+    )
+    return labeled.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start"),
+        F.max("ts_us").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+EV_SESSIONIZE_SQL = """
+SELECT user_id, session_seq,
+       MIN(ts_us) AS session_start,
+       MAX(ts_us) AS session_end,
+       COUNT(*) AS n_events,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_ts
+      FROM events)))
+GROUP BY user_id, session_seq
+"""
+
+
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props handling: JSON path extraction stays
+    JVM-side (``get_json_object`` inside whole-stage codegen — no UDF),
+    then one partial+final aggregate per event_type."""
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EV_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+GROUP BY event_type
+"""
+
+
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long (label, dim) form — posexplode
     then one partial+final aggregate on (label, dim); fixed-point sums for
@@ -1882,6 +1963,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_funnel": ev_funnel,
     "ev_retention": ev_retention,
     "ev_interpolate": ev_interpolate,
+    "ev_sessionize": ev_sessionize,
+    "ev_json_extract": ev_json_extract,
     "emb_label_centroids": emb_label_centroids,
     "txt_decontaminate": txt_decontaminate,
     "samp_temperature": samp_temperature,
@@ -1934,6 +2017,8 @@ ORACLES: dict[str, str] = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_retention": EV_RETENTION_SQL,
     "ev_interpolate": EV_INTERPOLATE_SQL,
+    "ev_sessionize": EV_SESSIONIZE_SQL,
+    "ev_json_extract": EV_JSON_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "txt_decontaminate": TXT_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,

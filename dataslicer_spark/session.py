@@ -46,6 +46,17 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        # whole-stage codegen emits one JIT-compiled class per plan
+        # fragment; with ~76 registered queries the JDK-default 240 MB
+        # code cache saturates mid-run and HotSpot silently stops
+        # compiling — later large plans then run interpreted (measured:
+        # the flagship pipeline degrades 16 s → 74 s when scheduled after
+        # the full registry).  1 GiB gives the local single-JVM harness
+        # the same headroom a long-lived cluster driver/executor gets.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
     )
     if master is None and "SPARK_MASTER" not in os.environ:
         master = f"local[{cpus}]"

@@ -173,6 +173,65 @@ def test_retention(ts_events):
     assert got == expect
 
 
+def test_sessionize_brute_force(ts_events):
+    from dataslicer_spark.operators.timeseries import sessionize
+
+    df, pdf = ts_events
+    gap = 700
+    out = (
+        sessionize(df, "ts", "user", gap, tiebreak_col="eid")
+        .select("eid", "session_seq")
+        .toPandas()
+        .set_index("eid")
+        .session_seq
+    )
+    for _, grp in pdf.groupby("user"):
+        g = grp.sort_values(["ts", "eid"])
+        seq, prev = 0, None
+        for _, r in g.iterrows():
+            if prev is None or r.ts - prev >= gap:
+                seq += 1
+            prev = r.ts
+            assert out[r.eid] == seq
+
+
+def test_sessionize_matches_session_window_count(spark, sf_dir):
+    """Session ordinals and the built-in session_window agree on the
+    number of sessions per user (same >= gap boundary rule)."""
+    import os
+    from pyspark.sql import functions as F2
+    from dataslicer_spark.operators.timeseries import sessionize
+    from dataslicer_spark.streaming.events import (
+        _epoch_us, load_events, session_stats,
+    )
+
+    events = load_events(spark, sf_dir)
+    labeled = sessionize(
+        events.select(
+            "user_id", _epoch_us(F2.col("ts")).alias("ts_us"), "event_id"
+        ),
+        "ts_us", "user_id", gap_us=1_800_000_000, tiebreak_col="event_id",
+    )
+    n_ours = (
+        labeled.groupBy("user_id")
+        .agg(F2.max("session_seq").alias("n"))
+        .toPandas()
+        .set_index("user_id")
+        .n
+    )
+    n_builtin = (
+        session_stats(events, gap="30 minutes")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    pd.testing.assert_series_equal(
+        n_ours.sort_index(), n_builtin.sort_index(),
+        check_names=False, check_dtype=False,
+    )
+
+
 def test_interpolate_np_parity(spark):
     rng = np.random.default_rng(11)
     rows = []
