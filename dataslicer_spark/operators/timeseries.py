@@ -231,6 +231,50 @@ def sessionize(
     ).drop("__new_sess")
 
 
+def debounce(
+    df: DataFrame,
+    ts_us_col: str,
+    key_cols: Sequence[str],
+    window_us: int,
+) -> DataFrame:
+    """Throttled deduplication — the deterministic batch twin of
+    ``dropDuplicatesWithinWatermark`` (streaming/events.py): per key, in
+    event-time order, keep an event only if it is at least ``window_us``
+    after the last KEPT event ("anchor" selection — a duplicate does not
+    extend the suppression window, matching the streaming operator's
+    state-TTL-from-the-stored-row behavior under in-order arrival).
+
+    Anchor selection is inherently sequential (each kept row depends on
+    the previous kept row — NOT expressible with window frames, which
+    would implement the different gaps-and-islands rule where bursts
+    chain indefinitely), so this is a grouped stateful kernel:
+    ``applyInPandas`` per key, one sorted pass using ``searchsorted``
+    jumps (O(#anchors·log n) per key), parallel across keys.  Rows must
+    be unique per (key, ts) — pre-deduplicate with
+    ``windows.largest_wins`` — so the result is engine-deterministic.
+
+    Returns the kept rows with all input columns.
+    """
+    import pandas as pd
+
+    by = list(key_cols)
+    check_col(by + [ts_us_col], df)
+
+    def keep_anchors(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(ts_us_col, kind="mergesort")
+        ts = pdf[ts_us_col].to_numpy()
+        keep = np.zeros(len(ts), dtype=bool)
+        i = 0
+        while i < len(ts):
+            keep[i] = True
+            i = int(np.searchsorted(ts, ts[i] + window_us, side="left"))
+        return pdf[keep]
+
+    return df.groupBy(*by).applyInPandas(keep_anchors, df.schema)
+
+
 def interpolate_linear(
     df: DataFrame,
     ts_us_col: str,
@@ -335,5 +379,6 @@ __all__ = [
     "funnel_conversion",
     "retention_cohorts",
     "sessionize",
+    "debounce",
     "interpolate_linear",
 ]

@@ -1090,8 +1090,9 @@ SELECT user_id, session_seq,
        MAX(ts_us) - MIN(ts_us) AS duration_us
 FROM (
   SELECT user_id, ts_us,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM (
     SELECT user_id, event_id, ts_us,
            CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= 1800000000
@@ -1104,6 +1105,46 @@ FROM (
                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_ts
       FROM events)))
 GROUP BY user_id, session_seq
+"""
+
+
+def ev_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throttled dedup (operators/timeseries.debounce): per user, keep a
+    purchase only if ≥1h after the last KEPT one — the deterministic
+    batch twin of the streaming ``dropDuplicatesWithinWatermark``
+    contract.  Anchor selection is sequential per key (a grouped
+    stateful kernel); the DuckDB oracle replays it with a recursive
+    anchor-chasing CTE."""
+    from ..operators.timeseries import debounce
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    deduped = largest_wins(purchases, ["user_id", "ts_us"], "event_id")
+    return debounce(deduped, "ts_us", ["user_id"], window_us=3_600_000_000)
+
+
+EV_DEBOUNCE_SQL = """
+WITH RECURSIVE obs0 AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'),
+obs AS (SELECT user_id, ts_us, event_id, value FROM obs0 WHERE rn = 1),
+anchors AS (
+  SELECT user_id, MIN(ts_us) AS ts_us FROM obs GROUP BY user_id
+  UNION ALL
+  SELECT o.user_id, MIN(o.ts_us)
+  FROM anchors a JOIN obs o
+    ON o.user_id = a.user_id AND o.ts_us >= a.ts_us + 3600000000
+  GROUP BY o.user_id)
+SELECT o.user_id, o.ts_us, o.event_id, o.value
+FROM anchors a JOIN obs o
+  ON o.user_id = a.user_id AND o.ts_us = a.ts_us
 """
 
 
@@ -1965,6 +2006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_interpolate": ev_interpolate,
     "ev_sessionize": ev_sessionize,
     "ev_json_extract": ev_json_extract,
+    "ev_debounce": ev_debounce,
     "emb_label_centroids": emb_label_centroids,
     "txt_decontaminate": txt_decontaminate,
     "samp_temperature": samp_temperature,
@@ -2019,6 +2061,9 @@ ORACLES: dict[str, str] = {
     "ev_interpolate": EV_INTERPOLATE_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_json_extract": EV_JSON_SQL,
+    # anchor chasing replayed via recursive CTE (one next-anchor per key
+    # per iteration) — exact twin of the sequential kernel
+    "ev_debounce": EV_DEBOUNCE_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "txt_decontaminate": TXT_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,

@@ -232,6 +232,43 @@ def test_sessionize_matches_session_window_count(spark, sf_dir):
     )
 
 
+def test_debounce_brute_force(ts_events):
+    from dataslicer_spark.operators.timeseries import debounce
+
+    df, pdf = ts_events
+    # unique (user, ts): keep max eid per (user, ts) like the query does
+    uniq = pdf.sort_values("eid").groupby(["user", "ts"], as_index=False).last()
+    sdf = debounce(
+        df.orderBy(F.col("eid").desc()).dropDuplicates(["user", "ts"]),
+        "ts", ["user"], window_us=600,
+    )
+    got = set(sdf.select("eid").toPandas().eid)
+    expect = set()
+    for _, grp in uniq.groupby("user"):
+        g = grp.sort_values("ts")
+        last_kept = None
+        for _, r in g.iterrows():
+            if last_kept is None or r.ts >= last_kept + 600:
+                expect.add(r.eid)
+                last_kept = r.ts
+    assert got == expect
+
+
+def test_debounce_differs_from_sessionize_on_burst_chains(spark):
+    """Events 10 apart with window 15: debounce keeps every other one
+    (anchors restart the window); gaps-and-islands would chain the whole
+    burst into one island and keep only the first."""
+    from dataslicer_spark.operators.timeseries import debounce
+
+    pdf = pd.DataFrame({"key": [1] * 5, "ts": [0, 10, 20, 30, 40]})
+    out = (
+        debounce(spark.createDataFrame(pdf), "ts", ["key"], window_us=15)
+        .toPandas()
+        .sort_values("ts")
+    )
+    assert list(out.ts) == [0, 20, 40]
+
+
 def test_interpolate_np_parity(spark):
     rng = np.random.default_rng(11)
     rows = []
