@@ -1060,6 +1060,35 @@ FROM ann WHERE side = 1
 """
 
 
+def dd_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution (operators/fuzzy.py): customer-name pairs
+    within edit distance 1 via symmetric-deletion blocking — candidates
+    from an inverted variant index (one equi-join shuffle, no cartesian),
+    exact ``levenshtein`` verification JVM-side."""
+    from ..operators.fuzzy import edit_distance_self_join
+
+    cust = _t(spark, sf_dir, "customer")
+    return edit_distance_self_join(cust, "c_custkey", "c_name", max_dist=1)
+
+
+DD_FUZZY_SQL = """
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS s,
+         unnest(list_prepend(c_name,
+           list_transform(range(1, len(c_name) + 1),
+             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS var
+  FROM customer),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  a.s AS name_a, b.s AS name_b
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-level sessionization (operators/timeseries.sessionize): each
     user's events labeled with a 1-based session ordinal (30-min gap
@@ -2007,6 +2036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_sessionize": ev_sessionize,
     "ev_json_extract": ev_json_extract,
     "ev_debounce": ev_debounce,
+    "dd_fuzzy_names": dd_fuzzy_names,
     "emb_label_centroids": emb_label_centroids,
     "txt_decontaminate": txt_decontaminate,
     "samp_temperature": samp_temperature,
@@ -2064,6 +2094,7 @@ ORACLES: dict[str, str] = {
     # anchor chasing replayed via recursive CTE (one next-anchor per key
     # per iteration) — exact twin of the sequential kernel
     "ev_debounce": EV_DEBOUNCE_SQL,
+    "dd_fuzzy_names": DD_FUZZY_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "txt_decontaminate": TXT_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,

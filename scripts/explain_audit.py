@@ -72,6 +72,9 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("a10_histogram", "histogram is partial+final agg over a map-side "
      "bucket expression",
      ["HashAggregate"], ["Exchange rangepartitioning", "Join"]),
+    ("dd_fuzzy_names", "fuzzy join is a variant equi-join + JVM "
+     "levenshtein — no cartesian, no Python",
+     ["HashJoin"], ["CartesianProduct", "NestedLoop", "Python"]),
 ]
 
 
