@@ -175,6 +175,63 @@ def main() -> None:
 
     run("temperature_resample", temper_fn(docs1), temper_fn(docs4))
 
+    # round-3 temporal kernels (operators/timeseries.py): same
+    # more-users-fixed-span scaling shape as asof/resample
+    from dataslicer_spark.operators.timeseries import (
+        debounce, interpolate_linear, rolling_window_stats,
+    )
+
+    def rolling_fn(ev):
+        purch = ev.filter(F.col("event_type") == "purchase")
+        return lambda: rolling_window_stats(
+            purch, "ts_us", ["user_id"], "value", width_us=3_600_000_000
+        ).write.format("noop").mode("overwrite").save()
+
+    run("rolling_window", rolling_fn(ev1), rolling_fn(ev4))
+
+    def interp_fn(ev):
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", F.col("value").alias("pv")
+        ).dropDuplicates(["user_id", "ts_us"])
+        return lambda: interpolate_linear(
+            purch, "ts_us", ["user_id"], "pv", step_us=3_600_000_000
+        ).write.format("noop").mode("overwrite").save()
+
+    run("interpolate_linear", interp_fn(ev1), interp_fn(ev4))
+
+    def debounce_fn(ev):
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", "event_id"
+        ).dropDuplicates(["user_id", "ts_us"])
+        return lambda: debounce(
+            purch, "ts_us", ["user_id"], window_us=3_600_000_000
+        ).write.format("noop").mode("overwrite").save()
+
+    run("debounce", debounce_fn(ev1), debounce_fn(ev4))
+
+    # fuzzy join: 4× distinct names → variant index grows 4×; candidate
+    # pairs grow with name-family density, not quadratically
+    from dataslicer_spark.operators.fuzzy import edit_distance_self_join
+
+    cust1 = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).select(
+        "c_custkey", "c_name"
+    )
+    cust4 = cust1
+    for i in (1, 2, 3):
+        cust4 = cust4.unionByName(
+            cust1.withColumn("c_custkey", F.col("c_custkey") + 1_000_000 * i)
+            .withColumn("c_name", F.concat(F.lit(f"x{i}-"), F.col("c_name")))
+        )
+    cust1, cust4 = cust1.cache(), cust4.cache()
+    cust1.count(), cust4.count()
+
+    def fuzzy_fn(cust):
+        return lambda: edit_distance_self_join(
+            cust, "c_custkey", "c_name", max_dist=1
+        ).write.format("noop").mode("overwrite").save()
+
+    run("fuzzy_join", fuzzy_fn(cust1), fuzzy_fn(cust4))
+
 
 if __name__ == "__main__":
     main()
