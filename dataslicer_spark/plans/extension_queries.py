@@ -1060,6 +1060,75 @@ FROM ann WHERE side = 1
 """
 
 
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/quality.py): per-column row/null/exact
+    distinct counts in ONE aggregate pass (map-side expand + partial
+    combine — no per-column scans)."""
+    from ..operators.quality import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
+_DQ_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+DQ_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+    f"COUNT(*) - COUNT({c}) AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _DQ_ORDERS_COLS
+)
+
+
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation report (operators/quality.py): uniqueness +
+    referential integrity across the star schema, one count per
+    constraint (anti-joins broadcast the dimension side)."""
+    from ..operators.quality import (
+        constraint_report,
+        referential_orphans,
+        uniqueness_violations,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return constraint_report([
+        ("unique:customer.c_custkey",
+         uniqueness_violations(cust, ["c_custkey"])),
+        ("unique:orders.o_custkey",
+         uniqueness_violations(orders, ["o_custkey"])),
+        ("unique:lineitem.(l_orderkey,l_linenumber)",
+         uniqueness_violations(li, ["l_orderkey", "l_linenumber"])),
+        ("fk:orders.o_custkey->customer.c_custkey",
+         referential_orphans(orders, cust, ["o_custkey"], ["c_custkey"])),
+        ("fk:lineitem.l_orderkey->orders.o_orderkey",
+         referential_orphans(li, orders, ["l_orderkey"], ["o_orderkey"])),
+    ])
+
+
+DQ_CONSTRAINTS_SQL = """
+SELECT 'unique:customer.c_custkey' AS constraint, COUNT(*) AS n_violations
+FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'unique:orders.o_custkey', COUNT(*)
+FROM (SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'unique:lineitem.(l_orderkey,l_linenumber)', COUNT(*)
+FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY 1, 2 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'fk:orders.o_custkey->customer.c_custkey', COUNT(*)
+FROM orders o WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'fk:lineitem.l_orderkey->orders.o_orderkey', COUNT(*)
+FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
 def dd_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity resolution (operators/fuzzy.py): customer-name pairs
     within edit distance 1 via symmetric-deletion blocking — candidates
@@ -2037,6 +2106,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_json_extract": ev_json_extract,
     "ev_debounce": ev_debounce,
     "dd_fuzzy_names": dd_fuzzy_names,
+    "dq_profile": dq_profile,
+    "dq_constraints": dq_constraints,
     "emb_label_centroids": emb_label_centroids,
     "txt_decontaminate": txt_decontaminate,
     "samp_temperature": samp_temperature,
@@ -2095,6 +2166,8 @@ ORACLES: dict[str, str] = {
     # per iteration) — exact twin of the sequential kernel
     "ev_debounce": EV_DEBOUNCE_SQL,
     "dd_fuzzy_names": DD_FUZZY_SQL,
+    "dq_profile": DQ_PROFILE_SQL,
+    "dq_constraints": DQ_CONSTRAINTS_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "txt_decontaminate": TXT_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,

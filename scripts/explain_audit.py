@@ -75,6 +75,9 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("dd_fuzzy_names", "fuzzy join is a variant equi-join + JVM "
      "levenshtein — no cartesian, no Python",
      ["HashJoin"], ["CartesianProduct", "NestedLoop", "Python"]),
+    ("dq_constraints", "FK checks are broadcast anti-joins",
+     ["BroadcastHashJoin", "LeftAnti"],
+     ["CartesianProduct", "NestedLoop"]),
 ]
 
 
