@@ -53,4 +53,65 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-__all__ = ["write_partitioned", "read_lake"]
+def compact_lake(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    target_mb: int = 128,
+) -> int:
+    """Rewrite a lake to ~``target_mb`` parquet files — the small-files
+    maintenance pass every streaming/incremental-ingest lake needs (1000s
+    of KB-sized files per partition turn a 100 TB scan into a metadata
+    stampede: one task, one open, one footer-read per file).
+
+    File count is sized from the lake's actual on-disk bytes (listed
+    driver-side from the filesystem — no data read), then rewritten via
+    ``repartitionByRange`` on (partition columns, rand): range
+    partitioning keeps each task inside ~one partition directory (a hash
+    ``repartition`` would scatter every partition value across every
+    task — n_tasks × n_partitions tiny files, the very problem being
+    fixed) while the random tail key splits dominant partitions across
+    proportionally many tasks.  The rewrite goes to a temp directory
+    first and swaps in only after success — a crash mid-compaction
+    leaves the original lake intact.
+
+    Returns the number of data files after compaction.  (On object
+    stores swap via the catalog/manifest instead of a rename; this
+    filesystem variant documents the pattern.)
+    """
+    import math
+    import os
+    import shutil
+
+    total_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    check_col(partition_cols, df)
+    tmp = path.rstrip("/") + ".__compacting__"
+    cols = [F.col(c) for c in partition_cols] + [F.rand(42)]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .write.mode("overwrite")
+        .partitionBy(*list(partition_cols))
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+__all__ = ["write_partitioned", "read_lake", "compact_lake"]

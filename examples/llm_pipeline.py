@@ -1,0 +1,114 @@
+"""End-user drive of the LLM training-data pipeline: raw documents →
+training-ready packed sequences, composed from the engine's operators
+the way a data-curation team would script it.
+
+Run:  python examples/llm_pipeline.py  [sf_dir]  (default /root/testdata/sf0.001)
+
+Stage-by-stage (each prints surviving rows; scale notes inline):
+
+  1. exact dedup                 — fingerprint groupBy (bodies never shuffle)
+  2. near-dup resolution         — MinHash-LSH pairs → connected components
+  3. quality scoring + CDF cut   — keep each language's top half
+  4. decontamination             — drop docs sharing 3-grams with eval set
+  5. temperature resampling      — flatten the source mix (α = 0.5)
+  6. PII scrubbing               — email/IP/number redaction + audit count
+  7. train/val/test split        — content-hash, engine/order stable
+  8. sequence packing            — 512-token bins, then materialized packs
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dataslicer_spark.functions.text import add_text_quality, scrub_pii
+from dataslicer_spark.operators.decontam import decontaminate
+from dataslicer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    resolve_duplicate_groups,
+)
+from dataslicer_spark.operators.sampling import (
+    add_split,
+    materialize_packs,
+    pack_documents,
+    quantile_filter_by_group,
+    temperature_resample,
+)
+from dataslicer_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("llm-pipeline")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    print(f"input: {docs.count()} docs")
+
+    # 1. exact dedup
+    uniq, _ = exact_dedup(docs, "doc_id")
+    print(f"after exact dedup: {uniq.count()}")
+
+    # 2. near-dup resolution: candidate pairs -> components -> survivors
+    pairs = minhash_lsh_pairs(uniq, "doc_id", threshold=0.8)
+    groups = resolve_duplicate_groups(pairs)
+    losers = groups.filter(~F.col("is_kept")).select("doc_id")
+    kept = uniq.join(losers, "doc_id", "left_anti")
+    print(f"after near-dup resolution: {kept.count()}")
+
+    # 3. quality + per-language CDF cut (top 50% per lang)
+    scored = add_text_quality(kept)
+    good = quantile_filter_by_group(
+        scored, "lang", "quality_score", 0.5, "doc_id"
+    ).select("doc_id", "text", "lang", "source")
+    print(f"after quality cut: {good.count()}")
+
+    # 4. decontaminate against a held-out eval slice
+    sp = add_split(
+        good, "doc_id", weights=(0.9, 0.1), names=("pretrain", "eval"),
+        salt="ex",
+    )
+    pretrain = sp.filter(F.col("split") == "pretrain").drop("split")
+    evalset = sp.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    clean, contam = decontaminate(
+        pretrain, evalset, "doc_id", "eval_id", n=3, min_common=2
+    )
+    print(f"after decontamination: {clean.count()} "
+          f"(removed {contam.count()})")
+
+    # 5. temperature resampling across sources
+    resampled = temperature_resample(
+        clean, "source", "doc_id", alpha=0.5, target_fraction=0.75
+    )
+    print(f"after temperature resample: {resampled.count()}")
+
+    # 6. PII scrubbing
+    scrubbed = scrub_pii(resampled, "text")
+    n_redacted = scrubbed.agg(
+        F.sum(
+            F.col("n_email") + F.col("n_ip") + F.col("n_number")
+        ).alias("n")
+    ).first()["n"]
+    print(f"PII redactions applied: {n_redacted}")
+
+    # 7. deterministic split
+    final = add_split(scrubbed, "doc_id", salt="ex2")
+    final.groupBy("split").count().orderBy("split").show()
+
+    # 8. pack the train split into 512-token sequences
+    train = final.filter(F.col("split") == "train").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    packed = pack_documents(train, "doc_id", "n_tokens", max_tokens=512)
+    seqs = materialize_packs(packed, "doc_id", "n_tokens", "text")
+    print(f"packed sequences: {seqs.count()}")
+    seqs.select("pack_id", "n_docs", "total_tokens").orderBy("pack_id").show(5)
+
+
+if __name__ == "__main__":
+    main()

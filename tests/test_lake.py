@@ -49,3 +49,35 @@ def test_dynamic_partition_pruning(lake):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert out.count() == fact.filter(F.col("FILTERID") == 2).count()
+
+
+def test_compact_lake(spark, sf_dir):
+    """A fragmented lake (tiny maxRecordsPerFile) compacts to far fewer
+    files with identical data and intact partition directories."""
+    import tempfile
+
+    from dataslicer_spark.sources.lake import compact_lake
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    fact = li.withColumn("FILTERID", (F.col("l_linenumber") % 3 + 1))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "lake")
+        write_partitioned(fact, path, ["FILTERID"], max_records_per_file=100)
+        n_before = sum(
+            1 for r, _d, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet")
+        )
+        before = fact.orderBy("l_orderkey", "l_linenumber").collect()
+        n_after = compact_lake(spark, path, ["FILTERID"], target_mb=128)
+        assert n_after < n_before / 4
+        got = (
+            read_lake(spark, path)
+            .orderBy("l_orderkey", "l_linenumber")
+            .select(*[c for c in fact.columns])
+            .collect()
+        )
+        # partition dirs survive the swap
+        dirs = {e for e in os.listdir(path) if e.startswith("FILTERID=")}
+        assert dirs == {"FILTERID=1", "FILTERID=2", "FILTERID=3"}
+        assert len(got) == len(before)
+        assert sorted(map(tuple, got)) == sorted(map(tuple, before))
