@@ -110,9 +110,65 @@ def union_reindex(
     return out
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    by_cols: Sequence[str] = (),
+    bucket_width: int | float = None,  # type: ignore[assignment]
+) -> DataFrame:
+    """Point-in-interval join for BIG × BIG inputs: every (point,
+    interval) pair with ``lo ≤ point ≤ hi`` (and equal ``by_cols``).
+
+    Spark has no native range join — the naive inequality join plans as
+    BroadcastNestedLoop/cartesian, an O(|P|·|I|) death at scale.  Here
+    both sides bucket on ``floor(value / bucket_width)``: an interval
+    explodes to the buckets it covers, a point lands in exactly one, and
+    the match becomes a hash equi-join on ``(by_cols, bucket)`` plus a
+    residual range filter.  No duplicate pairs by construction (a point
+    joins an interval only in the point's single home bucket).
+
+    Cost model: interval explode factor is ``len/bucket_width + 1`` —
+    pick a width near the typical interval length (p50 is a good rule)
+    so the blow-up stays O(1) while buckets stay selective.  Degenerate
+    hot buckets (a bucket shared by many long intervals) behave like any
+    skewed join key — AQE skew-split applies to the equi-join.
+
+    Returns all point columns plus the interval's columns.
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive number")
+    by = list(by_cols)
+    check_col(by + [point_col], points)
+    check_col(by + [lo_col, hi_col], intervals)
+    overlap = (set(intervals.columns) - set(by)) & set(points.columns)
+    if overlap:
+        raise ValueError(
+            f"interval columns collide with point columns: {sorted(overlap)}"
+        )
+    b = F.lit(bucket_width)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b), F.floor(F.col(hi_col) / b)
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(point_col) / b))
+    out = pt.join(iv, by + ["__bucket"]).filter(
+        (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) <= F.col(hi_col))
+    )
+    return out.drop("__bucket")
+
+
 __all__ = [
     "merge_metadata_to_sources",
     "anti_join",
     "select_clusters",
     "union_reindex",
+    "interval_join",
 ]

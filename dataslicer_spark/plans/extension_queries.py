@@ -1060,6 +1060,69 @@ FROM ann WHERE side = 1
 """
 
 
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic range join (operators/joins.interval_join): each error
+    event matched to the session interval it falls into — bucketed
+    big×big point-in-interval join (hash equi-join on (user, bucket) +
+    residual range filter; a naive inequality join would plan as a
+    nested loop)."""
+    from ..operators.joins import interval_join
+    from ..operators.timeseries import sessionize
+
+    events = load_events(spark, sf_dir).select(
+        "user_id", _epoch_us(F.col("ts")).alias("ts_us"),
+        "event_id", "event_type",
+    )
+    labeled = sessionize(
+        events, "ts_us", "user_id", gap_us=1_800_000_000,
+        tiebreak_col="event_id",
+    )
+    sessions = labeled.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("s_lo"), F.max("ts_us").alias("s_hi")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts_us", "event_id"
+    )
+    out = interval_join(
+        errors, sessions, "ts_us", "s_lo", "s_hi",
+        by_cols=["user_id"], bucket_width=1_800_000_000,
+    )
+    return out.select(
+        "user_id", "event_id", "ts_us", "session_seq", "s_lo", "s_hi"
+    )
+
+
+EV_INTERVAL_JOIN_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_id, event_type
+  FROM events),
+labeled AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM (
+      SELECT user_id, event_id, ts_us,
+             LAG(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_ts
+      FROM base))),
+sessions AS (
+  SELECT user_id, session_seq,
+         MIN(ts_us) AS s_lo, MAX(ts_us) AS s_hi
+  FROM labeled GROUP BY user_id, session_seq),
+errors AS (
+  SELECT user_id, ts_us, event_id FROM base WHERE event_type = 'error')
+SELECT e.user_id, e.event_id, e.ts_us, s.session_seq, s.s_lo, s.s_hi
+FROM errors e JOIN sessions s
+  ON e.user_id = s.user_id AND e.ts_us BETWEEN s.s_lo AND s.s_hi
+"""
+
+
 def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (operators/quality.py): per-column row/null/exact
     distinct counts in ONE aggregate pass (map-side expand + partial
@@ -2108,6 +2171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_fuzzy_names": dd_fuzzy_names,
     "dq_profile": dq_profile,
     "dq_constraints": dq_constraints,
+    "ev_interval_join": ev_interval_join,
     "emb_label_centroids": emb_label_centroids,
     "txt_decontaminate": txt_decontaminate,
     "samp_temperature": samp_temperature,
@@ -2168,6 +2232,7 @@ ORACLES: dict[str, str] = {
     "dd_fuzzy_names": DD_FUZZY_SQL,
     "dq_profile": DQ_PROFILE_SQL,
     "dq_constraints": DQ_CONSTRAINTS_SQL,
+    "ev_interval_join": EV_INTERVAL_JOIN_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "txt_decontaminate": TXT_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,

@@ -165,6 +165,42 @@ def stream_tumbling_counts(
     )
 
 
+def stream_session_stats(
+    spark,
+    source_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Structured-Streaming deployment of :func:`session_stats` — the
+    identical ``session_window`` expressions behind a watermark.  In
+    append mode a session emits once the watermark passes its close
+    (start of the last event + gap), so state per user is bounded by the
+    watermark horizon; sessions still open at end-of-stream stay in
+    state (tests advance the watermark with a sentinel event).  Returns
+    the streaming DataFrame; attach a ``writeStream`` sink to run."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), user_col
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fp_sum(F.col(value_col)).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            _epoch_us(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup_within_watermark(
     spark,
     source_dir: str,
@@ -386,6 +422,7 @@ __all__ = [
     "sliding_window_stats",
     "session_stats",
     "stream_tumbling_counts",
+    "stream_session_stats",
     "stream_dedup_within_watermark",
     "stream_click_purchase_join",
     "batch_click_purchase_join",

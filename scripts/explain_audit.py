@@ -78,6 +78,9 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("dq_constraints", "FK checks are broadcast anti-joins",
      ["BroadcastHashJoin", "LeftAnti"],
      ["CartesianProduct", "NestedLoop"]),
+    ("ev_interval_join", "range join is a bucketed hash equi-join — "
+     "never a nested loop",
+     ["HashJoin"], ["CartesianProduct", "NestedLoop"]),
 ]
 
 

@@ -155,6 +155,60 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     assert got == expected
 
 
+def test_streaming_session_matches_batch(spark, sf_dir):
+    """Streaming session_window (append mode, watermarked) emits exactly
+    the batch sessions once a sentinel event advances the watermark past
+    every real session's close."""
+    from pyspark.sql import functions as F
+    from dataslicer_spark.streaming.events import (
+        session_stats,
+        stream_session_stats,
+    )
+
+    events = load_events(spark, sf_dir).limit(2000).cache()
+    batch = session_stats(events, gap="30 minutes")
+    expected = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+
+    # sentinel far in the future: watermark passes all real sessions
+    sentinel = events.limit(1).select(
+        F.lit(-1).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        F.lit(-1).alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    feed = events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(sentinel)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        feed.write.parquet(src)
+        stream = stream_session_stats(
+            spark, src, spark.read.parquet(src).schema,
+            gap="30 minutes", watermark="2 hours",
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("sess_stats")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.session_start): (r.n_events, r.sum_value)
+            for r in spark.sql(
+                "select * from sess_stats where user_id >= 0"
+            ).collect()
+        }
+    assert got == expected
+
+
 def test_streaming_dedup_within_watermark(spark, sf_dir):
     from dataslicer_spark.streaming.events import stream_dedup_within_watermark
 

@@ -328,6 +328,67 @@ def test_interpolate_no_join_in_plan(spark):
     assert "Join" not in plan, plan
 
 
+def test_interval_join_brute_force(spark):
+    from dataslicer_spark.operators.joins import interval_join
+
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 200),
+            "p": rng.integers(0, 1000, 200).astype("int64"),
+            "pid": np.arange(200, dtype="int64"),
+        }
+    )
+    lo = rng.integers(0, 900, 60).astype("int64")
+    iv = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 60),
+            "lo": lo,
+            # overlapping, variable-length intervals (incl. zero-length)
+            "hi": lo + rng.integers(0, 300, 60),
+            "iid": np.arange(60, dtype="int64"),
+        }
+    )
+    out = interval_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        "p", "lo", "hi", by_cols=["k"], bucket_width=64,
+    )
+    got = {(r.pid, r.iid) for r in out.collect()}
+    expect = {
+        (p.pid, i.iid)
+        for _, p in pts.iterrows()
+        for _, i in iv.iterrows()
+        if p.k == i.k and i.lo <= p.p <= i.hi
+    }
+    assert got == expect
+
+
+def test_interval_join_no_nested_loop(spark):
+    from dataslicer_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(pd.DataFrame({"p": [1], "pid": [1]}))
+    iv = spark.createDataFrame(pd.DataFrame({"lo": [0], "hi": [5], "iid": [1]}))
+    plan = (
+        interval_join(pts, iv, "p", "lo", "hi", bucket_width=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_validation(spark):
+    from dataslicer_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(pd.DataFrame({"p": [1], "x": [1]}))
+    iv = spark.createDataFrame(pd.DataFrame({"lo": [0], "hi": [5], "x": [2]}))
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(pts, iv, "p", "lo", "hi", bucket_width=0)
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(pts, iv, "p", "lo", "hi", bucket_width=10)
+
+
 def test_interpolate_collision_guard(spark):
     pdf = pd.DataFrame({"key": [1], "ts": [0], "val": [1.0], "__side": [9]})
     with pytest.raises(ValueError, match="__side"):
