@@ -56,10 +56,11 @@ def rolling_window_stats(
     exact timestamp are frame peers and always included, so the result
     is row-order independent).
 
-    Adds ``roll_n`` / ``roll_sum`` / ``roll_max``.  One shuffle on
-    ``by_cols``; the RANGE frame is evaluated in a single in-partition
-    sorted pass (contrast a time-range self-join, which explodes to all
-    in-window pairs before aggregating).
+    Adds ``roll_n`` / ``roll_sum`` / ``roll_max`` / ``roll_mean`` /
+    ``roll_std`` (population std from the same two fixed-point moment
+    sums).  One shuffle on ``by_cols``; the RANGE frame is evaluated in
+    a single in-partition sorted pass (contrast a time-range self-join,
+    which explodes to all in-window pairs before aggregating).
     """
     by = list(by_cols)
     check_col(by + [ts_us_col, value_col], df)
@@ -69,16 +70,26 @@ def rolling_window_stats(
         .rangeBetween(-int(width_us), 0)
     )
     v = F.col(value_col)
+    # fixed-point moment sums (see module docstring): order-independent
+    # int64 sums make roll_sum/roll_mean/roll_std bit-identical across
+    # engines and partitionings; x² at 2^14 halves the scale so the
+    # squared sum still fits comfortably in int64
+    s1 = F.sum(F.floor(v * F.lit(_FP)).cast("long")).over(w).cast("double") / _FP
+    s2 = (
+        F.sum(F.floor(v * v * F.lit(float(2**14))).cast("long"))
+        .over(w)
+        .cast("double")
+        / float(2**14)
+    )
+    n = F.count(F.lit(1)).over(w)
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
     return (
-        df.withColumn("roll_n", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "roll_sum",
-            (F.sum(F.floor(v * F.lit(_FP)).cast("long")).over(w)).cast(
-                "double"
-            )
-            / _FP,
-        )
+        df.withColumn("roll_n", n)
+        .withColumn("roll_sum", s1)
         .withColumn("roll_max", F.max(v).over(w))
+        .withColumn("roll_mean", mean)
+        .withColumn("roll_std", F.sqrt(var))
     )
 
 

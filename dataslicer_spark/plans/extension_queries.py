@@ -914,6 +914,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+def ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-statistics anomaly detection: events whose value deviates
+    >2σ from the user's trailing-7-day mean (window of ≥5 events).
+    Pure composition of rolling_window_stats — one key shuffle; the
+    fixed-point moment sums make mean/σ bit-identical across engines."""
+    from ..operators.timeseries import rolling_window_stats
+
+    events = load_events(spark, sf_dir)
+    base = events.select(
+        "event_id", "user_id", _epoch_us(F.col("ts")).alias("ts_us"), "value"
+    )
+    out = rolling_window_stats(
+        base, "ts_us", ["user_id"], "value", width_us=7 * 86_400_000_000
+    )
+    return out.filter(
+        (F.col("roll_n") >= 5)
+        & (F.abs(F.col("value") - F.col("roll_mean")) > 2 * F.col("roll_std"))
+    ).select("user_id", "event_id", "ts_us", "value", "roll_mean", "roll_std")
+
+
+EV_ANOMALY_SQL = """
+SELECT user_id, event_id, ts_us, value, roll_mean, roll_std
+FROM (
+  SELECT user_id, event_id, ts_us, value, roll_n,
+         s1 / roll_n AS roll_mean,
+         SQRT(GREATEST(s2 / roll_n - (s1 / roll_n) * (s1 / roll_n), 0.0))
+           AS roll_std
+  FROM (
+    SELECT user_id, event_id, ts_us, value,
+           COUNT(*) OVER w AS roll_n,
+           CAST(SUM(CAST(FLOOR(value * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
+                OVER w AS DOUBLE) / CAST(1048576.0 AS DOUBLE) AS s1,
+           CAST(SUM(CAST(FLOOR(value * value * CAST(16384.0 AS DOUBLE))
+                         AS BIGINT))
+                OVER w AS DOUBLE) / CAST(16384.0 AS DOUBLE) AS s2
+    FROM (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             value
+      FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)))
+WHERE roll_n >= 5 AND ABS(value - roll_mean) > 2 * roll_std
+"""
+
+
 def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase within 7 days of the first
     view (operators/timeseries.py: chained window minima over one
@@ -2162,6 +2207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_resample_ffill": ev_resample_ffill,
     "ev_scd2_history": ev_scd2_history,
     "ev_rolling_stats": ev_rolling_stats,
+    "ev_anomaly": ev_anomaly,
     "ev_funnel": ev_funnel,
     "ev_retention": ev_retention,
     "ev_interpolate": ev_interpolate,
@@ -2221,6 +2267,7 @@ ORACLES: dict[str, str] = {
     "ev_resample_ffill": EV_RESAMPLE_SQL,
     "ev_scd2_history": EV_SCD2_SQL,
     "ev_rolling_stats": EV_ROLLING_SQL,
+    "ev_anomaly": EV_ANOMALY_SQL,
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_retention": EV_RETENTION_SQL,
     "ev_interpolate": EV_INTERPOLATE_SQL,

@@ -19,6 +19,7 @@ data; this module is the layout you migrate to at 100 TB.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,4 +115,64 @@ def compact_lake(
     )
 
 
-__all__ = ["write_partitioned", "read_lake", "compact_lake"]
+def delete_from_lake(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_cols: Sequence[str],
+) -> int:
+    """Delete every lake row whose ``key_col`` appears in ``keys`` — the
+    GDPR/right-to-be-forgotten pass — rewriting ONLY the partition
+    directories that actually contain a matching key.
+
+    Plan: a broadcast semi-join finds the affected partition values (at
+    100 TB the deletion key list is dimension-sized); rows of affected
+    partitions are re-read, anti-joined against the keys, and written
+    back with dynamic partition overwrite, so untouched directories are
+    never listed, read, or rewritten.  A partition whose rows are ALL
+    deleted writes no files under dynamic overwrite — those directories
+    are removed explicitly afterwards.
+
+    Returns the number of rows deleted.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    pcols = list(partition_cols)
+    lake = spark.read.parquet(path)
+    check_col([key_col] + pcols, lake)
+    check_col([key_col], keys)
+    kd = F.broadcast(keys.select(key_col).distinct())
+
+    affected_vals = (
+        lake.join(kd, key_col, "left_semi").select(*pcols).distinct().cache()
+    )
+    affected = lake.join(F.broadcast(affected_vals), pcols, "left_semi")
+    remaining = affected.join(kd, key_col, "left_anti")
+    n_before = affected.count()
+    n_after = remaining.count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        remaining.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # remove directories whose every row was deleted (dynamic overwrite
+    # rewrote nothing there, leaving the old files)
+    emptied = affected_vals.join(
+        remaining.select(*pcols).distinct(), pcols, "left_anti"
+    ).collect()
+    for row in emptied:
+        sub = "/".join(f"{c}={row[c]}" for c in pcols)
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+    affected_vals.unpersist()
+    return n_before - n_after
+
+
+__all__ = [
+    "write_partitioned", "read_lake", "compact_lake", "delete_from_lake",
+]

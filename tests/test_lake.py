@@ -81,3 +81,53 @@ def test_compact_lake(spark, sf_dir):
         assert dirs == {"FILTERID=1", "FILTERID=2", "FILTERID=3"}
         assert len(got) == len(before)
         assert sorted(map(tuple, got)) == sorted(map(tuple, before))
+
+
+def test_delete_from_lake(spark, sf_dir):
+    """Keyed deletion rewrites only affected partitions: untouched
+    directories keep their exact files; fully-deleted partitions vanish."""
+    import tempfile
+
+    from dataslicer_spark.sources.lake import delete_from_lake
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    fact = li.withColumn("FILTERID", (F.col("l_linenumber") % 3 + 1)).withColumn(
+        "rowkey",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "lake")
+        write_partitioned(fact, path, ["FILTERID"])
+
+        def files_of(p):
+            full = os.path.join(path, p)
+            return sorted(
+                (f, os.path.getsize(os.path.join(full, f)),
+                 os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full) if f.endswith(".parquet")
+            )
+
+        untouched_before = files_of("FILTERID=2")
+        total = fact.count()
+        # delete: every FILTERID=3 row + 10 specific FILTERID=1 rows
+        # (rowkey is NOT unique in the synthetic lineitem — deletion by
+        # key removes every matching row, and the assertions below count
+        # via semi-join accordingly)
+        k3 = fact.filter(F.col("FILTERID") == 3).select("rowkey")
+        k1 = (
+            fact.filter(F.col("FILTERID") == 1)
+            .select("rowkey").orderBy("rowkey").limit(10)
+        )
+        keys = k3.unionByName(k1).cache()
+        n_match = fact.join(keys, "rowkey", "left_semi").count()
+        n_deleted = delete_from_lake(spark, path, keys, "rowkey", ["FILTERID"])
+        assert n_deleted == n_match
+
+        after = spark.read.parquet(path)
+        assert after.count() == total - n_match
+        assert after.filter(F.col("FILTERID") == 3).count() == 0
+        assert "FILTERID=3" not in set(os.listdir(path))
+        # FILTERID=2 never rewritten: identical file names/sizes/mtimes
+        assert files_of("FILTERID=2") == untouched_before
+        # deleted keys gone, others intact
+        assert after.join(keys, "rowkey", "left_semi").count() == 0

@@ -43,7 +43,10 @@ def test_rolling_brute_force(ts_events):
     width = 500
     out = (
         rolling_window_stats(df, "ts", ["user"], "val", width)
-        .select("user", "ts", "eid", "roll_n", "roll_sum", "roll_max")
+        .select(
+            "user", "ts", "eid", "roll_n", "roll_sum", "roll_max",
+            "roll_mean", "roll_std",
+        )
         .toPandas()
         .sort_values("eid")
         .reset_index(drop=True)
@@ -55,9 +58,15 @@ def test_rolling_brute_force(ts_events):
             & (pdf.ts <= row.ts)
         ]
         assert row.roll_n == len(w)
-        expect_sum = np.floor(w.val.to_numpy() * _FP).astype("int64").sum() / _FP
-        assert row.roll_sum == pytest.approx(expect_sum, abs=0)
-        assert row.roll_max == w.val.max()
+        v = w.val.to_numpy()
+        s1 = np.floor(v * _FP).astype("int64").sum() / _FP
+        s2 = np.floor(v * v * 2**14).astype("int64").sum() / 2**14
+        assert row.roll_sum == pytest.approx(s1, abs=0)
+        assert row.roll_max == v.max()
+        assert row.roll_mean == pytest.approx(s1 / len(v), abs=0)
+        assert row.roll_std == pytest.approx(
+            np.sqrt(max(s2 / len(v) - (s1 / len(v)) ** 2, 0.0)), abs=0
+        )
 
 
 def test_rolling_row_order_invariance(ts_events, spark):
