@@ -148,6 +148,11 @@ def interval_join(
         raise ValueError(
             f"interval columns collide with point columns: {sorted(overlap)}"
         )
+    bad = {"__bucket"} & (set(points.columns) | set(intervals.columns))
+    if bad:
+        raise ValueError(
+            f"input columns collide with internals: {sorted(bad)}"
+        )
     b = F.lit(bucket_width)
     iv = intervals.withColumn(
         "__bucket",

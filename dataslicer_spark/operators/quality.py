@@ -31,13 +31,19 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     """
     cols = list(cols) if cols is not None else list(df.columns)
     check_col(cols, df)
+    # positional internal aliases + df[c] references: arbitrary column
+    # names (hyphens, spaces, quotes, dots) profile without SQL-identifier
+    # games; only the escaped display literal carries the original name
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(df[c]).alias(f"__nn_{i}"))
+        aggs.append(F.countDistinct(df[c]).alias(f"__nd_{i}"))
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __n - __nn_{c}, __nd_{c}" for c in cols
+        "'{lit}', __n - __nn_{i}, __nd_{i}".format(
+            lit=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return row.select(
         F.expr(

@@ -268,6 +268,8 @@ def debounce(
     """
     import pandas as pd
 
+    if int(window_us) <= 0:
+        raise ValueError("window_us must be positive")
     by = list(key_cols)
     check_col(by + [ts_us_col], df)
 
@@ -301,7 +303,10 @@ def interpolate_linear(
 
     Observations must be unique per (key, ts) — pre-deduplicate with
     ``windows.largest_wins`` (as-of queries do the same; ties would make
-    the endpoint choice engine-dependent).
+    the endpoint choice engine-dependent).  NULL-valued observations are
+    ignored (dropped before the union): keeping them would mispair an
+    endpoint timestamp with an older observation's value, since the two
+    IGNORE-NULLS window reads resolve independently.
 
     Returns ``by_cols`` + ``grid_ts`` + ``<value_col>_interp``.
 
@@ -325,6 +330,7 @@ def interpolate_linear(
     if bad:
         raise ValueError(f"input columns collide with internals: {sorted(bad)}")
 
+    df = df.filter(F.col(value_col).isNotNull())
     grid = time_grid(df, ts_us_col, by, int(step_us)).withColumnRenamed(
         "grid_ts", ts_us_col
     )

@@ -804,8 +804,10 @@ WITH obs0 AS (
 obs AS (SELECT user_id, ts_us, value AS obs_value FROM obs0 WHERE rn = 1),
 spans AS (
   SELECT user_id,
-         MIN(ts_us) - (MIN(ts_us) % 3600000000) AS lo,
-         MAX(ts_us) - (MAX(ts_us) % 3600000000) AS hi
+         MIN(ts_us) - (((MIN(ts_us) % 3600000000) + 3600000000)
+                       % 3600000000) AS lo,
+         MAX(ts_us) - (((MAX(ts_us) % 3600000000) + 3600000000)
+                       % 3600000000) AS hi
   FROM obs GROUP BY user_id),
 grid AS (
   SELECT user_id, g.grid_ts
@@ -1026,7 +1028,8 @@ EV_RETENTION_SQL = """
 WITH base AS (
   SELECT user_id,
          epoch_us(CAST(ts AS TIMESTAMP))
-           - (epoch_us(CAST(ts AS TIMESTAMP)) % 604800000000) AS bucket
+           - (((epoch_us(CAST(ts AS TIMESTAMP)) % 604800000000)
+               + 604800000000) % 604800000000) AS bucket
   FROM events),
 c AS (
   SELECT user_id, bucket,
@@ -1069,8 +1072,10 @@ WITH obs0 AS (
 obs AS (SELECT user_id, ts_us, value AS obs_value FROM obs0 WHERE rn = 1),
 spans AS (
   SELECT user_id,
-         MIN(ts_us) - (MIN(ts_us) % 3600000000) AS lo,
-         MAX(ts_us) - (MAX(ts_us) % 3600000000) AS hi
+         MIN(ts_us) - (((MIN(ts_us) % 3600000000) + 3600000000)
+                       % 3600000000) AS lo,
+         MAX(ts_us) - (((MAX(ts_us) % 3600000000) + 3600000000)
+                       % 3600000000) AS hi
   FROM obs GROUP BY user_id),
 grid AS (
   SELECT user_id, g.grid_ts

@@ -73,16 +73,30 @@ def compact_lake(
     task — n_tasks × n_partitions tiny files, the very problem being
     fixed) while the random tail key splits dominant partitions across
     proportionally many tasks.  The rewrite goes to a temp directory
-    first and swaps in only after success — a crash mid-compaction
-    leaves the original lake intact.
+    first and swaps in via two renames; a crash before the swap leaves
+    the original intact, and a crash between the renames is repaired by
+    the next call (leftover ``__old__``/temp dirs are recovered on
+    entry).
 
     Returns the number of data files after compaction.  (On object
     stores swap via the catalog/manifest instead of a rename; this
     filesystem variant documents the pattern.)
     """
     import math
-    import os
     import shutil
+
+    # recover from a previously crashed compaction: a leftover temp dir is
+    # garbage; a leftover __old__ next to an intact lake is garbage too,
+    # while __old__ WITHOUT a lake is the original — restore it
+    tmp = path.rstrip("/") + ".__compacting__"
+    old = path.rstrip("/") + ".__old__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
 
     total_bytes = 0
     for root, _dirs, files in os.walk(path):
@@ -95,7 +109,6 @@ def compact_lake(
 
     df = spark.read.parquet(path)
     check_col(partition_cols, df)
-    tmp = path.rstrip("/") + ".__compacting__"
     cols = [F.col(c) for c in partition_cols] + [F.rand(42)]
     (
         df.repartitionByRange(n_files, *cols)
@@ -103,7 +116,10 @@ def compact_lake(
         .partitionBy(*list(partition_cols))
         .parquet(tmp)
     )
-    old = path.rstrip("/") + ".__old__"
+    # two-rename swap: a crash BEFORE the first rename leaves the lake
+    # untouched; between the renames there is a brief no-lake window that
+    # the recovery block above repairs on the next call (object-store /
+    # catalog deployments swap a manifest pointer instead)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -151,8 +167,8 @@ def delete_from_lake(
     )
     affected = lake.join(F.broadcast(affected_vals), pcols, "left_semi")
     remaining = affected.join(kd, key_col, "left_anti")
-    n_before = affected.count()
-    n_after = remaining.count()
+    # one semi-join count — not before/after scans of every affected row
+    n_deleted = affected.join(kd, key_col, "left_semi").count()
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -162,15 +178,32 @@ def delete_from_lake(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     # remove directories whose every row was deleted (dynamic overwrite
-    # rewrote nothing there, leaving the old files)
+    # rewrote nothing there, leaving the old files); directory names use
+    # Spark's Hive-style escaping, so build them with the engine's own
+    # escaper — a hand-built "col=value" path silently misses values
+    # containing ':', '%', spaces, … and the "deleted" data would remain
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     emptied = affected_vals.join(
         remaining.select(*pcols).distinct(), pcols, "left_anti"
     ).collect()
     for row in emptied:
-        sub = "/".join(f"{c}={row[c]}" for c in pcols)
-        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+        parts = []
+        for c in pcols:
+            v = row[c]
+            if v is None:
+                parts.append(f"{esc.escapePathName(c)}=__HIVE_DEFAULT_PARTITION__")
+            else:
+                parts.append(
+                    f"{esc.escapePathName(c)}={esc.escapePathName(str(v))}"
+                )
+        target = os.path.join(path, *parts)
+        if not os.path.exists(target):
+            raise RuntimeError(
+                f"expected emptied partition directory missing: {target}"
+            )
+        shutil.rmtree(target)
     affected_vals.unpersist()
-    return n_before - n_after
+    return n_deleted
 
 
 __all__ = [

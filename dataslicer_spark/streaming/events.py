@@ -183,21 +183,12 @@ def stream_session_stats(
     state (tests advance the watermark with a sentinel event).  Returns
     the streaming DataFrame; attach a ``writeStream`` sink to run."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(
-            F.session_window(F.col(ts_col), gap).alias("w"), user_col
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _fp_sum(F.col(value_col)).alias("sum_value"),
-        )
-        .select(
-            user_col,
-            _epoch_us(F.col("w.start")).alias("session_start"),
-            "n_events",
-            "sum_value",
-        )
+    # delegate to the batch operator: the streaming twin IS the same
+    # expression tree, just watermarked — a copy would silently
+    # desynchronize if session_stats evolves
+    return session_stats(
+        stream.withWatermark(ts_col, watermark),
+        gap=gap, ts_col=ts_col, user_col=user_col, value_col=value_col,
     )
 
 

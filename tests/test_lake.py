@@ -131,3 +131,49 @@ def test_delete_from_lake(spark, sf_dir):
         assert files_of("FILTERID=2") == untouched_before
         # deleted keys gone, others intact
         assert after.join(keys, "rowkey", "left_semi").count() == 0
+
+
+def test_delete_from_lake_escaped_partition_values(spark):
+    """Partition values needing Hive-style path escaping (':' → '%3A')
+    still get their emptied directories removed — a hand-built path would
+    miss them and silently leave 'deleted' data on disk."""
+    import pandas as pd
+    import tempfile
+
+    from dataslicer_spark.sources.lake import delete_from_lake
+
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "part": ["a:b", "a:b", "plain", "plain"],
+         "v": [1.0, 2.0, 3.0, 4.0]}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "lake")
+        write_partitioned(spark.createDataFrame(pdf), path, ["part"])
+        keys = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+        n = delete_from_lake(spark, path, keys, "k", ["part"])
+        assert n == 2
+        after = spark.read.parquet(path)
+        assert after.count() == 2
+        assert after.filter(F.col("part") == "a:b").count() == 0
+        assert not any(e.startswith("part=a") for e in os.listdir(path))
+
+
+def test_compact_lake_recovers_from_crashed_swap(spark, sf_dir):
+    """A crash between the two swap renames leaves only __old__; the next
+    call restores it and compacts normally."""
+    import tempfile
+
+    from dataslicer_spark.sources.lake import compact_lake
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    fact = li.withColumn("FILTERID", (F.col("l_linenumber") % 3 + 1))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "lake")
+        write_partitioned(fact, path, ["FILTERID"], max_records_per_file=500)
+        n_rows = fact.count()
+        # simulate the crash window: lake renamed away, tmp lost
+        os.rename(path, path + ".__old__")
+        compact_lake(spark, path, ["FILTERID"])
+        assert spark.read.parquet(path).count() == n_rows
+        assert not os.path.exists(path + ".__old__")
+        assert not os.path.exists(path + ".__compacting__")

@@ -60,6 +60,18 @@ def test_profile_single_aggregate_pass(dirty):
     assert n_scans == 1, plan
 
 
+def test_profile_weird_column_names(spark):
+    """Hyphens, spaces, and quotes in column names must profile fine —
+    internal aliases are positional, only the display literal is escaped."""
+    pdf = pd.DataFrame({"a": [1, 2, None]})
+    df = spark.createDataFrame(pdf).selectExpr(
+        "a AS `a-b`", "a AS `a b`", "a AS `it's`"
+    )
+    out = profile_table(df).toPandas().set_index("col_name")
+    assert set(out.index) == {"a-b", "a b", "it's"}
+    assert (out.n_nulls == 1).all() and (out.n_distinct == 2).all()
+
+
 def test_uniqueness(dirty):
     sdf, _, _ = dirty
     out = uniqueness_violations(sdf, ["id"]).collect()

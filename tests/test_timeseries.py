@@ -398,6 +398,45 @@ def test_interval_join_validation(spark):
         interval_join(pts, iv, "p", "lo", "hi", bucket_width=10)
 
 
+def test_interpolate_ignores_null_observations(spark):
+    """A NULL-valued observation must not contribute an endpoint: ticks
+    interpolate between the surrounding non-null points (a kept NULL row
+    would mispair its timestamp with an older value)."""
+    pdf = pd.DataFrame(
+        {"key": [1, 1, 1], "ts": [0, 100, 200],
+         "val": [10.0, None, 30.0]}
+    )
+    out = (
+        interpolate_linear(
+            spark.createDataFrame(pdf), "ts", ["key"], "val", 50
+        )
+        .toPandas()
+        .sort_values("grid_ts")
+    )
+    got = dict(zip(out.grid_ts, out.val_interp))
+    assert got[100] == pytest.approx(20.0)
+    assert got[150] == pytest.approx(25.0)
+
+
+def test_debounce_window_validation(spark):
+    from dataslicer_spark.operators.timeseries import debounce
+
+    pdf = pd.DataFrame({"key": [1], "ts": [0]})
+    with pytest.raises(ValueError, match="window_us"):
+        debounce(spark.createDataFrame(pdf), "ts", ["key"], window_us=0)
+
+
+def test_interval_join_internal_collision(spark):
+    from dataslicer_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"p": [1], "__bucket": [9]})
+    )
+    iv = spark.createDataFrame(pd.DataFrame({"lo": [0], "hi": [5]}))
+    with pytest.raises(ValueError, match="__bucket"):
+        interval_join(pts, iv, "p", "lo", "hi", bucket_width=10)
+
+
 def test_interpolate_collision_guard(spark):
     pdf = pd.DataFrame({"key": [1], "ts": [0], "val": [1.0], "__side": [9]})
     with pytest.raises(ValueError, match="__side"):
