@@ -106,10 +106,47 @@ def frequent_items(
     return df.stat.freqItems(list(cols), support)
 
 
+def theta_set_counts(
+    df: DataFrame,
+    col: str,
+    flag_col: str,
+    a_value,
+    b_value,
+) -> DataFrame:
+    """Approximate distinct-set algebra between two segments: |A|, |B|,
+    |A∪B|, |A∩B|, |A\\B| of ``col`` values where ``flag_col`` equals
+    ``a_value`` / ``b_value`` — the audience-overlap question HLL cannot
+    answer (HLL unions but never intersects; Theta sketches support all
+    three set operations — Apache DataSketches, built into Spark 4).
+
+    One pass: two ``theta_sketch_agg`` aggregates (map-side partial +
+    merge, a few KB each), then scalar sketch algebra on the single
+    result row.  Returns ``n_a, n_b, n_union, n_intersection, n_diff``
+    (A-minus-B) as bigint estimates.
+    """
+    check_col([col, flag_col], df)
+    c, fl = F.col(col), F.col(flag_col)
+    sk = df.agg(
+        F.theta_sketch_agg(F.when(fl == a_value, c)).alias("__sa"),
+        F.theta_sketch_agg(F.when(fl == b_value, c)).alias("__sb"),
+    )
+    sa, sb = F.col("__sa"), F.col("__sb")
+    return sk.select(
+        F.theta_sketch_estimate(sa).alias("n_a"),
+        F.theta_sketch_estimate(sb).alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union(sa, sb)).alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection(sa, sb)).alias(
+            "n_intersection"
+        ),
+        F.theta_sketch_estimate(F.theta_difference(sa, sb)).alias("n_diff"),
+    )
+
+
 __all__ = [
     "hll_distinct",
     "hll_partial_sketches",
     "hll_merge",
     "approx_quantiles",
     "frequent_items",
+    "theta_set_counts",
 ]

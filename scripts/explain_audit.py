@@ -81,6 +81,8 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("ev_interval_join", "range join is a bucketed hash equi-join — "
      "never a nested loop",
      ["HashJoin"], ["CartesianProduct", "NestedLoop"]),
+    ("sk_theta_sets", "theta sketches aggregate JVM-side partial+final",
+     ["HashAggregate", "theta_sketch_agg"], ["Python"]),
 ]
 
 

@@ -76,3 +76,31 @@ def test_frequent_items_finds_planted(spark):
     )
     items = frequent_items(df, ["v"], support=0.2).collect()[0].v_freqItems
     assert 42 in items
+
+
+def test_theta_set_counts_error_bounds(spark, sf_dir):
+    """Theta set-operation estimates land within 5% of exact (lgK=12 →
+    ~1.6% RSE; set ops compound it), including the intersection HLL
+    cannot compute."""
+    import os
+    from pyspark.sql import functions as F
+    from dataslicer_spark.functions.sketches import theta_set_counts
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    est = theta_set_counts(
+        li, "l_orderkey", "l_returnflag", "A", "R"
+    ).collect()[0]
+    k, fl = F.col("l_orderkey"), F.col("l_returnflag")
+    ex = li.agg(
+        F.countDistinct(F.when(fl == "A", k)).alias("a"),
+        F.countDistinct(F.when(fl == "R", k)).alias("b"),
+        F.countDistinct(F.when(fl.isin("A", "R"), k)).alias("u"),
+    ).collect()[0]
+    inter = ex.a + ex.b - ex.u
+    diff = ex.u - ex.b
+    for got, exact in [
+        (est.n_a, ex.a), (est.n_b, ex.b), (est.n_union, ex.u),
+        (est.n_intersection, inter), (est.n_diff, diff),
+    ]:
+        assert exact > 0
+        assert abs(got / exact - 1.0) <= 0.05, (got, exact)
