@@ -106,6 +106,64 @@ def frequent_items(
     return df.stat.freqItems(list(cols), support)
 
 
+def kll_partial_sketches(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str],
+    k: int = 200,
+) -> DataFrame:
+    """Per-group binary KLL quantile sketches — the quantile analogue of
+    :func:`hll_partial_sketches`: sketch each ingest partition once,
+    answer any later quantile question over any rollup by merging the
+    stored sketches, never rescanning the fact data.  ``k=200`` ≈ 1.65%
+    one-sided rank error at 99% confidence (DataSketches KLL bound).
+
+    The value column is cast to double (KLL sketches are type-specific;
+    double covers the numeric columns this engine profiles)."""
+    check_col([col] + list(group_cols), df)
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(col).cast("double"), F.lit(k)
+        ).alias(f"kll_{col}")
+    )
+
+
+def kll_merge_quantiles(
+    sketches: DataFrame,
+    sketch_col: str,
+    probabilities: Sequence[float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge stored KLL sketches (associative) and read out quantile
+    estimates: one ``q_<p>`` column per requested probability.
+
+    ``kll_sketch_merge_double`` is a pairwise scalar, so the stored
+    sketches are gathered per group and folded — fine at rollup grain,
+    where a group holds one sketch per source partition (days, files),
+    each a few KB."""
+    check_col([sketch_col] + list(group_cols), sketches)
+    lst = F.collect_list(F.col(sketch_col))
+    step0 = (
+        sketches.groupBy(*group_cols).agg(lst.alias("__lst"))
+        if group_cols
+        else sketches.agg(lst.alias("__lst"))
+    )
+    arr = F.col("__lst")
+    merged = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    step1 = step0.select(*list(group_cols), merged.alias("__m"))
+    outs = [
+        F.kll_sketch_get_quantile_double(
+            F.col("__m"), F.lit(float(p))
+        ).alias(f"q_{str(p).replace('.', '_')}")
+        for p in probabilities
+    ]
+    return step1.select(*list(group_cols), *outs)
+
+
 def theta_set_counts(
     df: DataFrame,
     col: str,
@@ -148,5 +206,7 @@ __all__ = [
     "hll_merge",
     "approx_quantiles",
     "frequent_items",
+    "kll_partial_sketches",
+    "kll_merge_quantiles",
     "theta_set_counts",
 ]

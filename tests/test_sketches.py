@@ -104,3 +104,35 @@ def test_theta_set_counts_error_bounds(spark, sf_dir):
     ]:
         assert exact > 0
         assert abs(got / exact - 1.0) <= 0.05, (got, exact)
+
+
+def test_kll_partial_merge_rank_bounds(spark, sf_dir):
+    """Sketch per l_returnflag partition, merge across all partitions →
+    global quantile estimates land between the exact quantiles at
+    p ∓ 2·rank_error (k=200 → ~1.65% rank error)."""
+    import os
+    from pyspark.sql import functions as F
+    from dataslicer_spark.functions.sketches import (
+        kll_merge_quantiles,
+        kll_partial_sketches,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    parts = kll_partial_sketches(
+        li, "l_extendedprice", ["l_returnflag"], k=200
+    )
+    assert parts.count() == 3  # one stored sketch per partition value
+    probs = [0.25, 0.5, 0.75]
+    merged = kll_merge_quantiles(
+        parts, "kll_l_extendedprice", probs
+    ).collect()[0]
+    eps = 0.033  # 2 x 1.65% rank error
+    lo_hi = li.agg(
+        F.percentile(
+            F.col("l_extendedprice"),
+            F.array(*[F.lit(x) for p in probs for x in (p - eps, p + eps)]),
+        ).alias("q")
+    ).collect()[0].q
+    for i, p in enumerate(probs):
+        got = merged[f"q_{str(p).replace('.', '_')}"]
+        assert lo_hi[2 * i] <= got <= lo_hi[2 * i + 1], (p, got)
