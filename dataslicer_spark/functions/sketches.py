@@ -164,6 +164,42 @@ def kll_merge_quantiles(
     return step1.select(*list(group_cols), *outs)
 
 
+def cms_frequency(
+    df: DataFrame,
+    col: str,
+    probe_values: Sequence,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 1,
+) -> list[tuple]:
+    """Count-Min-Sketch point-frequency estimates for ``probe_values``
+    of ``col`` — the companion to :func:`frequent_items`' heavy-hitter
+    *identification* (CMS answers "how often does THIS value occur").
+
+    One distributed pass: the JVM ``count_min_sketch`` aggregate builds
+    a mergeable sketch map-side (Cormode-Muthukrishnan guarantee:
+    estimate ≥ true count, overshoot ≤ ``eps·N`` with probability
+    ``confidence``); the few-KB sketch bytes come back to the driver,
+    where each probe is read out via the engine's own
+    ``CountMinSketch.readFrom`` — no readout SQL function exists, and a
+    bounded probe list is inherently driver-side.
+
+    Returns ``[(value, estimate), ...]``.
+    """
+    check_col([col], df)
+    row = df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(float(eps)), F.lit(float(confidence)),
+            F.lit(seed),
+        ).alias("cms_bytes")
+    ).head()
+    spark = df.sparkSession
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row[0])
+    )
+    return [(v, int(cms.estimateCount(v))) for v in probe_values]
+
+
 def theta_set_counts(
     df: DataFrame,
     col: str,
@@ -208,5 +244,6 @@ __all__ = [
     "frequent_items",
     "kll_partial_sketches",
     "kll_merge_quantiles",
+    "cms_frequency",
     "theta_set_counts",
 ]

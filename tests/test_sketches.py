@@ -136,3 +136,23 @@ def test_kll_partial_merge_rank_bounds(spark, sf_dir):
     for i, p in enumerate(probs):
         got = merged[f"q_{str(p).replace('.', '_')}"]
         assert lo_hi[2 * i] <= got <= lo_hi[2 * i + 1], (p, got)
+
+
+def test_cms_frequency_bounds(spark, sf_dir):
+    """CMS estimates: never below the true count, overshoot <= eps*N."""
+    import os
+    from pyspark.sql import functions as F
+    from dataslicer_spark.functions.sketches import cms_frequency
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    truth = {
+        r.l_suppkey: r.n
+        for r in li.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    probes = sorted(truth)[:5] + [999_999_999]  # incl. an absent value
+    n_total = li.count()
+    est = dict(cms_frequency(li, "l_suppkey", probes, eps=0.001))
+    for v in probes:
+        true = truth.get(v, 0)
+        assert est[v] >= true
+        assert est[v] - true <= 0.001 * n_total + 1
