@@ -1053,6 +1053,84 @@ GROUP BY 1
 """
 
 
+def a11_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension — windowed share-of-total (ratio_to_report):
+    each (returnflag, linestatus) cell's revenue share within its
+    linestatus.  The window sums the fixed-point LONG partials, so the
+    share is bit-deterministic (a double window sum would depend on
+    partition order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_fp = F.sum(
+        F.floor(F.col("l_extendedprice") * F.lit(float(2 ** FP_BITS))).cast(
+            "long"
+        )
+    ).alias("__rev_fp")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(rev_fp)
+    w = Window.partitionBy("l_linestatus")
+    return cells.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("__rev_fp").cast("double") / F.lit(float(2 ** FP_BITS))).alias(
+            "revenue"
+        ),
+        (
+            F.col("__rev_fp").cast("double")
+            / F.sum("__rev_fp").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+A11_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(rev_fp AS DOUBLE) / CAST({float(2**FP_BITS)} AS DOUBLE) AS revenue,
+       CAST(rev_fp AS DOUBLE)
+         / CAST(SUM(rev_fp) OVER (PARTITION BY l_linestatus) AS DOUBLE)
+         AS share
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(FLOOR(l_extendedprice * CAST({float(2**FP_BITS)} AS DOUBLE))
+                  AS BIGINT)) AS rev_fp
+  FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def a12_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension — median absolute deviation per group: the
+    robust dispersion sibling of A5's IQR (median of |x − median(x)|).
+    Two aggregation stages sharing the group key; the per-group median
+    broadcasts back (dimension-sized)."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("__med")
+    )
+    dev = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(med), "l_returnflag"
+    )
+    return (
+        dev.groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("__med"), 6).alias("median_price"),
+            F.round(
+                F.median(F.abs(F.col("l_extendedprice") - F.col("__med"))), 6
+            ).alias("mad_price"),
+        )
+    )
+
+
+A12_SQL = """
+SELECT d.l_returnflag,
+       ROUND(ANY_VALUE(d.med), 6) AS median_price,
+       ROUND(MEDIAN(ABS(d.l_extendedprice - d.med)), 6) AS mad_price
+FROM (
+  SELECT l.l_returnflag, l.l_extendedprice, m.med
+  FROM lineitem l
+  JOIN (SELECT l_returnflag, MEDIAN(l_extendedprice) AS med
+        FROM lineitem GROUP BY 1) m
+    ON l.l_returnflag = m.l_returnflag) d
+GROUP BY d.l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1092,6 +1170,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f7_odr_fit": f7_odr_fit,
     "o9_topk_per_group": o9_topk_per_group,
     "a10_histogram": a10_histogram,
+    "a11_share_of_total": a11_share_of_total,
+    "a12_mad": a12_mad,
 }
 
 ORACLES: dict[str, str] = {
@@ -1129,4 +1209,6 @@ ORACLES: dict[str, str] = {
     "f7_odr_fit": F7_SQL,
     "o9_topk_per_group": O9_SQL,
     "a10_histogram": A10_SQL,
+    "a11_share_of_total": A11_SQL,
+    "a12_mad": A12_SQL,
 }
