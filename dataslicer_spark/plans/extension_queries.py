@@ -1552,6 +1552,117 @@ def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storable-sketch rollup pattern as a driver query: HLL partial
+    sketches per (returnflag, linestatus) cell, merged up to returnflag
+    WITHOUT rescanning the fact data (functions/sketches
+    hll_partial_sketches → hll_merge) — exactly how a 100 TB lake
+    answers distinct-count rollups from per-partition sketches.
+    Self-certified like sk_hll_stats: exact distinct counts + a boolean
+    asserting the merged estimate lands within 5% (lgK=12 → ~1.6% RSE;
+    sketch union is loss-free)."""
+    from ..functions.sketches import hll_merge, hll_partial_sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = hll_partial_sketches(
+        li, "l_orderkey", ["l_returnflag", "l_linestatus"]
+    )
+    rolled = hll_merge(
+        parts, "hll_l_orderkey", ["l_returnflag"], out_col="n_est"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return rolled.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("n_est").cast("double") / F.col("n_exact") - 1.0)
+            <= 0.05
+        ).alias("est_ok"),
+    )
+
+
+SK_HLL_ROLLUP_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_exact,
+       TRUE AS est_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def ev_funnel_by_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped funnel: view → click → purchase completed inside
+    ONE session (sessionize ordinals compose with funnel_conversion by
+    partitioning on the session key instead of the user)."""
+    from ..operators.timeseries import funnel_conversion, sessionize
+
+    events = load_events(spark, sf_dir).select(
+        "user_id", _epoch_us(F.col("ts")).alias("ts_us"),
+        "event_id", "event_type",
+    )
+    labeled = sessionize(
+        events, "ts_us", "user_id", gap_us=1_800_000_000,
+        tiebreak_col="event_id",
+    ).withColumn(
+        "sess_key",
+        F.concat_ws("#", F.col("user_id"), F.col("session_seq")),
+    )
+    out = funnel_conversion(
+        labeled, ["view", "click", "purchase"], "ts_us", "sess_key",
+        "event_type",
+    )
+    return out.select(
+        "step_index", "step", F.col("n_users").alias("n_sessions")
+    )
+
+
+EV_FUNNEL_SESSION_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_id, event_type
+  FROM events),
+labeled AS (
+  SELECT user_id, ts_us, event_type,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM (
+    SELECT user_id, event_id, ts_us, event_type,
+           CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM (
+      SELECT user_id, event_id, ts_us, event_type,
+             LAG(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_ts
+      FROM base))),
+keyed AS (
+  SELECT user_id || '#' || session_seq AS sess_key, ts_us, event_type
+  FROM labeled),
+w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY sess_key) AS t1 FROM keyed),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= t1 THEN ts_us END)
+              OVER (PARTITION BY sess_key) AS t2 FROM w1),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= t2
+                     THEN ts_us END)
+              OVER (PARTITION BY sess_key) AS t3 FROM w2),
+u AS (
+  SELECT sess_key, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM w3 GROUP BY sess_key),
+c AS (
+  SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM u)
+SELECT CAST(1 AS INT) AS step_index, 'view' AS step, n1 AS n_sessions FROM c
+UNION ALL
+SELECT CAST(2 AS INT), 'click', n2 FROM c
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', n3 FROM c
+"""
+
+
 def sk_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra (functions/sketches.theta_set_counts),
     self-certified like sk_hll_stats: |A|/|B|/|A∪B|/|A∩B|/|A\\B| of
@@ -2265,6 +2376,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_quantize": emb_quantize,
     "sk_hll_stats": sk_hll_stats,
     "sk_theta_sets": sk_theta_sets,
+    "sk_hll_rollup": sk_hll_rollup,
+    "ev_funnel_by_session": ev_funnel_by_session,
     "mm_image_features": mm_image_features,
     "ev_tumbling_window": ev_tumbling_window,
     "ev_sliding_window": ev_sliding_window,
@@ -2325,6 +2438,8 @@ ORACLES: dict[str, str] = {
     # exact counts + bound-certification booleans (TRUE by sketch contract)
     "sk_hll_stats": SK_HLL_SQL,
     "sk_theta_sets": SK_THETA_SQL,
+    "sk_hll_rollup": SK_HLL_ROLLUP_SQL,
+    "ev_funnel_by_session": EV_FUNNEL_SESSION_SQL,
     # sha-cycle decode replay → bit-identical feature doubles (see SQL)
     "mm_image_features": MM_IMAGE_FEATURES_SQL,
     "ev_tumbling_window": EV_TUMBLING_SQL,
