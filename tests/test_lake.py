@@ -177,3 +177,58 @@ def test_compact_lake_recovers_from_crashed_swap(spark, sf_dir):
         assert spark.read.parquet(path).count() == n_rows
         assert not os.path.exists(path + ".__old__")
         assert not os.path.exists(path + ".__compacting__")
+
+
+def test_zorder_write_locality(spark, sf_dir):
+    """Z-ordered files concentrate narrow range predicates on BOTH
+    dimensions into fewer files than a round-robin layout (file-level
+    data skipping via parquet min/max)."""
+    import tempfile
+
+    from dataslicer_spark.sources.lake import zorder_write
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    stats = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    pk_lo, pk_hi, sk_lo, sk_hi = stats
+
+    def touched(df, cond):
+        return (
+            df.filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        rnd, zrd = os.path.join(d, "rnd"), os.path.join(d, "z")
+        li.repartition(16).write.option(
+            "maxRecordsPerFile", 400
+        ).parquet(rnd)
+        zorder_write(
+            li, zrd, ["l_partkey", "l_suppkey"], bits=10,
+            n_files=16, max_records_per_file=400,
+        )
+        r, z = spark.read.parquet(rnd), spark.read.parquet(zrd)
+        assert z.count() == li.count()
+        # narrow range on each dimension (~10% of the key space)
+        pk_cut = (
+            F.col("l_partkey") <= pk_lo + (pk_hi - pk_lo) * 0.1
+        )
+        sk_cut = (
+            F.col("l_suppkey") <= sk_lo + (sk_hi - sk_lo) * 0.1
+        )
+        assert touched(z, pk_cut) < touched(r, pk_cut)
+        assert touched(z, sk_cut) < touched(r, sk_cut)
+
+
+def test_zorder_validation(spark, sf_dir):
+    from dataslicer_spark.sources.lake import zorder_write
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    with pytest.raises(ValueError, match="two columns"):
+        zorder_write(li, "/tmp/x", ["l_partkey"])
