@@ -148,11 +148,13 @@ def _merge_map_distributed(key_sets_df: DataFrame, max_iter: int = 50) -> DataFr
     pointer jumping, ``mode='distributed'`` — this path is chosen
     precisely because the graph exceeded the driver budget, so no inner
     re-probe); singleton keys (in no multi-cell set) are their own
-    representative via the left join.  Final dense ids are ``row_number``
-    over the distinct representatives — a single-partition sort over
-    #components rows, the same driver-scale object the union-find path
-    returns, and identical labels (rep = lexicographically smallest key;
-    ASCII keys, so Python and UTF8-binary orderings agree).
+    representative via the left join.  Final dense ids come from
+    :func:`..utils.dense_ids` (range-repartition + per-partition
+    row_number + cumulative offsets) — NOT a single-partition global
+    window, so id assignment scales with component count.  Ids equal the
+    global rank of the representative key (rep = lexicographically
+    smallest key; ASCII keys, so Python and UTF8-binary orderings
+    agree), identical to the union-find path's labels.
     """
     from .graph import connected_components
 
@@ -167,14 +169,9 @@ def _merge_map_distributed(key_sets_df: DataFrame, max_iter: int = 50) -> DataFr
     labels = all_keys.join(cc, "node", "left").select(
         "node", F.coalesce(F.col("rep"), F.col("node")).alias("rep")
     )
-    rep_ids = (
-        labels.select("rep")
-        .distinct()
-        .withColumn(
-            "__gcid",
-            (F.row_number().over(Window.orderBy("rep")) - 1).cast("long"),
-        )
-    )
+    from ..utils import dense_ids
+
+    rep_ids = dense_ids(labels.select("rep"), "rep", "__gcid")
     return labels.join(rep_ids, "rep").select(
         F.col("node").alias("label_key"), "__gcid"
     )

@@ -1471,24 +1471,30 @@ GROUP BY split
 
 def txt_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-then-chunk packing of the corpus into 2048-token
-    sequences (doc_id order): pack_id = chunk each document starts in."""
+    sequences, sharded by ``lang`` (each language is its own packing
+    stream — doc_id order inside a shard): pack_id = chunk each document
+    starts in.  Sharding keeps the cumsum window partitioned, so the plan
+    has no single-partition exchange and scales with shard count."""
     from ..operators.sampling import pack_documents
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens", token_count_ws(F.col("text"))
     )
-    out = pack_documents(docs, "doc_id", "n_tokens", max_tokens=2048)
-    return out.select("doc_id", "n_tokens", "pack_id")
+    out = pack_documents(
+        docs, "doc_id", "n_tokens", max_tokens=2048, partition_cols=["lang"]
+    )
+    return out.select("lang", "doc_id", "n_tokens", "pack_id")
 
 
 TXT_PACK_SQL = r"""
-SELECT doc_id, n_tokens,
+SELECT lang, doc_id, n_tokens,
        CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
 FROM (
-  SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
   FROM (
-    SELECT doc_id,
+    SELECT lang, doc_id,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
     FROM documents))
@@ -2105,9 +2111,14 @@ def txt_materialize_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens", token_count_ws(F.col("text"))
     )
-    packed = pack_documents(docs, "doc_id", "n_tokens", max_tokens=512)
-    out = materialize_packs(packed, "doc_id", "n_tokens", "text")
+    packed = pack_documents(
+        docs, "doc_id", "n_tokens", max_tokens=512, partition_cols=["lang"]
+    )
+    out = materialize_packs(
+        packed, "doc_id", "n_tokens", "text", partition_cols=["lang"]
+    )
     return out.select(
+        "lang",
         "pack_id",
         "n_docs",
         F.col("total_tokens").cast("long").alias("total_tokens"),
@@ -2117,24 +2128,24 @@ def txt_materialize_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TXT_MATERIALIZE_PACKS_SQL = r"""
 WITH packed AS (
-  SELECT doc_id, text, n_tokens,
+  SELECT lang, doc_id, text, n_tokens,
          CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
   FROM (
-    SELECT doc_id, text, n_tokens,
-           SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-             AS cum
+    SELECT lang, doc_id, text, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
     FROM (
-      SELECT doc_id, text,
+      SELECT lang, doc_id, text,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
              END AS n_tokens
       FROM documents)))
-SELECT pack_id,
+SELECT lang, pack_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS pack_fp
 FROM packed
-GROUP BY pack_id
+GROUP BY lang, pack_id
 """
 
 

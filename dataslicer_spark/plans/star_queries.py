@@ -858,16 +858,25 @@ def m3_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_extendedprice", "av_mag"),
         davg(F.col("l_extendedprice") - F.col("p_retailprice"), "av_dist"),
     )
-    w_all = Window.partitionBy()
-    binned = per_cluster.withColumn(
-        "mag_bin",
-        F.least(
-            F.floor(
-                (F.col("av_mag") - F.min("av_mag").over(w_all))
-                / ((F.max("av_mag").over(w_all) - F.min("av_mag").over(w_all)) / 10.0)
-            ).cast("int"),
-            F.lit(9),
-        ),
+    # global min/max as a broadcast 1-row aggregate cross-join — NOT a
+    # Window.partitionBy() global window, which would funnel every
+    # per-cluster row through one partition at scale
+    rng = per_cluster.agg(
+        F.min("av_mag").alias("__mag_lo"), F.max("av_mag").alias("__mag_hi")
+    )
+    binned = (
+        per_cluster.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "mag_bin",
+            F.least(
+                F.floor(
+                    (F.col("av_mag") - F.col("__mag_lo"))
+                    / ((F.col("__mag_hi") - F.col("__mag_lo")) / 10.0)
+                ).cast("int"),
+                F.lit(9),
+            ),
+        )
+        .drop("__mag_lo", "__mag_hi")
     )
     per_bin = binned.groupBy("mag_bin").agg(
         (

@@ -245,3 +245,64 @@ def query_df(
     columns allow it.
     """
     return df.filter(translate_query_expr(expr, params))
+
+
+def dense_ids(
+    df: DataFrame,
+    col: str,
+    out_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Assign dense ids ``0..n-1`` to the distinct values of ``col`` in
+    value order — WITHOUT a single-partition global window.
+
+    A plain ``row_number() OVER (ORDER BY col)`` funnels every row
+    through one partition (Spark's WindowExec warns about exactly this),
+    which caps the operator at one executor core at scale.  This is the
+    two-phase zipWithIndex pattern instead:
+
+    1. range-repartition the distinct values into ``buckets`` ordered
+       ranges and pin the layout with ``localCheckpoint`` so both jobs
+       below see identical partition ids;
+    2. one tiny job collects per-partition counts (``buckets`` rows to
+       the driver, regardless of data size) → cumulative offsets;
+    3. final id = partition offset + per-partition ``row_number`` − 1.
+
+    Because range partitions are ordered by value and offsets accumulate
+    in partition order, the id equals the global rank of the value —
+    deterministic, independent of the sampled range boundaries.
+
+    Output: one row per distinct value of ``col``, columns
+    ``(col, out_col)``.
+    """
+    from pyspark.sql import Window, functions as F
+
+    spark = df.sparkSession
+    ranged = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(buckets, F.col(col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    acc = 0
+    offsets = []
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(col)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )

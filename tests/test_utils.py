@@ -57,3 +57,31 @@ def test_cluster_conf_shape():
     assert conf["spark.sql.shuffle.partitions"] == str(1000 * 4 * 2)
     assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
     assert conf["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_dense_ids_are_global_ranks(spark):
+    from dataslicer_spark.utils import dense_ids
+
+    vals = ["c", "a", "q", "a", "m", "z", "b"]  # dup 'a' collapses
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    out = {r["k"]: r["id"] for r in dense_ids(df, "k", "id", buckets=3).collect()}
+    expected = {v: i for i, v in enumerate(sorted(set(vals)))}
+    assert out == expected
+
+
+def test_dense_ids_no_single_partition_window(spark):
+    from dataslicer_spark.utils import dense_ids
+
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
+    plan = dense_ids(df, "k", "id", buckets=8)._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan must be partitioned (no global sort window)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, line
+
+
+def test_dense_ids_empty(spark):
+    from dataslicer_spark.utils import dense_ids
+
+    df = spark.createDataFrame([], "k string")
+    assert dense_ids(df, "k", "id").count() == 0
