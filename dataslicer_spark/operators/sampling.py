@@ -307,3 +307,64 @@ __all__ = [
     "temperature_resample",
     "quantile_filter_by_group",
 ]
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    salt: str = "",
+    out_col: str = "sample_rank",
+) -> DataFrame:
+    """Fixed-size weighted random sample without replacement (per group):
+    the Efraimidis–Spirakis A-ES scheme — each row draws a deterministic
+    uniform ``u`` from ``md5(salt‖id)`` and the top-``k`` rows per group
+    by key ``u^(1/w)`` are the sample.  Inclusion probability is
+    proportional to weight, exactly as sequential weighted sampling
+    without replacement would give.
+
+    Deterministic in the data (hash-derived ``u``, id tie-break), so the
+    same corpus yields the same sample under any partitioning — and the
+    construction is reproducible in ANSI SQL for the DuckDB oracle.
+
+    Scale: with ``group_cols`` — one shuffle for the per-group top-k
+    window; without — orderBy+limit, which plans as distributed
+    TakeOrdered (per-partition heaps merged on the driver), never a
+    single-partition window.  Rows with ``weight <= 0`` or NULL are
+    excluded (zero inclusion probability).
+
+    Output: input columns + ``out_col`` (1..k rank by sampling key).
+    """
+    check_col([weight_col, id_col, *group_cols], df)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    # u in (0, 1): +0.5 keeps u strictly positive so u^(1/w) never
+    # collapses to 0 for every row at once
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    pos = df.filter(F.col(weight_col).cast("double") > 0)
+    if group_cols:
+        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+            key.desc(), F.col(id_col).asc()
+        )
+        return pos.withColumn(out_col, F.row_number().over(w)).filter(
+            F.col(out_col) <= k
+        )
+    # ungrouped: TakeOrdered top-k, then rank the k survivors (the window
+    # runs over k rows only — never the full table)
+    top = (
+        pos.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.partitionBy().orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    return top.withColumn(out_col, F.row_number().over(w)).drop("__key")

@@ -2361,6 +2361,99 @@ ORDER BY split
 """
 
 
+def emb_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, stage 1 (operators/pca.embedding_gram): the
+    upper-triangle second-moment matrix of the 64-dim embedding column as
+    exact fixed-point int64 sums.  Each partition reduces to d(d+1)/2
+    cells before the shuffle — the wire cost is O(partitions·d²), not
+    O(rows); the driver-side eigendecomposition (pca_fit) consumes this
+    d×d object and is pytest-verified against numpy."""
+    from ..operators.pca import embedding_gram
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_gram(emb, "embedding", dim=64)
+
+
+EMB_PCA_GRAM_SQL = f"""
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE)
+                           * {FP30}) AS BIGINT)) AS BIGINT) AS s_fp
+FROM embeddings, range(1, 65) t1(i), range(1, 65) t2(j)
+WHERE j >= i
+GROUP BY 1, 2
+"""
+
+
+def samp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.
+    weighted_sample): 20 documents per language, inclusion probability
+    proportional to ``n_chars`` — the Efraimidis–Spirakis A-ES key
+    ``u^(1/w)`` with ``u`` drawn from md5, replayable in ANSI SQL."""
+    from ..operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, "n_chars", k=20, id_col="doc_id", group_cols=["lang"], salt="ws"
+    )
+    return out.select("lang", "doc_id", "n_chars", "sample_rank")
+
+
+SAMP_WEIGHTED_SQL = r"""
+SELECT lang, doc_id, n_chars, sample_rank FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY pow(u, 1.0 / w) DESC, doc_id ASC) AS sample_rank
+  FROM (
+    SELECT lang, doc_id, n_chars,
+           (('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            + 0.5) / 4294967296.0 AS u,
+           CAST(n_chars AS DOUBLE) AS w
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0))
+WHERE sample_rank <= 20
+"""
+
+
+def skw_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the salted two-stage plan
+    (operators/skew.salted_group_agg): lineitem grouped by the 3-value
+    ``l_returnflag`` — exactly the shape where one reducer per key
+    straggles at scale.  The salted rewrite is algebraically identical to
+    the plain GROUP BY (which is the DuckDB oracle), only the
+    partitioning differs: stage 1 spreads each key over 16 sub-keys,
+    stage 2 merges 3·16 partials."""
+    from ..operators.skew import salted_group_agg
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_fp",
+        F.floor(F.col("l_quantity") * F.lit(float(1 << 20))).cast("long"),
+    )
+    out = salted_group_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": ("count", "qty_fp"),
+            "sum_qty_fp": ("sum", "qty_fp"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=16,
+    )
+    return out.select("l_returnflag", "n_rows", "sum_qty_fp", "max_price")
+
+
+SKW_SALTED_AGG_SQL = r"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_quantity * 1048576.0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_fp,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2418,6 +2511,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_classify": emb_knn_classify,
     "txt_materialize_packs": txt_materialize_packs,
     "llm_data_pipeline": llm_data_pipeline,
+    "emb_pca_gram": emb_pca_gram,
+    "samp_weighted": samp_weighted,
+    "skw_salted_agg": skw_salted_agg,
 }
 
 ORACLES: dict[str, str] = {
@@ -2484,4 +2580,7 @@ ORACLES: dict[str, str] = {
     "txt_materialize_packs": TXT_MATERIALIZE_PACKS_SQL,
     # the full pipeline chain replayed as one CTE cascade
     "llm_data_pipeline": LLM_PIPELINE_SQL,
+    "emb_pca_gram": EMB_PCA_GRAM_SQL,
+    "samp_weighted": SAMP_WEIGHTED_SQL,
+    "skw_salted_agg": SKW_SALTED_AGG_SQL,
 }

@@ -235,3 +235,68 @@ def test_materialize_packs_concatenates_in_id_order(spark):
         ).collect()
     }
     assert out2 == {k: v.pack_text for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (A-ES weighted sampling without replacement)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_size_and_determinism(spark):
+    from dataslicer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g" if i % 2 else "h", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample(df, "w", k=10, id_col="id", group_cols=["grp"])
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["grp"], set()).add(r["id"])
+    assert all(len(v) == 10 for v in per.values())
+    # deterministic under repartitioning
+    got2 = weighted_sample(
+        df.repartition(17), "w", k=10, id_col="id", group_cols=["grp"]
+    ).collect()
+    assert sorted((r["grp"], r["id"]) for r in got) == sorted(
+        (r["grp"], r["id"]) for r in got2
+    )
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from dataslicer_spark.operators.sampling import weighted_sample
+
+    # one row with weight 5000 among 50 rows of weight 1: over 40 salts it
+    # must land in a k=5 sample nearly always
+    rows = [(i, 5000.0 if i == 0 else 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    hits = 0
+    for s in range(40):
+        ids = {
+            r["id"]
+            for r in weighted_sample(
+                df, "w", k=5, id_col="id", salt=f"s{s}"
+            ).collect()
+        }
+        assert len(ids) == 5
+        hits += 0 in ids
+    assert hits >= 38
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from dataslicer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "id long, w double"
+    )
+    ids = {r["id"] for r in weighted_sample(df, "w", k=4, id_col="id").collect()}
+    assert ids == {4}
+
+
+def test_weighted_sample_ungrouped_no_global_window(spark):
+    from dataslicer_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).selectExpr("id", "CAST(1 + id % 5 AS DOUBLE) AS w")
+    out = weighted_sample(df, "w", k=7, id_col="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 7
