@@ -1518,25 +1518,35 @@ def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent (HLL) or deterministically bounded (GK quantiles),
     so the booleans are TRUE by contract — which the DuckDB oracle can
     verify with a full value-hash instead of the former rows-only check.
-    The raw-estimate form remains available via functions/sketches.py."""
-    from ..functions.sketches import approx_quantiles, hll_distinct
+    The raw-estimate form remains available via functions/sketches.py.
 
+    Plan note: sketch estimates, approx quantiles, and the exact twins
+    are ONE groupBy — a single scan of the fact table (the modular
+    hll_distinct/approx_quantiles helpers compose the same expressions;
+    calling them separately here cost two extra full scans + two joins —
+    at 100 TB that is 300 TB read instead of 100).  The two
+    COUNT(DISTINCT)s plan as one Expand, still one pass over the data."""
     li = _t(spark, sf_dir, "lineitem")
-    d = hll_distinct(li, ["l_orderkey", "l_partkey"], group_cols=["l_returnflag"])
-    q = approx_quantiles(
-        li, "l_extendedprice", [0.25, 0.5, 0.75], group_cols=["l_returnflag"]
-    )
     eps = 2.0 / 10_000
     probes = [p + s * eps for p in (0.25, 0.50, 0.75) for s in (-1, 1)]
-    exact = li.groupBy("l_returnflag").agg(
+    out = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("l_orderkey"), F.lit(12))
+        ).alias("n_l_orderkey"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("l_partkey"), F.lit(12))
+        ).alias("n_l_partkey"),
+        F.percentile_approx(
+            F.col("l_extendedprice"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10_000),
+        ).alias("q_l_extendedprice"),
         F.countDistinct("l_orderkey").alias("n_orderkey_exact"),
         F.countDistinct("l_partkey").alias("n_partkey_exact"),
         F.percentile(
             F.col("l_extendedprice"), F.array(*[F.lit(p) for p in probes])
         ).alias("qx"),
     )
-    est = d.join(q, "l_returnflag")
-    out = est.join(exact, "l_returnflag")
     qv = F.col("q_l_extendedprice")
 
     def _within(i: int) -> F.Column:

@@ -1,0 +1,65 @@
+"""Registry-wide plan gate: every driver-contract query's physical plan
+is linted for 100 TB scale antipatterns (plans/linter.py).
+
+Three findings are NEVER allowed anywhere: ``cartesian-product``,
+``row-wise-python-udf``, ``unbounded-following-frame``.  The other two
+are allowed only where a manual audit established the pattern is
+aggregate-sized or a deliberate tiny-broadcast design — each allowance
+is justified inline.  A new query that introduces a global window, an
+accidental cross join, or a row-at-a-time Python UDF fails this test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from dataslicer_spark.plans.linter import explain_scale_report
+
+SF = "/root/testdata/sf0.001"
+
+NEVER = {"cartesian-product", "row-wise-python-udf", "unbounded-following-frame"}
+
+# query -> allowed finding ids, each with an audited reason:
+ALLOW = {
+    # synthetic fixture fans 5 exposures per star via an intentional
+    # crossJoin (5-row broadcast side); the count inflates because the
+    # fixture lineage is printed under every downstream reuse
+    "astro_flagship_pipeline": {"nested-loop-join"},
+    # dust-grain circle table is a tiny broadcast dimension (reference
+    # semantics: srcdf.py:655-662) — point-in-circle needs the pair test
+    "j6_tag_dust": {"nested-loop-join"},
+    # global distinct-count output is ONE row — the single partition holds
+    # the final scalar aggregate, not data
+    "a6_distinct_stats": {"single-partition-exchange"},
+    # broadcast 1-row global min/max (replaces the former global window);
+    # the single partitions are the 1-row aggregate's final stages
+    "m3_iqr_outliers": {"nested-loop-join", "single-partition-exchange"},
+    # brute-force top-k: query side is broadcast BY DESIGN (corpus never
+    # shuffles) — documented in operators/similarity.py
+    "sim_topk_bruteforce": {"nested-loop-join"},
+    # theta-sketch set algebra: outputs are sketch-sized (a few rows);
+    # the nested loop joins two 1-row sketch aggregates
+    "sk_theta_sets": {"nested-loop-join", "single-partition-exchange"},
+    # funnel summary is step-count-sized (<10 rows)
+    "ev_funnel": {"single-partition-exchange"},
+    "ev_funnel_by_session": {"single-partition-exchange"},
+    # table profile / constraint report = global scalar aggregates
+    "dq_profile": {"single-partition-exchange"},
+    "dq_constraints": {"single-partition-exchange"},
+    # documented broadcast 1-row totals cross-join (see
+    # operators/sampling.temperature_resample docstring)
+    "samp_temperature": {"nested-loop-join", "single-partition-exchange"},
+    "llm_data_pipeline": {"nested-loop-join", "single-partition-exchange"},
+    # kNN pseudo-labeling: the unlabeled batch is the broadcast side
+    "emb_knn_classify": {"nested-loop-join"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_registry_plan_is_scale_clean(spark, name):
+    fn = entrymod.queries()[name]
+    findings = explain_scale_report(fn(spark, SF))
+    allowed = ALLOW.get(name, set())
+    bad = [f for f in findings if f.check in NEVER or f.check not in allowed]
+    assert not bad, f"{name}: " + "; ".join(map(str, bad))
