@@ -360,3 +360,70 @@ __all__ = [
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]
+
+
+# ---------------------------------------------------------------------------
+# character-trigram LM quality scoring (CCNet-style frequency filter)
+# ---------------------------------------------------------------------------
+
+
+def char_trigrams(text: Column) -> Column:
+    """Array of character 3-grams of the normalized text (lowercased,
+    whitespace collapsed to single spaces).  Pure expressions — the
+    trigram explosion stays inside whole-stage codegen."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), n - 2)
+    return F.when(
+        n >= 3, F.transform(idx, lambda i: norm.substr(i, F.lit(3)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram frequency model: ``(g, c3)`` counts over the
+    corpus (typically the train split — the model must not see held-out
+    text).  Cardinality is alphabet-bounded (≤ |Σ|³ regardless of corpus
+    size), so the model is broadcastable at any data scale."""
+    check_col([text_col], df)
+    return (
+        df.select(F.explode(char_trigrams(F.col(text_col))).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+
+
+def trigram_lm_scores(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-based LM quality score per document: the mean training
+    frequency of the document's character trigrams (integer division —
+    exact and engine-independent, unlike a float log-perplexity whose
+    last-ulp ``ln`` differences diverge across engines).
+
+    Low score = the document is built from trigrams the training corpus
+    rarely contains — gibberish, encoding noise, or wrong-language text;
+    this is the frequency form of the CCNet/KenLM perplexity filter.
+
+    Scale: one trigram explode of the scored corpus, one broadcast join
+    against the alphabet-bounded model, one per-doc aggregation.
+    Documents shorter than 3 normalized chars produce no trigrams and are
+    absent from the output (no defined score).
+
+    Output: ``id_col, n_tri, sum_c3, score`` (score = sum_c3 div n_tri).
+    """
+    check_col([id_col, text_col], df)
+    tri = df.select(
+        F.col(id_col), F.explode(char_trigrams(F.col(text_col))).alias("g")
+    )
+    joined = tri.join(F.broadcast(model), "g", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(F.coalesce(F.col("c3"), F.lit(0))).alias("sum_c3"),
+        )
+        .withColumn("score", F.expr("sum_c3 div n_tri"))
+    )

@@ -2371,6 +2371,47 @@ ORDER BY split
 """
 
 
+def txt_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram LM quality scoring (functions/text.trigram_model
+    + trigram_lm_scores): the frequency form of the CCNet/KenLM
+    perplexity filter.  The model trains on the train split only (same
+    md5 'r2' assignment as txt_train_split — no held-out leakage), is
+    alphabet-bounded so it broadcasts at any corpus scale, and every doc
+    gets the mean training frequency of its trigrams — integer-exact, so
+    the DuckDB oracle certifies every score."""
+    from ..functions.text import trigram_lm_scores, trigram_model
+    from ..operators.sampling import add_split
+
+    docs = _t(spark, sf_dir, "documents")
+    train = add_split(docs, "doc_id", salt="r2").filter(
+        F.col("split") == "train"
+    )
+    model = trigram_model(train, "text")
+    return trigram_lm_scores(docs, model, "doc_id", "text")
+
+
+TXT_TRIGRAM_LM_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+tri AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+  FROM norm, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+model AS (
+  SELECT g, COUNT(*) AS c3 FROM tri
+  WHERE ('0x' || substr(md5('r2' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        < {_T1}
+  GROUP BY g)
+SELECT tri.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tri,
+       CAST(SUM(COALESCE(c3, 0)) AS BIGINT) AS sum_c3,
+       CAST(SUM(COALESCE(c3, 0)) // COUNT(*) AS BIGINT) AS score
+FROM tri LEFT JOIN model USING (g)
+GROUP BY tri.doc_id
+"""
+
+
 def emb_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA, stage 1 (operators/pca.embedding_gram): the
     upper-triangle second-moment matrix of the 64-dim embedding column as
@@ -2524,6 +2565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca_gram": emb_pca_gram,
     "samp_weighted": samp_weighted,
     "skw_salted_agg": skw_salted_agg,
+    "txt_trigram_lm": txt_trigram_lm,
 }
 
 ORACLES: dict[str, str] = {
@@ -2593,4 +2635,5 @@ ORACLES: dict[str, str] = {
     "emb_pca_gram": EMB_PCA_GRAM_SQL,
     "samp_weighted": SAMP_WEIGHTED_SQL,
     "skw_salted_agg": SKW_SALTED_AGG_SQL,
+    "txt_trigram_lm": TXT_TRIGRAM_LM_SQL,
 }
