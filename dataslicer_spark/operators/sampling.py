@@ -368,3 +368,76 @@ def weighted_sample(
     )
     w = Window.partitionBy().orderBy(F.col("__key").desc(), F.col(id_col).asc())
     return top.withColumn(out_col, F.row_number().over(w)).drop("__key")
+
+
+def mixture_resample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic subsample hitting an EXPLICIT domain mixture — the
+    "50% web / 30% books / 20% code" curation step (temperature_resample
+    reweights relative to observed counts; this hits stated shares).
+
+    Semantics: the output is the LARGEST subsample whose expected
+    per-source share equals ``targets`` — total ``T = min_s floor(n_s /
+    t_s)`` (the binding source is fully used, every other source is
+    hash-thinned to ``p_s = T·t_s / n_s``).  Sources absent from
+    ``targets`` are dropped.  A row is kept iff
+    ``uint32(md5(salt‖id)) < floor(p_s · 2³²)`` — deterministic in the
+    data, replayable in ANSI SQL, and the realized share is binomially
+    close to the target (exact-count sampling would need a per-source
+    top-k; use :func:`weighted_sample` when exact counts matter).
+
+    Scale: one aggregation over the (tiny) source dimension, two
+    broadcast joins, then a row-local hash filter — the corpus never
+    shuffles.
+    """
+    check_col([source_col, id_col], df)
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    tot = float(sum(targets.values()))
+    spark = df.sparkSession
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            [(s, float(t) / tot) for s, t in targets.items()],
+            f"{source_col} string, __t double",
+        )
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n_s"))
+        .join(tgt, source_col, "inner")
+    )
+    cap = counts.agg(
+        F.min(
+            F.floor(F.col("__n_s").cast("double") / F.col("__t"))
+        ).alias("__T")
+    )
+    # cap derives from counts, so the cross join is a self-join — qualify
+    # both legs or Spark's analyzer sees duplicate lineage attributes
+    cj = counts.alias("__c").crossJoin(F.broadcast(cap.alias("__cap")))
+    p = F.least(
+        F.lit(1.0),
+        F.col("__cap.__T").cast("double")
+        * F.col("__c.__t")
+        / F.col("__c.__n_s").cast("double"),
+    )
+    thresholds = cj.select(
+        F.col(f"__c.{source_col}").alias(source_col),
+        F.floor(p * F.lit(4294967296.0)).cast("long").alias("__thr"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thresholds), source_col, "inner")
+        .filter(h < F.col("__thr"))
+        .drop("__thr")
+    )

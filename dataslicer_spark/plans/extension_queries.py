@@ -2371,6 +2371,46 @@ ORDER BY split
 """
 
 
+def samp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-mixture curation (operators/sampling.mixture_resample):
+    the largest subsample of four sources with expected shares
+    50/25/12.5/12.5% — deterministic md5 thinning, corpus never
+    shuffles.  Dyadic targets keep the share arithmetic bit-exact in
+    both engines."""
+    from ..operators.sampling import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_resample(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        salt="mx",
+    )
+    return out.select("source", "doc_id", "lang")
+
+
+SAMP_MIXTURE_SQL = r"""
+WITH tgt(source, t) AS (
+  VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.125), ('src3', 0.125)),
+counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+jt AS (SELECT c.source, n_s, CAST(t AS DOUBLE) AS t
+       FROM counts c JOIN tgt USING (source)),
+cap AS (SELECT MIN(FLOOR(CAST(n_s AS DOUBLE) / t)) AS tot_cap FROM jt),
+thr AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+                          CAST(tot_cap AS DOUBLE) * t / CAST(n_s AS DOUBLE))
+                    * 4294967296.0) AS BIGINT) AS thr
+  FROM jt, cap)
+SELECT d.source, d.doc_id, d.lang
+FROM documents d JOIN thr USING (source)
+WHERE ('0x' || substr(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < thr
+"""
+
+
 def txt_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram LM quality scoring (functions/text.trigram_model
     + trigram_lm_scores): the frequency form of the CCNet/KenLM
@@ -2566,6 +2606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "samp_weighted": samp_weighted,
     "skw_salted_agg": skw_salted_agg,
     "txt_trigram_lm": txt_trigram_lm,
+    "samp_mixture": samp_mixture,
 }
 
 ORACLES: dict[str, str] = {
@@ -2636,4 +2677,5 @@ ORACLES: dict[str, str] = {
     "samp_weighted": SAMP_WEIGHTED_SQL,
     "skw_salted_agg": SKW_SALTED_AGG_SQL,
     "txt_trigram_lm": TXT_TRIGRAM_LM_SQL,
+    "samp_mixture": SAMP_MIXTURE_SQL,
 }

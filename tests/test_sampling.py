@@ -300,3 +300,54 @@ def test_weighted_sample_ungrouped_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert out.count() == 7
+
+
+# ---------------------------------------------------------------------------
+# mixture_resample (explicit target domain mixture)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_resample_hits_target_shares(spark):
+    from dataslicer_spark.operators.sampling import mixture_resample
+
+    # 4000 web / 2000 books / 1000 code rows; target 50/25/25.
+    # binding source: code (1000/0.25 = 4000 = T) -> expect ~2000/1000/1000
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(10_000 + i, "books") for i in range(2000)]
+        + [(20_000 + i, "code") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_resample(
+        df, "src", "id", {"web": 0.5, "books": 0.25, "code": 0.25}
+    )
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert got["code"] == 1000  # binding source fully kept (p=1)
+    assert abs(got["web"] - 2000) < 150  # binomial tolerance ~3 sigma
+    assert abs(got["books"] - 1000) < 120
+    # realized share of web ~ 50%
+    total = sum(got.values())
+    assert abs(got["web"] / total - 0.5) < 0.04
+
+
+def test_mixture_resample_deterministic_and_drops_unlisted(spark):
+    from dataslicer_spark.operators.sampling import mixture_resample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out1 = mixture_resample(df, "src", "id", {"a": 0.5, "b": 0.5})
+    out2 = mixture_resample(df.repartition(13), "src", "id", {"a": 0.5, "b": 0.5})
+    ids1 = sorted(r["id"] for r in out1.collect())
+    ids2 = sorted(r["id"] for r in out2.collect())
+    assert ids1 == ids2
+    assert not any(i % 3 == 2 for i in ids1)  # source 'c' dropped
+
+
+def test_mixture_resample_empty_targets_raises(spark):
+    import pytest as _pytest
+
+    from dataslicer_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame([(1, "a")], "id long, src string")
+    with _pytest.raises(ValueError):
+        mixture_resample(df, "src", "id", {})
