@@ -258,34 +258,48 @@ def debounce(
     Anchor selection is inherently sequential (each kept row depends on
     the previous kept row — NOT expressible with window frames, which
     would implement the different gaps-and-islands rule where bursts
-    chain indefinitely), so this is a grouped stateful kernel:
-    ``applyInPandas`` per key, one sorted pass using ``searchsorted``
-    jumps (O(#anchors·log n) per key), parallel across keys.  Rows must
+    chain indefinitely), so this is a grouped stateful kernel — run
+    through :func:`..utils.grouped_map_in_pandas`'s ``batch_fn`` mode:
+    ``applyInPandas`` pays one Arrow round-trip + Python call PER GROUP
+    (the 4× scale probe measured 5.6× wall growth from exactly that
+    per-group overhead on many small keys); here one Python call
+    processes a whole Arrow batch of key-sorted groups, walking each
+    group's pre-sorted slice with ``searchsorted`` jumps
+    (O(#anchors·log n) per key), parallel across partitions.  Rows must
     be unique per (key, ts) — pre-deduplicate with
     ``windows.largest_wins`` — so the result is engine-deterministic.
 
     Returns the kept rows with all input columns.
     """
-    import pandas as pd
-
     if int(window_us) <= 0:
         raise ValueError("window_us must be positive")
     by = list(key_cols)
     check_col(by + [ts_us_col], df)
 
-    def keep_anchors(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    from ..utils import grouped_map_in_pandas
+
+    def batch_kernel(pdf, bounds):
         import numpy as np
 
-        pdf = pdf.sort_values(ts_us_col, kind="mergesort")
-        ts = pdf[ts_us_col].to_numpy()
-        keep = np.zeros(len(ts), dtype=bool)
-        i = 0
-        while i < len(ts):
-            keep[i] = True
-            i = int(np.searchsorted(ts, ts[i] + window_us, side="left"))
+        ts_all = pdf[ts_us_col].to_numpy()
+        keep = np.zeros(len(ts_all), dtype=bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ts = ts_all[s:e]
+            i = 0
+            n = e - s
+            while i < n:
+                keep[s + i] = True
+                i = int(np.searchsorted(ts, ts[i] + window_us, side="left"))
         return pdf[keep]
 
-    return df.groupBy(*by).applyInPandas(keep_anchors, df.schema)
+    return grouped_map_in_pandas(
+        df,
+        by,
+        None,
+        df.schema,
+        batch_fn=batch_kernel,
+        sort_cols=[ts_us_col],
+    )
 
 
 def interpolate_linear(
