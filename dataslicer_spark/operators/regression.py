@@ -181,8 +181,10 @@ def photometric_solution(
         ]
     )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = {g: pdf[g].iloc[0] for g in groups_eff}
+    # one Python call per Arrow batch of key-sorted groups (not per group
+    # — see utils.grouped_map_in_pandas), each group fit in numpy
+    def fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = dict(zip(groups_eff, key))
         if len(pdf) < min_points:
             vals = dict(fit_zp=np.nan, sig_fit_zp=np.nan, fit_clrcoeff=np.nan,
                         sig_fit_clrcoeff=np.nan, n_points=len(pdf))
@@ -196,7 +198,9 @@ def photometric_solution(
                         sig_fit_clrcoeff=sd1, n_points=len(pdf))
         return pd.DataFrame([{**keys, **vals}])
 
-    out = work.groupBy(*groups_eff).applyInPandas(fit, schema)
+    from ..utils import grouped_map_in_pandas
+
+    out = grouped_map_in_pandas(work, groups_eff, fit, schema)
     return out.drop("__g") if not groups else out
 
 
