@@ -367,26 +367,46 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
-def char_trigrams(text: Column) -> Column:
+def char_trigrams(text: Column, max_chars: int | None = None) -> Column:
     """Array of character 3-grams of the normalized text (lowercased,
     whitespace collapsed to single spaces).  Pure expressions — the
-    trigram explosion stays inside whole-stage codegen."""
+    trigram explosion stays inside whole-stage codegen.
+
+    ``max_chars`` truncates the normalized text first: quality scoring
+    rarely needs more than a prefix (CCNet-style filters score a bounded
+    sample), and the trigram explode is the dominant cost.
+
+    Construction note: built as ``zip_with`` over three shifted slices of
+    the char array — lambda bodies touch ONLY lambda variables.  The
+    obvious ``transform(sequence(1, n-2), i -> substr(norm, i, 3))`` is
+    quadratic: a higher-order-function lambda re-evaluates every captured
+    child expression (the whole normalize chain) PER ELEMENT (measured
+    18 s for 1.5M trigrams at sf0.1; this form is ~20×  faster).  Same
+    trick as :func:`word_shingles`."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), n - 2)
-    return F.when(
-        n >= 3, F.transform(idx, lambda i: norm.substr(i, F.lit(3)))
-    ).otherwise(F.array().cast("array<string>"))
+    if max_chars is not None:
+        norm = F.substring(norm, 1, int(max_chars))
+    cs = F.split(norm, "")
+    length = F.greatest(F.length(norm) - 2, F.lit(0))
+    a = F.slice(cs, 1, length)
+    b = F.slice(cs, 2, length)
+    c = F.slice(cs, 3, length)
+    ab = F.zip_with(a, b, lambda x, y: F.concat(x, y))
+    return F.zip_with(ab, c, lambda x, y: F.concat(x, y))
 
 
-def trigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+def trigram_model(
+    df: DataFrame, text_col: str = "text", max_chars: int | None = None
+) -> DataFrame:
     """Character-trigram frequency model: ``(g, c3)`` counts over the
     corpus (typically the train split — the model must not see held-out
     text).  Cardinality is alphabet-bounded (≤ |Σ|³ regardless of corpus
     size), so the model is broadcastable at any data scale."""
     check_col([text_col], df)
     return (
-        df.select(F.explode(char_trigrams(F.col(text_col))).alias("g"))
+        df.select(
+            F.explode(char_trigrams(F.col(text_col), max_chars)).alias("g")
+        )
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c3"))
     )
@@ -397,6 +417,7 @@ def trigram_lm_scores(
     model: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_chars: int | None = None,
 ) -> DataFrame:
     """Frequency-based LM quality score per document: the mean training
     frequency of the document's character trigrams (integer division —
@@ -416,7 +437,8 @@ def trigram_lm_scores(
     """
     check_col([id_col, text_col], df)
     tri = df.select(
-        F.col(id_col), F.explode(char_trigrams(F.col(text_col))).alias("g")
+        F.col(id_col),
+        F.explode(char_trigrams(F.col(text_col), max_chars)).alias("g"),
     )
     joined = tri.join(F.broadcast(model), "g", "left")
     return (

@@ -416,7 +416,15 @@ def quantize_embeddings(
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
     scale = F.lit(127.0) / F.nullif(amax, F.lit(0.0))
-    q = F.transform(v, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    # scale enters the element lambda via array_repeat (an ARGUMENT,
+    # evaluated once per row) — a lambda body capturing `scale` directly
+    # would re-evaluate the whole array_max chain per element (O(d²)/row;
+    # see char_trigrams for the measured form of this trap)
+    q = F.zip_with(
+        v,
+        F.array_repeat(scale, F.size(v)),
+        lambda x, s: F.round(x.cast("double") * s).cast("int"),
+    )
     return df.withColumn(f"{vec_col}_scale", scale).withColumn(
         f"q_{vec_col}", q
     )

