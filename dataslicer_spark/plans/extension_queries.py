@@ -2371,6 +2371,29 @@ ORDER BY split
 """
 
 
+def ev_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VariantType: ``parse_json``
+    once into the binary variant encoding, then ``variant_get`` per field
+    — the scale path for repeated multi-field extraction (the JSON text
+    is parsed once per row, not once per path as with repeated
+    ``get_json_object``).  Shares ev_json_extract's oracle: the variant
+    route must produce byte-identical aggregates to the JSON-path
+    route."""
+    events = load_events(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def samp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit-mixture curation (operators/sampling.mixture_resample):
     the largest subsample of four sources with expected shares
@@ -2612,6 +2635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skw_salted_agg": skw_salted_agg,
     "txt_trigram_lm": txt_trigram_lm,
     "samp_mixture": samp_mixture,
+    "ev_variant_extract": ev_variant_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -2683,4 +2707,7 @@ ORACLES: dict[str, str] = {
     "skw_salted_agg": SKW_SALTED_AGG_SQL,
     "txt_trigram_lm": TXT_TRIGRAM_LM_SQL,
     "samp_mixture": SAMP_MIXTURE_SQL,
+    # deliberately the same oracle as ev_json_extract: the VariantType
+    # route is only correct if it matches the JSON-path route exactly
+    "ev_variant_extract": EV_JSON_SQL,
 }

@@ -1,0 +1,117 @@
+"""Product quantization (operators/pq): codebook shapes, encode
+determinism, compression, ADC recall vs exact brute force, re-rank."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataslicer_spark.operators.pq import pq_encode, pq_search, train_pq
+from dataslicer_spark.operators.similarity import cosine_topk
+
+DIM = 16
+M = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 20 well-separated cluster centers, 30 points each: ANN recall on
+    # this geometry should be near-perfect
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(20, DIM)) * 10
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(30):
+            v = centers[c] + rng.normal(size=DIM) * 0.3
+            v = v / np.linalg.norm(v)  # unit sphere: L2 order == cos order
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.repartition(4).cache()
+
+
+def test_train_shapes_and_determinism(spark, corpus):
+    cb1 = train_pq(corpus, m=M, k=16, seed=7)
+    cb2 = train_pq(corpus, m=M, k=16, seed=7)
+    assert cb1.shape == (M, 16, DIM // M)
+    np.testing.assert_array_equal(cb1, cb2)
+
+
+def test_encode_shape_and_partition_invariance(spark, corpus):
+    cb = train_pq(corpus, m=M, k=16, seed=7)
+    a = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in pq_encode(corpus, cb).collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in pq_encode(corpus.repartition(11), cb).collect()
+    }
+    assert a == b
+    assert all(len(c) == M for c in a.values())
+    assert all(0 <= x < 16 for c in a.values() for x in c)
+
+
+def test_adc_retrieves_query_cluster(spark, corpus):
+    # PQ's contract on clustered data: ADC top-k lands in the query's
+    # cluster (coarse retrieval); fine within-cluster order needs re-rank
+    cb = train_pq(corpus, m=M, k=64, seed=7)
+    codes = pq_encode(corpus, cb).cache()
+    queries = corpus.filter(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_search(codes, queries, cb, k=5)
+    hits = {}
+    for r in approx.collect():
+        hits.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert len(hits) == queries.count()
+    fracs = []
+    for q, ids in hits.items():
+        assert len(ids) == 5
+        cluster = q // 30
+        fracs.append(np.mean([vid // 30 == cluster for vid in ids]))
+    assert np.mean(fracs) >= 0.9, fracs
+
+
+def test_rerank_recall_against_bruteforce(spark, corpus):
+    cb = train_pq(corpus, m=M, k=64, seed=7)
+    codes = pq_encode(corpus, cb).cache()
+    queries = corpus.filter(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(corpus, queries, k=5)
+    approx = pq_search(
+        codes, queries, cb, k=5, rerank=corpus, rerank_factor=10,
+        include_self=False,
+    )
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(ex) == set(ap)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_rerank_restores_exact_order_at_top(spark, corpus):
+    cb = train_pq(corpus, m=M, k=64, seed=7)
+    codes = pq_encode(corpus, cb).cache()
+    queries = corpus.filter(F.col("vec_id") == 42).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rr = pq_search(
+        codes, queries, cb, k=3, rerank=corpus, rerank_factor=8
+    ).collect()
+    assert [r["rank"] for r in sorted(rr, key=lambda r: r["rank"])] == [1, 2, 3]
+    # with self in corpus, rank 1 must be the query itself (cos=1)
+    best = min(rr, key=lambda r: r["rank"])
+    assert best["vec_id"] == 42
+    assert best["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_bad_params_raise(spark, corpus):
+    with pytest.raises(ValueError):
+        train_pq(corpus, m=5, k=16)  # 5 does not divide 16
+    with pytest.raises(ValueError):
+        train_pq(corpus, m=4, k=300)  # > uint8
