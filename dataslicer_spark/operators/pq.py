@@ -255,3 +255,62 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "rank", "cos_sim")
     )
+
+
+def ivf_pq_search(
+    centroids: np.ndarray,
+    assigned_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    rerank: DataFrame | None = None,
+    rerank_vec: str = "embedding",
+    rerank_factor: int = 4,
+    include_self: bool = True,
+) -> DataFrame:
+    """IVF × PQ — the billion-scale composition (FAISS's IVFADC layout):
+    probe the ``n_probe`` nearest coarse lists per query, then ADC-score
+    ONLY the PQ codes inside the probed lists.
+
+    ``assigned_codes`` carries ``(id_col, code_col, list_id)`` — join
+    :func:`pq_encode`'s output with ``build_ivf_index``'s assignment (or
+    persist it list-partitioned like save_ivf_index, in which case the
+    ``isin`` filter prunes partitions at scan time).  Cost per query:
+    ``n_probe/n_lists`` of the corpus, at ``m`` byte-lookups per
+    candidate — neither full floats nor unprobed lists are ever read.
+    """
+    check_col([id_col, code_col, "list_id"], assigned_codes)
+    check_col([query_id, query_vec], queries)
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(cents))
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        return assigned_codes.sparkSession.createDataFrame(
+            [], f"{query_id} long, {id_col} long, rank int, adc_dist2 double"
+        )
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    d2c = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(d2c, axis=1)[:, :n_probe]
+    probed = sorted({int(x) for x in probe.ravel()})
+    pruned = assigned_codes.filter(F.col("list_id").isin(probed)).select(
+        id_col, code_col
+    )
+    return pq_search(
+        pruned,
+        queries,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+        query_id=query_id,
+        query_vec=query_vec,
+        rerank=rerank,
+        rerank_vec=rerank_vec,
+        rerank_factor=rerank_factor,
+        include_self=include_self,
+    )

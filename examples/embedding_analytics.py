@@ -15,8 +15,11 @@ Stage-by-stage (scale notes inline):
                         operator), 4× smaller at rest
   4. ANN index        — IVF k-means inverted lists, list-partitioned
                         parquet persistence, partition-pruned probes
-  5. near-dup audit   — LSH-bucketed cosine candidates + exact re-rank
-  6. kNN labels       — majority vote of 5 nearest labeled neighbors
+  5. PQ compression   — 8 one-byte codes per vector (32× smaller);
+                        IVF×PQ search probes lists, ADC-scores codes,
+                        exact-re-ranks the tiny candidate set
+  6. near-dup audit   — LSH-bucketed cosine candidates + exact re-rank
+  7. kNN labels       — majority vote of 5 nearest labeled neighbors
 """
 
 from __future__ import annotations
@@ -77,13 +80,29 @@ def main() -> None:
     hits = ivf_search(centroids, assigned, queries, k=3, n_probe=4)
     print(f"ivf: {hits.count()} hits for {queries.count()} queries")
 
-    # 5. near-duplicate audit via LSH-bucketed cosine candidates
+    # 5. PQ: 32x compression + IVF x PQ search with exact re-rank
+    from dataslicer_spark.operators.pq import (
+        ivf_pq_search,
+        pq_encode,
+        train_pq,
+    )
+
+    cb = train_pq(emb, m=8, k=64, seed=11)
+    codes = pq_encode(emb, cb)
+    assigned_codes = codes.join(assigned.select("vec_id", "list_id"), "vec_id")
+    pq_hits = ivf_pq_search(
+        centroids, assigned_codes, queries, cb, k=3, n_probe=4,
+        rerank=emb, rerank_factor=8, include_self=False,
+    )
+    print(f"ivf-pq: {pq_hits.count()} re-ranked hits (codes are 8 B/vector)")
+
+    # 6. near-duplicate audit via LSH-bucketed cosine candidates
     dups = embedding_near_dup(
         emb, "vec_id", "embedding", threshold=0.98, n_planes=6
     )
     print(f"near-dups at cos>=0.98: {dups.count()} pairs")
 
-    # 6. kNN pseudo-labeling of an 'unlabeled' slice
+    # 7. kNN pseudo-labeling of an 'unlabeled' slice
     unlabeled = emb.filter(F.col("vec_id") % 20 == 7).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

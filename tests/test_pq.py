@@ -115,3 +115,50 @@ def test_bad_params_raise(spark, corpus):
         train_pq(corpus, m=5, k=16)  # 5 does not divide 16
     with pytest.raises(ValueError):
         train_pq(corpus, m=4, k=300)  # > uint8
+
+
+def test_ivf_pq_composition(spark, corpus):
+    from dataslicer_spark.operators.pq import ivf_pq_search
+    from dataslicer_spark.operators.similarity import build_ivf_index
+
+    cb = train_pq(corpus, m=M, k=64, seed=7)
+    codes = pq_encode(corpus, cb)
+    centroids, assigned = build_ivf_index(corpus, n_lists=8, seed=5)
+    assigned_codes = codes.join(
+        assigned.select("vec_id", "list_id"), "vec_id"
+    ).cache()
+    queries = corpus.filter(F.col("vec_id") % 150 == 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(corpus, queries, k=5)
+    approx = ivf_pq_search(
+        centroids, assigned_codes, queries, cb, k=5, n_probe=4,
+        rerank=corpus, rerank_factor=10, include_self=False,
+    )
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(ex) == set(ap)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_ivf_pq_prunes_unprobed_lists(spark, corpus):
+    from dataslicer_spark.operators.pq import ivf_pq_search
+    from dataslicer_spark.operators.similarity import build_ivf_index
+
+    cb = train_pq(corpus, m=M, k=64, seed=7)
+    codes = pq_encode(corpus, cb)
+    centroids, assigned = build_ivf_index(corpus, n_lists=8, seed=5)
+    assigned_codes = codes.join(assigned.select("vec_id", "list_id"), "vec_id")
+    queries = corpus.filter(F.col("vec_id") == 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_pq_search(
+        centroids, assigned_codes, queries, cb, k=3, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan  # the isin prune is in the plan
+    assert out.count() == 3
