@@ -83,6 +83,21 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      ["HashJoin"], ["CartesianProduct", "NestedLoop"]),
     ("sk_theta_sets", "theta sketches aggregate JVM-side partial+final",
      ["HashAggregate", "theta_sketch_agg"], ["Python"]),
+    ("sk_hll_stats", "sketches + exact twins are ONE scan / one groupBy "
+     "(Expand shares the pass for the two COUNT DISTINCTs)",
+     ["HashAggregate", "Expand"], ["Join"]),
+    ("emb_pca_gram", "Gram matrix reduces per-partition before the "
+     "shuffle — mapInPandas partials + final agg, no row explosion",
+     ["MapInPandas", "HashAggregate"], ["Join", "Explode", "Generate"]),
+    ("txt_trigram_lm", "trigram model joins broadcast (alphabet-bounded) "
+     "— the corpus never shuffles on trigram",
+     ["BroadcastHashJoin", "HashAggregate"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    ("skw_salted_agg", "salted agg is two aggregation stages, no join",
+     ["HashAggregate"], ["Join", "CartesianProduct"]),
+    ("samp_weighted", "weighted sample is one per-group window over the "
+     "A-ES key — no join, no Python",
+     ["Window", "row_number"], ["Join", "Python", "CartesianProduct"]),
 ]
 
 
