@@ -407,6 +407,81 @@ def stream_running_user_totals_tws(
     )
 
 
+def stream_debounce(
+    spark,
+    source_dir: str,
+    schema,
+    ts_us_col: str = "ts_us",
+    key_col: str = "user_id",
+    window_us: int = 3_600_000_000,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of ``operators/timeseries.debounce``: per key, emit
+    an event only if it is at least ``window_us`` after the last EMITTED
+    one — throttled dedup with the anchor carried across micro-batches in
+    ``applyInPandasWithState`` (state = one int64 per key: the last kept
+    timestamp; bounded regardless of stream length).
+
+    Parity contract: equals the batch operator when events arrive in
+    event-time order (micro-batches are sorted internally, so any
+    in-batch disorder is absorbed; only CROSS-batch disorder — a late
+    event older than an already-emitted anchor — diverges, the same
+    arrival-order caveat ``dropDuplicatesWithinWatermark`` documents).
+
+    Output: ``key_col, ts_us_col`` rows that survive the throttle
+    (append semantics via output mode 'update' — each kept row emits
+    exactly once).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    if int(window_us) <= 0:
+        raise ValueError("window_us must be positive")
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(ts_us_col, T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_kept", T.LongType())])
+
+    def update(key, pdfs, state: "GroupState"):
+        last = state.get[0] if state.exists else None
+        kept: list[int] = []
+        ts = np.sort(
+            np.concatenate(
+                [pdf[ts_us_col].to_numpy(dtype=np.int64) for pdf in pdfs]
+            )
+        )
+        i = 0
+        if last is not None:
+            # skip everything still inside the previous anchor's window
+            i = int(np.searchsorted(ts, last + window_us, side="left"))
+        while i < len(ts):
+            kept.append(int(ts[i]))
+            i = int(np.searchsorted(ts, ts[i] + window_us, side="left"))
+        if kept:
+            state.update((kept[-1],))
+            yield pd.DataFrame({key_col: key[0], ts_us_col: kept})
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # a SOURCE option: bounds each micro-batch so tests can prove the
+        # anchor state survives batch boundaries
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    return (
+        stream.select(key_col, ts_us_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 __all__ = [
     "load_events",
     "tumbling_window_stats",
@@ -419,4 +494,5 @@ __all__ = [
     "batch_click_purchase_join",
     "stream_running_user_totals",
     "stream_running_user_totals_tws",
+    "stream_debounce",
 ]

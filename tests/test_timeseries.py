@@ -443,3 +443,68 @@ def test_interpolate_collision_guard(spark):
         interpolate_linear(
             spark.createDataFrame(pdf), "ts", ["key"], "val", 50
         )
+
+
+def test_stream_debounce_matches_batch(spark, tmp_path):
+    """Streaming debounce (state across micro-batches) equals the batch
+    operator on in-order arrival: events split chronologically into three
+    files consumed one per micro-batch."""
+    import os
+
+    from dataslicer_spark.operators.timeseries import debounce
+    from dataslicer_spark.streaming.events import stream_debounce
+
+    rows = []
+    eid = 0
+    for uid in range(20):
+        t = 0
+        for _ in range(60):
+            t += (uid * 7919 + eid * 104729) % 2_000_000_000 + 1
+            rows.append((uid, t, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long")
+    window_us = 3_600_000_000
+
+    expected = sorted(
+        (r["user_id"], r["ts_us"])
+        for r in debounce(df, "ts_us", ["user_id"], window_us).collect()
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # three chronological slices -> three micro-batches sharing state
+    cuts = df.approxQuantile("ts_us", [0.33, 0.66], 0.0)
+    parts = [
+        df.filter(F.col("ts_us") <= cuts[0]),
+        df.filter((F.col("ts_us") > cuts[0]) & (F.col("ts_us") <= cuts[1])),
+        df.filter(F.col("ts_us") > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    # flatten: move part files up so the stream sees 3 files
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        for f in glob.glob(os.path.join(src, f"f{i}", "*.parquet")):
+            shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+    stream = stream_debounce(
+        spark, flat, df.schema, "ts_us", "user_id", window_us,
+        max_files_per_trigger=1,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dbnc")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["ts_us"])
+        for r in spark.sql("select * from dbnc").collect()
+    )
+    assert got == expected
