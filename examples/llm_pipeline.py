@@ -81,9 +81,22 @@ def main() -> None:
     print(f"after decontamination: {clean.count()} "
           f"(removed {contam.count()})")
 
+    # 4b. trigram-LM gibberish filter: model on the pretrain split, drop
+    # the lowest-scoring 5% (CCNet-style frequency form)
+    from dataslicer_spark.functions.text import trigram_lm_scores, trigram_model
+
+    model = trigram_model(clean, "text", max_chars=512)
+    lm = trigram_lm_scores(clean, model, "doc_id", "text", max_chars=512)
+    lm_kept = quantile_filter_by_group(
+        clean.join(lm.select("doc_id", "score"), "doc_id")
+        .withColumn("__one", F.lit(1)),
+        "__one", "score", 0.95, "doc_id",
+    ).drop("__one", "score")
+    print(f"after trigram-LM filter: {lm_kept.count()}")
+
     # 5. temperature resampling across sources
     resampled = temperature_resample(
-        clean, "source", "doc_id", alpha=0.5, target_fraction=0.75
+        lm_kept, "source", "doc_id", alpha=0.5, target_fraction=0.75
     )
     print(f"after temperature resample: {resampled.count()}")
 
