@@ -213,7 +213,14 @@ def temperature_resample(
     the identical rows.
     """
     check_col([source_col, id_col], df)
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    # localCheckpoint pins the tiny per-source counts: the weight total
+    # and the per-source thresholds both derive from them, and without
+    # the pin each reference re-scans the full corpus
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n_s"))
+        .localCheckpoint()
+    )
     # floor to integer weights so the cross-source total is an exact
     # integer sum; pow(x, 0.5) is emitted as sqrt (correctly rounded in
     # IEEE 754, so bit-identical across engines — other exponents are
@@ -406,10 +413,14 @@ def mixture_resample(
             f"{source_col} string, __t double",
         )
     )
+    # localCheckpoint pins the tiny source-dimension aggregate: cap and
+    # thresholds both derive from it, and without the pin each reference
+    # re-scans the full corpus (3 scans instead of 2 at 100 TB)
     counts = (
         df.groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("__n_s"))
         .join(tgt, source_col, "inner")
+        .localCheckpoint()
     )
     cap = counts.agg(
         F.min(
