@@ -232,6 +232,45 @@ def main() -> None:
 
     run("fuzzy_join", fuzzy_fn(cust1), fuzzy_fn(cust4))
 
+    # trigram-LM scoring: model + broadcast join + per-doc agg
+    from dataslicer_spark.functions.text import trigram_lm_scores, trigram_model
+
+    def trigram_fn(docs):
+        def go():
+            model = trigram_model(docs, "text", max_chars=512)
+            trigram_lm_scores(docs, model, "doc_id", "text", max_chars=512) \
+                .write.format("noop").mode("overwrite").save()
+        return go
+
+    run("trigram_lm", trigram_fn(docs1), trigram_fn(docs4))
+
+    # PQ encode + ADC search (codebooks fixed across sizes: same offline
+    # training, so the probe isolates the distributed encode/search cost)
+    from dataslicer_spark.operators.pq import pq_encode, pq_search, train_pq
+
+    emb1 = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb4 = emb1
+    for i in (1, 2, 3):
+        emb4 = emb4.unionByName(
+            emb1.withColumn("vec_id", F.col("vec_id") + 1_000_000 * i)
+        )
+    emb1, emb4 = emb1.cache(), emb4.cache()
+    emb1.count(), emb4.count()
+    cbs = train_pq(emb1, m=8, k=64, seed=3)
+    pq_queries = emb1.filter(F.col("vec_id") % 500 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).cache()
+    pq_queries.count()
+
+    def pq_fn(emb):
+        def go():
+            codes = pq_encode(emb, cbs)
+            pq_search(codes, pq_queries, cbs, k=10) \
+                .write.format("noop").mode("overwrite").save()
+        return go
+
+    run("pq_encode_search", pq_fn(emb1), pq_fn(emb4))
+
 
 if __name__ == "__main__":
     main()
