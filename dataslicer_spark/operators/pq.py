@@ -60,7 +60,16 @@ def train_pq(
     check_col([vec_col], corpus)
     if k > 256:
         raise ValueError("k > 256 does not fit uint8 codes")
-    sample = corpus.select(vec_col).limit(train_sample).collect()
+    # hash-ordered top-n: a DATA-deterministic, layout-independent sample
+    # (plain limit() takes whatever partitions list first — different
+    # file order or partitioning yields different codebooks, and a
+    # source-clustered corpus would train on one region only)
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(train_sample)
+        .collect()
+    )
     if not sample:
         raise ValueError("train_pq: empty corpus")
     M = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
@@ -132,8 +141,16 @@ def pq_search(
     rerank_vec: str = "embedding",
     rerank_factor: int = 4,
     include_self: bool = True,
+    list_col: str | None = None,
+    query_lists: dict | None = None,
 ) -> DataFrame:
     """ADC top-k over PQ codes for every query.
+
+    ``list_col``/``query_lists`` (used by :func:`ivf_pq_search`): when
+    set, ``codes`` carries an inverted-list id and each query is scored
+    ONLY against rows whose list is in its own ``query_lists[qid]`` set —
+    the per-query probe constraint that keeps IVF×PQ at
+    ``n_probe/n_lists`` of the corpus per query.
 
     ADC ranks by squared **L2** distance (the PQ-native metric).  For
     cosine semantics, L2-normalize vectors before ``train_pq`` /
@@ -152,14 +169,19 @@ def pq_search(
     PQ + re-rank recipe.  Output: ``query_id, vec_id, rank`` (+
     ``adc_dist2`` without re-rank, ``cos_sim`` with).
     """
-    check_col([id_col, code_col], codes)
+    check_col([id_col, code_col] + ([list_col] if list_col else []), codes)
     check_col([query_id, query_vec], queries)
     cb = np.asarray(codebooks, dtype=np.float64)
     m, kk, ds = cb.shape
+    vid_type = codes.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id].dataType.simpleString()
     qrows = queries.select(query_id, query_vec).collect()
     if not qrows:
+        score_col = "cos_sim" if rerank is not None else "adc_dist2"
         return codes.sparkSession.createDataFrame(
-            [], f"{query_id} long, {id_col} long, rank int, adc_dist2 double"
+            [],
+            f"{query_id} {qid_type}, {id_col} {vid_type}, rank int, "
+            f"{score_col} double",
         )
     qids = np.array([r[0] for r in qrows])
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
@@ -171,6 +193,12 @@ def pq_search(
             (sub[:, None, :] - cb[j][None, :, :]) ** 2
         ).sum(axis=2)
     n_keep = k * rerank_factor if rerank is not None else k
+    allowed = None
+    if list_col is not None and query_lists is not None:
+        allowed = [
+            np.array(sorted(query_lists.get(q, ())), dtype=np.int64)
+            for q in qids
+        ]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per Arrow batch and query: argpartition keeps only the n_keep
@@ -182,16 +210,29 @@ def pq_search(
                 continue
             C = np.array(list(pdf[code_col]), dtype=np.int64)  # B×m
             ids = pdf[id_col].to_numpy()
+            lists = (
+                pdf[list_col].to_numpy(dtype=np.int64)
+                if allowed is not None
+                else None
+            )
             for qi in range(len(Q)):
-                # gather: sum over subspaces of LUT[qi, j, C[:, j]]
-                d2 = luts[qi][np.arange(m)[None, :], C].sum(axis=1)
+                Cq, idq = C, ids
+                if allowed is not None:
+                    # per-query probe constraint: score only this query's
+                    # own n_probe lists, not the batch's union
+                    mask = np.isin(lists, allowed[qi])
+                    if not mask.any():
+                        continue
+                    Cq, idq = C[mask], ids[mask]
+                # gather: sum over subspaces of LUT[qi, j, Cq[:, j]]
+                d2 = luts[qi][np.arange(m)[None, :], Cq].sum(axis=1)
                 take = min(n_keep, len(d2))
                 idx = np.argpartition(d2, take - 1)[:take]
                 frames.append(
                     pd.DataFrame(
                         {
                             "__qid": qids[qi],
-                            "__vid": ids[idx],
+                            "__vid": idq[idx],
                             "__d2": d2[idx],
                         }
                     )
@@ -199,7 +240,10 @@ def pq_search(
         if frames:
             yield pd.concat(frames, ignore_index=True)
 
-    part = codes.mapInPandas(score, "__qid long, __vid long, __d2 double")
+    score_cols = [id_col, code_col] + ([list_col] if allowed is not None else [])
+    part = codes.select(*score_cols).mapInPandas(
+        score, f"__qid {qid_type}, __vid {vid_type}, __d2 double"
+    )
     if not include_self:
         # queries drawn from the corpus: drop the trivial self match
         # (cosine_topk's include_self=False contract)
@@ -220,8 +264,8 @@ def pq_search(
     # exact re-rank of the surviving candidates (tiny join surface)
     check_col([id_col, rerank_vec], rerank)
     qdf = codes.sparkSession.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in zip(qids, Q)],
-        f"{query_id} long, __qv array<double>",
+        [(q, [float(x) for x in v]) for q, v in zip(qids.tolist(), Q)],
+        f"{query_id} {qid_type}, __qv array<double>",
     )
     cand = (
         top.select(F.col("__qid").alias(query_id), F.col("__vid").alias(id_col))
@@ -290,16 +334,27 @@ def ivf_pq_search(
     n_probe = min(n_probe, len(cents))
     qrows = queries.select(query_id, query_vec).collect()
     if not qrows:
+        score_col = "cos_sim" if rerank is not None else "adc_dist2"
+        qid_type = queries.schema[query_id].dataType.simpleString()
+        vid_type = assigned_codes.schema[id_col].dataType.simpleString()
         return assigned_codes.sparkSession.createDataFrame(
-            [], f"{query_id} long, {id_col} long, rank int, adc_dist2 double"
+            [],
+            f"{query_id} {qid_type}, {id_col} {vid_type}, rank int, "
+            f"{score_col} double",
         )
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
     d2c = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probe = np.argsort(d2c, axis=1)[:, :n_probe]
+    # scan prune: the union of probed lists (partition pruning on a
+    # list-partitioned index); the PER-QUERY constraint is enforced
+    # inside pq_search via query_lists — without it every query would
+    # score the whole union, degrading to brute-force ADC as the query
+    # batch grows
+    query_lists = {
+        r[0]: {int(x) for x in probe[i]} for i, r in enumerate(qrows)
+    }
     probed = sorted({int(x) for x in probe.ravel()})
-    pruned = assigned_codes.filter(F.col("list_id").isin(probed)).select(
-        id_col, code_col
-    )
+    pruned = assigned_codes.filter(F.col("list_id").isin(probed))
     return pq_search(
         pruned,
         queries,
@@ -313,4 +368,6 @@ def ivf_pq_search(
         rerank_vec=rerank_vec,
         rerank_factor=rerank_factor,
         include_self=include_self,
+        list_col="list_id",
+        query_lists=query_lists,
     )

@@ -212,45 +212,42 @@ def temperature_resample(
     Deterministic in the data: re-partitioned, re-ordered input selects
     the identical rows.
     """
+    import math
+
     check_col([source_col, id_col], df)
-    # localCheckpoint pins the tiny per-source counts: the weight total
-    # and the per-source thresholds both derive from them, and without
-    # the pin each reference re-scans the full corpus
-    counts = (
-        df.groupBy(source_col)
+    # ONE aggregation scan collapses the corpus to one row per source
+    # (tiny by definition) collected to the driver, where the threshold
+    # arithmetic below runs the SAME IEEE double expressions as the SQL
+    # oracle — bit-identical thresholds, one corpus scan instead of
+    # three, no localCheckpoint/cache lifetime to manage.  Eager:
+    # calling this runs the stats scan immediately.
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("__n_s"))
-        .localCheckpoint()
-    )
+        .collect()
+    }
     # floor to integer weights so the cross-source total is an exact
-    # integer sum; pow(x, 0.5) is emitted as sqrt (correctly rounded in
-    # IEEE 754, so bit-identical across engines — other exponents are
-    # engine-dependent and excluded from the oracle query)
-    wexpr = (
-        F.sqrt(F.col("__n_s").cast("double"))
-        if alpha == 0.5
-        else F.pow(F.col("__n_s").cast("double"), F.lit(float(alpha)))
-    )
-    weights = counts.withColumn(
-        "__w_s", F.floor(wexpr * F.lit(float(weight_scale))).cast("long")
-    )
-    tot = weights.agg(
-        F.sum("__w_s").alias("__w"), F.sum("__n_s").alias("__n")
-    )
-    # single-row cross join (broadcast, not a shuffle) to attach totals
-    per_src = weights.crossJoin(F.broadcast(tot))
-    target_total = F.floor(
-        F.lit(float(target_fraction)) * F.col("__n").cast("double")
-    ).cast("double")
-    p = F.least(
-        F.lit(1.0),
-        target_total
-        * F.col("__w_s").cast("double")
-        / F.col("__w").cast("double")
-        / F.col("__n_s").cast("double"),
-    )
-    thresholds = per_src.select(
-        source_col,
-        F.floor(p * F.lit(4294967296.0)).cast("long").alias("__thr"),
+    # integer sum; sqrt is correctly rounded in IEEE 754 (bit-identical
+    # across engines) — other exponents are engine-dependent and
+    # excluded from the oracle query
+    def wfun(n: int) -> int:
+        x = math.sqrt(float(n)) if alpha == 0.5 else float(n) ** float(alpha)
+        return int(math.floor(x * float(weight_scale)))
+
+    w_s = {s: wfun(n) for s, n in counts.items()}
+    w_tot = sum(w_s.values())
+    n_tot = sum(counts.values())
+    target_total = float(math.floor(float(target_fraction) * float(n_tot)))
+    rows = []
+    for s, n in counts.items():
+        p = min(
+            1.0, target_total * float(w_s[s]) / float(w_tot) / float(n)
+        )
+        rows.append((s, int(math.floor(p * 4294967296.0))))
+    src_type = df.schema[source_col].dataType.simpleString()
+    thresholds = df.sparkSession.createDataFrame(
+        rows, f"{source_col} {src_type}, __thr long"
     )
     h = F.conv(
         F.substring(
@@ -398,47 +395,46 @@ def mixture_resample(
     close to the target (exact-count sampling would need a per-source
     top-k; use :func:`weighted_sample` when exact counts matter).
 
-    Scale: one aggregation over the (tiny) source dimension, two
-    broadcast joins, then a row-local hash filter — the corpus never
-    shuffles.
+    Scale: ONE aggregation scan over the corpus collapses to one row per
+    target source (tiny by definition — collected to the driver, where
+    the threshold arithmetic runs the same IEEE double ops as the SQL
+    oracle), then one broadcast-join hash filter — the corpus never
+    shuffles.  Eager: calling this runs the stats scan immediately.
+    A target source MISSING from the data raises (silently proceeding
+    would emit a mixture violating the stated shares — a corrupted
+    curation run, not a degenerate case).
     """
+    import math
+
     check_col([source_col, id_col], df)
     if not targets:
         raise ValueError("targets must be non-empty")
     tot = float(sum(targets.values()))
+    norm = {s: float(t) / tot for s, t in targets.items()}
     spark = df.sparkSession
-    tgt = F.broadcast(
-        spark.createDataFrame(
-            [(s, float(t) / tot) for s, t in targets.items()],
-            f"{source_col} string, __t double",
-        )
-    )
-    # localCheckpoint pins the tiny source-dimension aggregate: cap and
-    # thresholds both derive from it, and without the pin each reference
-    # re-scans the full corpus (3 scans instead of 2 at 100 TB)
-    counts = (
-        df.groupBy(source_col)
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(source_col).isin(list(targets)))
+        .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("__n_s"))
-        .join(tgt, source_col, "inner")
-        .localCheckpoint()
-    )
-    cap = counts.agg(
-        F.min(
-            F.floor(F.col("__n_s").cast("double") / F.col("__t"))
-        ).alias("__T")
-    )
-    # cap derives from counts, so the cross join is a self-join — qualify
-    # both legs or Spark's analyzer sees duplicate lineage attributes
-    cj = counts.alias("__c").crossJoin(F.broadcast(cap.alias("__cap")))
-    p = F.least(
-        F.lit(1.0),
-        F.col("__cap.__T").cast("double")
-        * F.col("__c.__t")
-        / F.col("__c.__n_s").cast("double"),
-    )
-    thresholds = cj.select(
-        F.col(f"__c.{source_col}").alias(source_col),
-        F.floor(p * F.lit(4294967296.0)).cast("long").alias("__thr"),
+        .collect()
+    }
+    missing = sorted(set(targets) - set(counts))
+    if missing:
+        raise ValueError(
+            f"mixture_resample: target sources absent from the data: "
+            f"{missing} — the requested mixture is unsatisfiable"
+        )
+    cap = min(math.floor(counts[s] / norm[s]) for s in counts)
+    rows = []
+    for s, n_s in counts.items():
+        # same expression order as the SQL twin: (cap · t) / n — IEEE
+        # doubles, so the thresholds are bit-identical cross-engine
+        p = min(1.0, cap * norm[s] / float(n_s))
+        rows.append((s, int(math.floor(p * 4294967296.0))))
+    src_type = df.schema[source_col].dataType.simpleString()
+    thresholds = spark.createDataFrame(
+        rows, f"{source_col} {src_type}, __thr long"
     )
     h = F.conv(
         F.substring(

@@ -207,7 +207,15 @@ def build_ivf_index(
     :func:`save_ivf_index` for cross-job reuse.
     """
     check_col([corpus_id, corpus_vec], corpus)
-    sample = corpus.select(corpus_vec).limit(train_sample).collect()
+    # hash-ordered top-n: data-deterministic and layout-independent
+    # (plain limit() trains on whatever partitions list first — a
+    # source-clustered corpus would give the quantizer one region only)
+    sample = (
+        corpus.select(corpus_vec)
+        .orderBy(F.xxhash64(F.col(corpus_vec)))
+        .limit(train_sample)
+        .collect()
+    )
     M = np.array([list(r[0]) for r in sample], dtype=np.float64)
     centroids = _kmeans_numpy(M, n_lists, seed)
 

@@ -98,11 +98,21 @@ def incremental_ingest(
     path: str,
     state_dir: str,
     fmt: str = "parquet",
+    safety_lag_ms: int = 2_000,
 ) -> DataFrame:
     """The composed pattern: read files newer than the stored watermark;
     call the returned frame's actions, then ``commit_watermark`` (also
     returned) AFTER the downstream write succeeds — watermark advances
     only on success, so failures replay the batch.
+
+    ``safety_lag_ms`` closes the listing race: a file committed with the
+    SAME mtime as the max the listing saw, but after the listing ran,
+    would be skipped forever by the strict ``>`` filter.  Committing
+    ``max_mtime − lag`` instead re-reads the last ``lag`` of files each
+    run (at-least-once, the documented contract) — dedup downstream
+    (``dedup.dedup_against`` on content fingerprints, or the lake sink's
+    upsert) makes the replay idempotent.  Set 0 only when the writer
+    guarantees strictly increasing mtimes.
 
     Returns ``(new_rows, commit_watermark)``.
     """
@@ -111,6 +121,6 @@ def incremental_ingest(
     hi = current_watermark(spark, path, fmt)
 
     def commit() -> None:
-        save_watermark(state_dir, max(hi, wm))
+        save_watermark(state_dir, max(hi - int(safety_lag_ms), wm))
 
     return new_rows, commit

@@ -439,9 +439,12 @@ def stream_debounce(
 
     if int(window_us) <= 0:
         raise ValueError("window_us must be positive")
+    # key type follows the source schema (string device ids are as valid
+    # as int64 user ids); the timestamp is int64 microseconds by contract
+    key_field = next(f for f in schema.fields if f.name == key_col)
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
+            T.StructField(key_col, key_field.dataType),
             T.StructField(ts_us_col, T.LongType()),
         ]
     )

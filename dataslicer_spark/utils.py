@@ -203,13 +203,21 @@ def grouped_map_in_pandas(
                 change = np.zeros(len(pdf), dtype=bool)
                 change[0] = True
                 for arr in kv:
-                    change[1:] |= arr[1:] != arr[:-1]
+                    # null-safe: NaN != NaN is True elementwise, which
+                    # would split a NULL-keyed group into per-row segments
+                    na = pd.isna(arr)
+                    diff = arr[1:] != arr[:-1]
+                    diff &= ~(na[1:] & na[:-1])
+                    change[1:] |= diff
                 bounds = np.flatnonzero(change).tolist() + [len(pdf)]
                 out = batch_fn(pdf, bounds)
                 if out is not None and len(out):
                     yield out
                 return
-            for key, grp in pdf.groupby(key_list, sort=False):
+            # dropna=False: a NULL group key is a real group (Spark's
+            # groupBy().applyInPandas semantics) — pandas' default would
+            # silently drop those rows
+            for key, grp in pdf.groupby(key_list, sort=False, dropna=False):
                 if not isinstance(key, tuple):
                     key = (key,)
                 out = fn(key, grp)
@@ -223,10 +231,17 @@ def grouped_map_in_pandas(
             if not len(pdf):
                 continue
             # hold back the trailing (possibly incomplete) group
+            # (null-safe: a trailing NULL-keyed group must be held back
+            # too, or it would be split across two fn calls)
             kvals = [pdf[k].to_numpy() for k in key_list]
             mask_last = np.ones(len(pdf), dtype=bool)
             for kv in kvals:
-                mask_last &= kv == kv[-1]
+                if pd.isna(kv[-1]):
+                    mask_last &= pd.isna(kv)
+                else:
+                    eq = kv == kv[-1]
+                    eq &= ~pd.isna(kv)
+                    mask_last &= eq
             rev = mask_last[::-1]
             trailing = len(pdf) if rev.all() else int(np.argmin(rev))
             cut = len(pdf) - trailing

@@ -223,3 +223,26 @@ def test_bounded_sample_caps_driver_rows(spark):
     small = spark.range(100).select(F.col("id").cast("double").alias("av_mag"))
     assert len(_bounded_sample_values(small, "av_mag", None)) == 100
     assert len(_bounded_sample_values(small, "av_mag", 5_000)) == 100
+
+
+def test_photometric_solution_keeps_null_group(spark):
+    """A NULL group key is a real group (Spark groupBy semantics) — the
+    batched grouped-map path must not let pandas' dropna default eat it."""
+    import numpy as np
+
+    from dataslicer_spark.operators.regression import photometric_solution
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g in [1, None]:
+        for i in range(20):
+            x = float(rng.uniform(0, 2))
+            rows.append((g, x, 20.0 - 0.01 * x + float(rng.normal(0, 1e-3)),
+                         0.01, 0.01))
+    df = spark.createDataFrame(
+        rows, "ccdid int, x double, y double, sx double, sy double"
+    )
+    out = photometric_solution(df, "x", "y", "sx", "sy", group_cols=["ccdid"])
+    got = {r["ccdid"]: r["n_points"] for r in out.collect()}
+    assert set(got) == {1, None}
+    assert got[None] == 20

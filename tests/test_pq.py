@@ -162,3 +162,37 @@ def test_ivf_pq_prunes_unprobed_lists(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "list_id" in plan  # the isin prune is in the plan
     assert out.count() == 3
+
+
+def test_ivf_pq_respects_per_query_probes(spark, corpus):
+    """Each query's hits must come from its OWN probed lists, not the
+    union of the batch's lists (the constraint that keeps per-query cost
+    at n_probe/n_lists)."""
+    from dataslicer_spark.operators.pq import ivf_pq_search
+    from dataslicer_spark.operators.similarity import build_ivf_index
+
+    cb = train_pq(corpus, m=M, k=64, seed=7)
+    codes = pq_encode(corpus, cb)
+    centroids, assigned = build_ivf_index(corpus, n_lists=8, seed=5)
+    assigned_codes = codes.join(assigned.select("vec_id", "list_id"), "vec_id")
+    queries = corpus.filter(F.col("vec_id").isin([5, 555])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_pq_search(
+        centroids, assigned_codes, queries, cb, k=5, n_probe=1
+    ).collect()
+    list_of = {
+        r["vec_id"]: r["list_id"]
+        for r in assigned.select("vec_id", "list_id").collect()
+    }
+    # recompute each query's single probed list in numpy
+    qv = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in corpus.filter(F.col("vec_id").isin([5, 555])).collect()
+    }
+    for qid, v in qv.items():
+        d2 = ((v[None, :] - centroids) ** 2).sum(axis=1)
+        own = int(np.argmin(d2))
+        hits = [r["vec_id"] for r in out if r["query_id"] == qid]
+        assert hits, qid
+        assert all(list_of[h] == own for h in hits), (qid, own)

@@ -351,3 +351,16 @@ def test_mixture_resample_empty_targets_raises(spark):
     df = spark.createDataFrame([(1, "a")], "id long, src string")
     with _pytest.raises(ValueError):
         mixture_resample(df, "src", "id", {})
+
+
+def test_mixture_resample_missing_target_source_raises(spark):
+    import pytest as _pytest
+
+    from dataslicer_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 else "books") for i in range(50)],
+        "id long, src string",
+    )
+    with _pytest.raises(ValueError, match="absent from the data"):
+        mixture_resample(df, "src", "id", {"web": 0.5, "code": 0.5})

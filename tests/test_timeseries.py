@@ -487,9 +487,18 @@ def test_stream_debounce_matches_batch(spark, tmp_path):
 
     flat = str(tmp_path / "flat")
     os.makedirs(flat)
+    import time as _time
+
+    base = _time.time()
     for i in range(3):
         for f in glob.glob(os.path.join(src, f"f{i}", "*.parquet")):
-            shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+            dst = os.path.join(flat, f"{i:02d}.parquet")
+            shutil.copy(f, dst)
+            # the file source orders micro-batches by modification time;
+            # copies can tie on mtime, which would feed batches out of
+            # chronological order (the documented cross-batch-disorder
+            # divergence) — pin strictly increasing mtimes
+            os.utime(dst, (base + i, base + i))
 
     stream = stream_debounce(
         spark, flat, df.schema, "ts_us", "user_id", window_us,
