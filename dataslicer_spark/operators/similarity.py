@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..utils import check_col
 from .dedup import fp_dot
@@ -106,6 +107,151 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def cosine_topk_batched(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    include_self: bool = False,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact top-k cosine neighbors via an Arrow-batched matrix kernel
+    with **map-side partial top-k** — same results as :func:`cosine_topk`
+    (bit-identical: the kernel runs :func:`fp_dot`'s fixed-point recipe,
+    ``floor(x·y·2^30)`` int64 sums, in numpy doubles — identical IEEE
+    ops), different physical plan:
+
+    - the query batch is a Spark **broadcast variable** (a numpy matrix,
+      not a join side), so there is no nc×nq joined relation at all;
+    - each corpus partition emits at most ``|queries|·k`` candidate rows
+      (its local top-k per query), so the final ranking window shuffles
+      ``partitions·nq·k`` rows instead of ``nc·nq`` scored pairs — the
+      difference between a bounded merge and an all-pairs shuffle at
+      100 TB;
+    - ``carry_cols`` pass corpus attributes (e.g. a label) through the
+      kernel, eliminating the nn→corpus re-join a consumer like
+      :func:`knn_classify` would otherwise need.
+
+    The corpus never shuffles and is streamed batch-at-a-time; kernel
+    temporaries are row-chunked to a fixed byte budget regardless of
+    Arrow batch size.  Queries are collected driver-side — they are the
+    small/broadcast side by contract, exactly as :func:`cosine_topk`
+    broadcasts them.  Corpus rows with a NULL vector are dropped (the
+    HOF path scores them NULL, ranking last; at ≥k real candidates the
+    results are identical).
+
+    Output: (query_id, rank, vec_id, cosine, *carry_cols).
+    """
+    check_col([corpus_id, corpus_vec, *carry_cols], corpus)
+    check_col([query_id, query_vec], queries)
+    reserved = {"query_id", "vec_id", "cosine", "rank", "__s"}
+    bad = reserved.intersection(carry_cols)
+    if bad:
+        raise ValueError(f"carry_cols collide with output columns: {sorted(bad)}")
+    spark = corpus.sparkSession
+    m = float(2**30)
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qrows = [r for r in qrows if r[1] is not None]
+    out_fields = [
+        StructField("query_id", queries.schema[query_id].dataType),
+        StructField("vec_id", corpus.schema[corpus_id].dataType),
+        StructField("cosine", DoubleType()),
+        *[StructField(c, corpus.schema[c].dataType) for c in carry_cols],
+    ]
+    out_schema = StructType(out_fields)
+    src = corpus.select(corpus_id, corpus_vec, *carry_cols)
+    if not qrows:
+        return (
+            spark.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1))
+            .select("query_id", "rank", "vec_id", "cosine", *carry_cols)
+        )
+
+    qids = [r[0] for r in qrows]
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt(np.floor(Q * Q * m).astype(np.int64).sum(axis=1) / m)
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+
+    nq, dim = Q.shape
+    # row-chunk the (chunk × nq × dim) scoring temporary to ~128 MB
+    chunk_rows = max(1, 16_000_000 // max(nq * dim, 1))
+
+    def kernel(it):
+        qids_l, Qm, qn_l = bc.value
+        qarr = np.asarray(qids_l, dtype=object)
+        for pdf in it:
+            vecs = pdf.iloc[:, 1]
+            ok = vecs.notna().to_numpy()
+            pdf = pdf.iloc[ok]
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            cids = pdf.iloc[:, 0].to_numpy()
+            cn = np.sqrt(np.floor(C * C * m).astype(np.int64).sum(axis=1) / m)
+            outs = []
+            for lo in range(0, len(C), chunk_rows):
+                hi = min(lo + chunk_rows, len(C))
+                dots = (
+                    np.floor(C[lo:hi, None, :] * Qm[None, :, :] * m)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                    .astype(np.float64)
+                    / m
+                )
+                denom = cn[lo:hi, None] * qn_l[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / denom
+                cos[denom == 0.0] = np.nan  # NULL via Arrow, like try_divide
+                outs.append(cos)
+            cos = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+            # rank NULLs last (desc_nulls_last), keep NaN for emission
+            filled = np.where(np.isnan(cos), -np.inf, cos)
+            if not include_self:
+                filled[cids[:, None] == qarr[None, :]] = np.nan
+                # np.nan in `filled` marks EXCLUDED pairs from here on
+            frames = []
+            for j in range(nq):
+                col = filled[:, j]
+                keep = ~np.isnan(col)
+                idx = np.nonzero(keep)[0]
+                if len(idx) == 0:
+                    continue
+                if len(idx) > k:
+                    vals = col[idx]
+                    thresh = np.partition(vals, len(vals) - k)[len(vals) - k]
+                    idx = idx[vals >= thresh]  # superset incl. boundary ties
+                cand = pd.DataFrame(
+                    {
+                        "query_id": [qids_l[j]] * len(idx),
+                        "vec_id": cids[idx],
+                        "cosine": cos[idx, j],
+                        "__s": col[idx],
+                    }
+                )
+                for c in carry_cols:
+                    cand[c] = pdf[c].to_numpy()[idx]
+                cand = cand.sort_values(
+                    ["__s", "vec_id"], ascending=[False, True], kind="mergesort"
+                ).head(k)
+                frames.append(cand.drop(columns="__s"))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = src.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine", *carry_cols)
     )
 
 
@@ -366,21 +512,22 @@ def knn_classify(
     all integer comparisons, so the result is engine- and
     partitioning-independent and carries a SQL oracle.
 
-    Scale: inherits :func:`cosine_topk`'s shape (labeled corpus never
-    shuffles; query batch broadcasts); the vote aggregation shuffles only
-    (query, label) pairs — ≤ k rows per query.  Swap ``cosine_topk`` for
-    the LSH/IVF variants upstream when the corpus outgrows brute force.
+    Scale: runs on :func:`cosine_topk_batched` — the labeled corpus never
+    shuffles (map-side per-partition top-k; the ranking window sees
+    ``partitions·nq·k`` candidates, not nc·nq scored pairs), the query
+    batch ships as a broadcast variable, and the label rides through the
+    kernel's ``carry_cols`` so there is **no nn→corpus re-join at all**.
+    The vote aggregation shuffles only (query, label) pairs — ≤ k rows
+    per query.  Swap the LSH/IVF variants upstream when even one corpus
+    scan per query batch is too much.
     """
     check_col([corpus_id, corpus_vec, label_col], corpus)
-    nn = cosine_topk(
+    nn = cosine_topk_batched(
         corpus, queries, k=k, corpus_id=corpus_id, corpus_vec=corpus_vec,
-        query_id=query_id, query_vec=query_vec,
-    )
-    labels = corpus.select(
-        F.col(corpus_id).alias("vec_id"), F.col(label_col).alias("__lbl")
+        query_id=query_id, query_vec=query_vec, carry_cols=(label_col,),
     )
     votes = (
-        nn.join(labels, "vec_id")
+        nn.withColumnRenamed(label_col, "__lbl")
         .groupBy("query_id", "__lbl")
         .agg(
             F.count(F.lit(1)).alias("n_votes"),
@@ -441,6 +588,7 @@ def quantize_embeddings(
 __all__ = [
     "add_hyperplane_bucket",
     "cosine_topk",
+    "cosine_topk_batched",
     "hyperplane_lsh_topk",
     "build_ivf_index",
     "save_ivf_index",

@@ -53,9 +53,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("dd_cross_corpus", "cross-corpus dedup is an anti join on "
      "fingerprints only",
      ["LeftAnti"], ["CartesianProduct", "NestedLoop"]),
-    ("emb_knn_classify", "kNN scoring broadcasts the query batch "
-     "(corpus never shuffles)",
-     ["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    ("emb_knn_classify", "kNN scoring is a map-side partial top-k kernel "
+     "(query matrix is a broadcast variable; corpus never shuffles; no "
+     "join anywhere — the label rides through the kernel)",
+     ["MapInPandas"], ["CartesianProduct", "NestedLoop", "SortMergeJoin",
+                       "BroadcastHashJoin"]),
     ("llm_data_pipeline", "pipeline chain: broadcast joins + windows, "
      "no cartesian anywhere",
      ["BroadcastHashJoin", "Window", "HashAggregate"],

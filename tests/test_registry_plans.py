@@ -53,8 +53,6 @@ ALLOW = {
     # same pattern: broadcast 1-row mixture cap (sampling.mixture_resample)
     "samp_mixture": {"nested-loop-join", "single-partition-exchange"},
     "llm_data_pipeline": {"nested-loop-join", "single-partition-exchange"},
-    # kNN pseudo-labeling: the unlabeled batch is the broadcast side
-    "emb_knn_classify": {"nested-loop-join"},
 }
 
 

@@ -425,3 +425,75 @@ def test_embedding_near_dup_empty_and_null_vectors(spark):
     )
     pairs = embedding_near_dup(withnull, threshold=0.9, n_tables=16)
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 3)}
+
+
+def test_cosine_topk_batched_parity_with_hof(emb):
+    """The Arrow matrix kernel must be bit-identical to the zip_with/
+    aggregate expression path — same fixed-point recipe, different plan."""
+    from dataslicer_spark.operators.similarity import cosine_topk_batched
+
+    queries = emb.filter(F.col("vec_id") % 20 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 7)
+    a = cosine_topk(corpus, queries, k=7).orderBy("query_id", "rank").collect()
+    b = (
+        cosine_topk_batched(corpus, queries, k=7)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert (ra.query_id, ra.rank, ra.vec_id) == (rb.query_id, rb.rank, rb.vec_id)
+        assert ra.cosine == rb.cosine  # exact doubles, not approx
+
+
+def test_cosine_topk_batched_edge_cases(spark):
+    from dataslicer_spark.operators.similarity import cosine_topk_batched
+
+    # duplicate vectors force cosine ties at the top-k boundary: the
+    # deterministic tie-break (vec_id asc) must hold through the
+    # map-side partial top-k's boundary-tie superset
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)] + [(10, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    got = cosine_topk_batched(corpus, queries, k=4).orderBy("rank").collect()
+    assert [r.vec_id for r in got] == [0, 1, 2, 3]
+
+    # include_self=False drops the self pair even on identical ids
+    got = cosine_topk_batched(
+        corpus, queries.selectExpr("5 AS query_id", "embedding"), k=20
+    ).collect()
+    assert 5 not in {r.vec_id for r in got}
+
+    # zero-norm corpus vector → NULL cosine, ranked last (like try_divide)
+    corpus2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = (
+        cosine_topk_batched(corpus2, queries, k=5).orderBy("rank").collect()
+    )
+    assert [r.vec_id for r in got] == [1, 2]
+    assert got[1].cosine is None
+
+    # null corpus vectors are dropped; empty query set → empty result
+    corpus3 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert cosine_topk_batched(corpus3, queries, k=5).count() == 1
+    empty_q = spark.createDataFrame([], "query_id long, embedding array<double>")
+    out = cosine_topk_batched(corpus3, empty_q, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "vec_id", "cosine"]
+
+    # carry_cols collision guard
+    import pytest as _pytest
+
+    withcos = corpus2.withColumn("cosine", F.lit(1.0))
+    with _pytest.raises(ValueError, match="carry_cols"):
+        cosine_topk_batched(withcos, queries, k=2, carry_cols=("cosine",))
