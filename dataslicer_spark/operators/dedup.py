@@ -645,6 +645,75 @@ def embedding_near_dup(
     return out.select("id_a", "id_b", "cosine")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    k: int = 8,
+    n_iter: int = 3,
+    fp_bits: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    embedding corpus, then drop every document that has a smaller-id
+    neighbor with cosine ≥ ``threshold`` **within its cluster**.
+
+    The clustering is the scale device: candidate pairs form only inside
+    a cluster, so the quadratic term is bounded by the largest cluster,
+    not the corpus — pick ``k`` so clusters fit the pair budget (the
+    paper runs 50k clusters over 5 B images for exactly this reason).
+
+    Keep rule: the smallest id of any near-pair survives — one
+    deterministic pass, no transitive closure (a chain a~b~c with
+    a≁c keeps {a}, dropping b and c, like the paper's ε-dedup; use
+    :func:`resolve_groups` on the returned pairs when full
+    connected-component semantics are wanted).
+
+    Determinism end to end: fixed-point k-means (operators/kmeans.py —
+    integer centroids, exact trajectory) + fixed-point cosines, so the
+    whole operator replays bit-identically in the DuckDB oracle.
+
+    Returns ``(survivors, pairs)``: survivors = input rows + ``cluster``
+    (+``d2``), pairs = (cluster, id_a, id_b, cosine) above threshold.
+    """
+    from .kmeans import FP_BITS_DEFAULT, kmeans_assign, kmeans_fit
+
+    check_col([id_col, vec_col], df)
+    fp = FP_BITS_DEFAULT if fp_bits is None else fp_bits
+    df = df.filter(F.col(vec_col).isNotNull())
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter, fp_bits=fp)
+    assigned = kmeans_assign(df, centroids, vec_col, fp_bits=fp)
+    base = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col("cluster"),
+        F.sqrt(fp_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    a = base.select(
+        "cluster", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = base.select(
+        "cluster", F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _fp_cosine_udf(
+                F.col("v_a"), F.col("v_b"), F.col("norm_a"), F.col("norm_b")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("cluster", "id_a", "id_b", "cosine")
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = assigned.join(dropped, id_col, "left_anti")
+    return survivors, pairs
+
+
 def dedup_against(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -714,6 +783,7 @@ __all__ = [
     "simhash_pairs",
     "fp_dot",
     "embedding_near_dup",
+    "semantic_dedup",
     "dedup_against",
     "resolve_duplicate_groups",
 ]

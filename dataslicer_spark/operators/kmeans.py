@@ -1,0 +1,243 @@
+"""Distributed k-means over an embedding column — engine-deterministic by
+construction, so the full iterative trajectory carries a SQL oracle.
+
+The reference has no clustering beyond DBSCAN (cluster.py); k-means is
+part of the LLM-data-pipeline extension: coarse semantic partitioning of
+an embedding corpus for curation — the clustering stage of SemDeDup
+(Abbas et al., arXiv:2303.09540) and the coarse quantizer family used by
+IVF ANN indexes.
+
+Why fixed-point: classic float k-means is not reproducible across
+engines (float mean is order-dependent), so no external oracle can
+replay it.  Here every quantity is an int64:
+
+- coordinates quantize ONCE to ``floor(x · 2^fp_bits)``;
+- distances are integer squared-L2 sums (``Σ (x_i − c_i)²``);
+- centroid updates are exact integer floor-division means
+  (``(s − mod(s, n)) / n`` with a non-negative mod, portable across
+  Python / Spark / DuckDB division semantics);
+- ties in the argmin break to the smallest cluster id.
+
+Every iteration's state is therefore exactly representable and the whole
+trajectory — init, n_iter updates, final assignment — is replayed bit
+for bit by the chained-CTE DuckDB oracle (plans/extension_queries.py).
+
+Scale design:
+
+- the corpus never shuffles for assignment: centroids inline as k×d
+  literals, the argmin is a ``least``-of-structs over JVM ``zip_with``/
+  ``aggregate`` expressions (whole-stage codegen, no Python);
+- the update shuffles only partial sums: ``posexplode`` to
+  (cluster, dim, val) feeds a hash aggregate whose map-side combine
+  reduces each partition to ≤ k·d rows before the exchange — the wire
+  carries ``partitions · k · d`` cells, never ``n · d``;
+- the driver holds k·d ints per iteration (microscopic), exactly like
+  MLlib's Lloyd's loop;
+- one job per iteration re-reads the source: cache the projected
+  vectors upstream for iterative sessions, or accept n_iter scans (at
+  100 TB the update aggregates are the cost, not the scan).
+
+Overflow bounds: |x| ≤ 2 and fp_bits = 20 give |X| ≤ 2²¹, squared
+diffs ≤ 2⁴⁴, and d = 64 sums ≤ 2⁵⁰ — inside int64 with headroom.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+
+FP_BITS_DEFAULT = 20
+
+
+def quantize_expr(vec_col: str, fp_bits: int = FP_BITS_DEFAULT) -> Column:
+    """``array<long>`` of ``floor(x · 2^fp_bits)`` — the one lossy step;
+    everything downstream is exact integer math."""
+    scale = float(1 << fp_bits)
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+
+
+def _best_cluster(xq: Column, centroids: list[list[int]]) -> Column:
+    """struct(d2, cluster) of the nearest centroid — integer squared L2,
+    ties to the smallest cluster id (struct comparison does both)."""
+    cands = []
+    for j, cent in enumerate(centroids):
+        carr = F.array(*[F.lit(int(v)) for v in cent])
+        d2 = F.aggregate(
+            F.zip_with(xq, carr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        # named_struct, not struct(alias): `least` strips struct-field
+        # aliases down to col1/col2
+        cands.append(
+            F.named_struct(
+                F.lit("d2"), d2, F.lit("cluster"), F.lit(j)
+            )
+        )
+    return cands[0] if len(cands) == 1 else F.least(*cands)
+
+
+def init_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    fp_bits: int = FP_BITS_DEFAULT,
+) -> list[list[int]]:
+    """Deterministic pseudo-random seeds: the k rows with the smallest
+    ``md5(cast(id as string))`` (hash order decorrelates from ingest
+    order; ties break on the id).  A bounded k-row collect."""
+    check_col([id_col, vec_col], df)
+    rows = (
+        df.select(
+            quantize_expr(vec_col, fp_bits).alias("__xq"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot initialize k-means on an empty frame")
+    return [list(r["__xq"]) for r in rows]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 3,
+    fp_bits: int = FP_BITS_DEFAULT,
+) -> list[list[int]]:
+    """Lloyd's iterations; returns the final centroids (k×d ints in the
+    ``fp_bits`` scale).  Empty clusters keep their previous centroid
+    (mirrored by the oracle's UNION ALL branch)."""
+    check_col([id_col, vec_col], df)
+    # persist the projected vectors across iterations — n_iter jobs read
+    # this one column instead of re-scanning the source each pass
+    src = df.select(F.col(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).persist()
+    centroids = init_centroids(df, id_col, vec_col, k, fp_bits)
+    dim = len(centroids[0])
+    scale = float(1 << fp_bits)
+    spark = df.sparkSession
+    # (chunk × k × dim) int64 distance temporary bounded to ~16 MB
+    chunk_rows = max(1, 2_000_000 // max(k * dim, 1))
+
+    for _ in range(n_iter):
+        # Arrow kernel, not a JVM HOF argmin: higher-order functions are
+        # CodegenFallback (interpreted), and a k×d literal expression is
+        # re-parsed and re-evaluated per exploded row — measured ~8 s per
+        # iteration at 2k×64; this kernel runs the identical integer math
+        # (floor-quantize, int64 squared L2, first-min tie-break) in
+        # vectorized numpy and reduces each PARTITION to k·d partial
+        # cells before anything shuffles
+        bc = spark.sparkContext.broadcast(
+            np.asarray(centroids, dtype=np.int64)
+        )
+
+        def partial_stats(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            sums = np.zeros((len(C), dim), dtype=np.int64)
+            counts = np.zeros(len(C), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.floor(
+                    np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                    * scale
+                ).astype(np.int64)
+                for lo in range(0, len(X), chunk_rows):
+                    xb = X[lo : lo + chunk_rows]
+                    d2 = ((xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    assign = d2.argmin(axis=1)  # first min = smallest id
+                    for j in np.unique(assign):
+                        sel = xb[assign == j]
+                        sums[j] += sel.sum(axis=0)
+                        counts[j] += len(sel)
+            nz = np.nonzero(counts)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(nz, dim).astype(np.int32),
+                        "dim": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                        "s": sums[nz].reshape(-1),
+                        "n": np.repeat(counts[nz], dim),
+                    }
+                )
+
+        stats = (
+            src.mapInPandas(
+                partial_stats, "cluster int, dim int, s long, n long"
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        bc.unpersist()
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        for r in stats:
+            s, n = int(r["s"]), int(r["n"])
+            new[r["cluster"]][r["dim"]] = (s - ((s % n) + n) % n) // n
+        centroids = new
+        if dim and len(centroids[0]) != dim:  # pragma: no cover
+            raise AssertionError("centroid dimensionality drifted")
+    src.unpersist()
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str,
+    fp_bits: int = FP_BITS_DEFAULT,
+    cluster_col: str = "cluster",
+    dist_col: str = "d2",
+) -> DataFrame:
+    """Attach (cluster, d2) for fixed centroids — a map-only plan (the
+    centroid table rides in the expression as literals; no join, no
+    shuffle, no Python)."""
+    check_col(vec_col, df)
+    best = _best_cluster(quantize_expr(vec_col, fp_bits), centroids)
+    return df.withColumn("__b", best).select(
+        "*",
+        F.col("__b")["cluster"].alias(cluster_col),
+        F.col("__b")["d2"].alias(dist_col),
+    ).drop("__b")
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 3,
+    fp_bits: int = FP_BITS_DEFAULT,
+) -> DataFrame:
+    """fit + final assignment: (input columns…, cluster, d2)."""
+    centroids = kmeans_fit(df, id_col, vec_col, k, n_iter, fp_bits)
+    return kmeans_assign(df, centroids, vec_col, fp_bits)
+
+
+__all__ = [
+    "FP_BITS_DEFAULT",
+    "quantize_expr",
+    "init_centroids",
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans",
+]

@@ -2573,6 +2573,141 @@ GROUP BY l_returnflag
 """
 
 
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-point k-means (operators/kmeans.py): 3 Lloyd's
+    iterations, k=8, over the 64-dim embedding column.  Every quantity is
+    an int64 (quantized coordinates, integer squared distances, exact
+    floor-division centroid means), so the DuckDB oracle replays the full
+    iterative trajectory as chained CTEs — init, three updates, final
+    assignment — bit for bit.  The returned plan is map-only (centroids
+    inline as literals after the fit's bounded k×d driver collects)."""
+    from ..operators.kmeans import kmeans
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    out = kmeans(emb, "vec_id", "embedding", k=8, n_iter=3)
+    return out.select("vec_id", "cluster", "d2")
+
+
+def _sql_kmeans_chain(k: int, n_iter: int, fp_bits: int, dim: int) -> str:
+    """CTE chain (no leading WITH) replaying operators/kmeans.py exactly,
+    ending in ``fin(vec_id, cluster, d2)`` — the assignment against the
+    post-``n_iter``-update centroids.  Empty clusters keep their previous
+    centroid via the UNION ALL branch, mirroring kmeans_fit."""
+    scale = repr(float(1 << fp_bits))
+    ctes = [
+        f"""xv AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                    * CAST({scale} AS DOUBLE)) AS BIGINT) AS val
+  FROM embeddings, range(1, {dim + 1}) t(i)
+  WHERE embedding IS NOT NULL)""",
+        f"""seeds AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
+           AS cluster
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {k})""",
+        """cent0 AS (
+  SELECT s.cluster, x.dim, x.val AS c
+  FROM seeds s JOIN xv x USING (vec_id))""",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"cent{i - 1}"
+        ctes.append(
+            f"""assign{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT x.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY SUM((x.val - c.c) * (x.val - c.c)) ASC,
+                      c.cluster ASC) AS rn
+    FROM xv x JOIN {p} c USING (dim)
+    GROUP BY x.vec_id, c.cluster)
+  WHERE rn = 1)""",
+        )
+        ctes.append(
+            f"""sums{i} AS (
+  SELECT a.cluster, x.dim, CAST(SUM(x.val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM xv x JOIN assign{i} a USING (vec_id)
+  GROUP BY a.cluster, x.dim)""",
+        )
+        ctes.append(
+            f"""cent{i} AS (
+  SELECT cluster, dim,
+         CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS c
+  FROM sums{i}
+  UNION ALL
+  SELECT p.cluster, p.dim, p.c FROM {p} p
+  WHERE p.cluster NOT IN (SELECT cluster FROM sums{i}))""",
+        )
+    ctes.append(
+        f"""fin AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT x.vec_id, c.cluster,
+           CAST(SUM((x.val - c.c) * (x.val - c.c)) AS BIGINT) AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY SUM((x.val - c.c) * (x.val - c.c)) ASC,
+                      c.cluster ASC) AS rn
+    FROM xv x JOIN cent{n_iter} c USING (dim)
+    GROUP BY x.vec_id, c.cluster)
+  WHERE rn = 1)""",
+    )
+    return ",\n".join(ctes)
+
+
+EMB_KMEANS_SQL = f"""
+WITH
+{_sql_kmeans_chain(k=8, n_iter=3, fp_bits=20, dim=64)}
+SELECT vec_id, cluster, d2 FROM fin
+"""
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.semantic_dedup): fixed-point k-means
+    partitions the corpus (k=8, 3 iterations); within each cluster any
+    vector with a smaller-id neighbor at cosine ≥ 0.35 is dropped.  The
+    cluster bound is the scale device — candidate pairs never cross
+    clusters.  Fully deterministic (integer k-means trajectory +
+    fixed-point cosines) → the oracle replays clustering AND the pair
+    threshold bit for bit."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    survivors, _pairs = semantic_dedup(
+        emb, threshold=0.35, k=8, n_iter=3
+    )
+    return survivors.select("vec_id", "cluster")
+
+
+EMB_SEMANTIC_DEDUP_SQL = f"""
+WITH
+{_sql_kmeans_chain(k=8, n_iter=3, fp_bits=20, dim=64)},
+nrms AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_fp_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings WHERE embedding IS NOT NULL),
+dropped AS (
+  SELECT DISTINCT f2.vec_id
+  FROM fin f1
+  JOIN fin f2 ON f1.cluster = f2.cluster AND f1.vec_id < f2.vec_id
+  JOIN nrms a ON a.vec_id = f1.vec_id
+  JOIN nrms b ON b.vec_id = f2.vec_id
+  WHERE a.nrm * b.nrm > 0
+    AND ({_sql_fp_dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm)
+        >= 0.35)
+SELECT f.vec_id, f.cluster FROM fin f
+WHERE f.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2636,6 +2771,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_trigram_lm": txt_trigram_lm,
     "samp_mixture": samp_mixture,
     "ev_variant_extract": ev_variant_extract,
+    "emb_kmeans": emb_kmeans,
+    "emb_semantic_dedup": emb_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2710,4 +2847,8 @@ ORACLES: dict[str, str] = {
     # deliberately the same oracle as ev_json_extract: the VariantType
     # route is only correct if it matches the JSON-path route exactly
     "ev_variant_extract": EV_JSON_SQL,
+    # full Lloyd's trajectory replayed as chained CTEs (integer k-means)
+    "emb_kmeans": EMB_KMEANS_SQL,
+    # kmeans chain + within-cluster fixed-point cosine pair threshold
+    "emb_semantic_dedup": EMB_SEMANTIC_DEDUP_SQL,
 }

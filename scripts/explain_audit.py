@@ -100,6 +100,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("samp_weighted", "weighted sample is one per-group window over the "
      "A-ES key — no join, no Python",
      ["Window", "row_number"], ["Join", "Python", "CartesianProduct"]),
+    ("emb_kmeans", "final k-means assignment is map-only: centroids are "
+     "inlined literals after the fit's bounded k×d collects — no join, "
+     "no shuffle in the returned plan",
+     [], ["Join", "Exchange", "CartesianProduct"]),
+    ("emb_semantic_dedup", "SemDeDup pairs form only inside a cluster "
+     "(equi-join on cluster id) — no cartesian, Arrow-batched cosine",
+     ["ArrowEvalPython"], ["CartesianProduct", "NestedLoop"]),
 ]
 
 
