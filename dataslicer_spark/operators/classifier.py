@@ -1,0 +1,134 @@
+"""Distributed linear-classifier training — the quality-filter model stage
+of an LLM data pipeline (CCNet/LLaMA-style corpora train a fastText
+classifier and keep documents it scores as "high quality"; this module
+provides the distributed-training shape with an exactly-verifiable
+algorithm).
+
+Batch perceptron, integer-exact: per epoch, every misclassified row
+contributes ``y·x`` to a gradient sum; weights update once per epoch
+(``w += lr · Σ y·x``).  With integer features and labels the whole
+trajectory is int64 — order-independent sums, no floats anywhere — so
+the n-epoch training run replays bit for bit in the DuckDB oracle
+(chained CTEs), the same device as operators/kmeans.py.
+
+Scale design mirrors every distributed SGD/L-BFGS implementation:
+
+- weights broadcast to executors each epoch — here as literal
+  expressions (d is small), so the epoch plan is scan → filter →
+  partial aggregate, pure JVM whole-stage codegen, no Python, no
+  shuffle beyond the d-column aggregate's final merge;
+- the wire carries one d-vector per partition per epoch (map-side
+  partial sums), never per-row gradients;
+- the driver holds d ints — model state is microscopic;
+- prediction is a map-only literal-weights projection.
+
+Batch (not sequential) perceptron is the deliberate choice: classic
+per-sample perceptron updates are order-dependent and cannot be
+distributed or replayed; the batch variant is a parallel gradient step
+on the perceptron criterion (Duda & Hart §5.5 "many-at-a-time"), loses
+nothing for a filtering model, and is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+
+#: (name, builder) — integer surface features computable identically in
+#: Spark and ANSI SQL (simple character classes only: Java regex and RE2
+#: agree on these).  The bias constant is prepended by the trainer.
+def text_feature_exprs(text: Column) -> dict[str, Column]:
+    """Integer quality-surface features of a text column."""
+    return {
+        "f_len": F.length(text).cast("long"),
+        "f_spaces": (
+            F.length(text) - F.length(F.regexp_replace(text, " ", ""))
+        ).cast("long"),
+        "f_digits": F.length(F.regexp_replace(text, "[^0-9]", "")).cast("long"),
+        "f_upper": F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("long"),
+        "f_punct": F.length(
+            F.regexp_replace(text, "[^.,!?]", "")
+        ).cast("long"),
+    }
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard feature columns (map-only, JVM)."""
+    check_col(text_col, df)
+    out = df
+    for name, expr in text_feature_exprs(F.col(text_col)).items():
+        out = out.withColumn(name, expr)
+    return out
+
+
+def _dot(weights: list[int], feature_cols: list[str]) -> Column:
+    acc = F.lit(int(weights[0]))  # bias
+    for w, c in zip(weights[1:], feature_cols):
+        acc = acc + F.lit(int(w)) * F.col(c)
+    return acc
+
+
+def batch_perceptron_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_epochs: int = 3,
+    lr: int = 1,
+) -> list[int]:
+    """Train; returns ``[w_bias, w_f1, …]`` ints.
+
+    ``label_col`` must hold ±1.  Rows with any NULL feature or label are
+    ignored (mirrored by the oracle's WHERE).  One aggregate job per
+    epoch; the input should be persisted by the caller when the source
+    is expensive to re-scan.
+    """
+    check_col([label_col, *feature_cols], df)
+    clean = df.filter(
+        F.col(label_col).isNotNull()
+        & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in feature_cols))
+    )
+    w = [0] * (1 + len(feature_cols))
+    y = F.col(label_col)
+    for _ in range(n_epochs):
+        miscls = (y * _dot(w, feature_cols)) <= 0
+        aggs = [
+            F.sum(F.when(miscls, y).otherwise(F.lit(0))).alias("g0")
+        ] + [
+            F.sum(
+                F.when(miscls, y * F.col(c)).otherwise(F.lit(0))
+            ).alias(f"g{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ]
+        row = clean.agg(*aggs).collect()[0]
+        for j in range(len(w)):
+            g = row[f"g{j}"]
+            w[j] += lr * int(g if g is not None else 0)
+    return w
+
+
+def perceptron_predict(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[int],
+    score_col: str = "score",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Attach the integer margin and the ±1 prediction (0 margin → −1,
+    matching the training rule's "≤ 0 is misclassified-as-negative").
+    Map-only literal-weights plan."""
+    check_col(feature_cols, df)
+    score = _dot(weights, feature_cols)
+    return df.withColumn(score_col, score).withColumn(
+        pred_col,
+        F.when(F.col(score_col) > 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+
+
+__all__ = [
+    "text_feature_exprs",
+    "add_text_features",
+    "batch_perceptron_fit",
+    "perceptron_predict",
+]

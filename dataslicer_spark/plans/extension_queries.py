@@ -2708,6 +2708,101 @@ WHERE f.vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier training (operators/classifier.py):
+    a batch perceptron learns to separate English documents from the rest
+    on five integer surface features, 3 epochs, lr=1.  Integer-exact
+    end to end — per-epoch gradients are int64 sums of ``y·x`` over the
+    misclassified set, weights update once per epoch — so the DuckDB
+    oracle replays the full training trajectory AND the final scores as
+    chained CTEs.  Epoch plans are pure JVM scan→filter→aggregate with
+    literal weights (no Python, no shuffle beyond the d-column merge);
+    prediction is map-only."""
+    from ..operators.classifier import (
+        add_text_features,
+        batch_perceptron_fit,
+        perceptron_predict,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = add_text_features(docs).withColumn(
+        "y", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+    )
+    fcols = ["f_len", "f_spaces", "f_digits", "f_upper", "f_punct"]
+    feats = feats.persist()
+    try:
+        w = batch_perceptron_fit(feats, fcols, "y", n_epochs=3, lr=1)
+        out = perceptron_predict(feats, fcols, w)
+        return out.select("doc_id", "y", "score", "pred")
+    finally:
+        feats.unpersist()
+
+
+def _sql_perceptron_chain(n_epochs: int) -> str:
+    """CTE chain replaying classifier.batch_perceptron_fit on the
+    documents table (y = ±1 on lang='en', 5 surface features, lr=1),
+    ending in ``ep{n_epochs}(w0…w5)``."""
+    feats = """feats AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         CAST(length(text) AS BIGINT) AS f_len,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS f_spaces,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+           AS f_digits,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+           AS f_upper,
+         CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS BIGINT)
+           AS f_punct
+  FROM documents),
+clean AS (
+  SELECT * FROM feats
+  WHERE f_len IS NOT NULL AND f_spaces IS NOT NULL AND f_digits IS NOT NULL
+    AND f_upper IS NOT NULL AND f_punct IS NOT NULL),
+ep0 AS (
+  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+         CAST(0 AS BIGINT) AS w4, CAST(0 AS BIGINT) AS w5)"""
+    dot = (
+        "(e.w0 + e.w1 * c.f_len + e.w2 * c.f_spaces + e.w3 * c.f_digits"
+        " + e.w4 * c.f_upper + e.w5 * c.f_punct)"
+    )
+    terms = ["c.y", "c.y * c.f_len", "c.y * c.f_spaces", "c.y * c.f_digits",
+             "c.y * c.f_upper", "c.y * c.f_punct"]
+    ctes = [feats]
+    for i in range(1, n_epochs + 1):
+        gs = ",\n         ".join(
+            f"CAST(COALESCE(SUM(CASE WHEN c.y * {dot} <= 0 THEN {t} "
+            f"ELSE 0 END), 0) AS BIGINT) AS g{j}"
+            for j, t in enumerate(terms)
+        )
+        ctes.append(
+            f"""upd{i} AS (
+  SELECT {gs}
+  FROM clean c CROSS JOIN ep{i - 1} e)"""
+        )
+        ws = ", ".join(f"e.w{j} + u.g{j} AS w{j}" for j in range(6))
+        ctes.append(
+            f"""ep{i} AS (
+  SELECT {ws} FROM ep{i - 1} e CROSS JOIN upd{i} u)"""
+        )
+    return ",\n".join(ctes)
+
+
+TXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH
+{_sql_perceptron_chain(3)}
+SELECT f.doc_id, f.y,
+       CAST(e.w0 + e.w1 * f.f_len + e.w2 * f.f_spaces + e.w3 * f.f_digits
+            + e.w4 * f.f_upper + e.w5 * f.f_punct AS BIGINT) AS score,
+       CASE WHEN e.w0 + e.w1 * f.f_len + e.w2 * f.f_spaces
+                 + e.w3 * f.f_digits + e.w4 * f.f_upper
+                 + e.w5 * f.f_punct > 0
+            THEN 1 ELSE -1 END AS pred
+FROM feats f CROSS JOIN ep3 e
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2773,6 +2868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_variant_extract": ev_variant_extract,
     "emb_kmeans": emb_kmeans,
     "emb_semantic_dedup": emb_semantic_dedup,
+    "txt_quality_classifier": txt_quality_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -2851,4 +2947,6 @@ ORACLES: dict[str, str] = {
     "emb_kmeans": EMB_KMEANS_SQL,
     # kmeans chain + within-cluster fixed-point cosine pair threshold
     "emb_semantic_dedup": EMB_SEMANTIC_DEDUP_SQL,
+    # batch-perceptron training trajectory replayed epoch by epoch
+    "txt_quality_classifier": TXT_QUALITY_CLASSIFIER_SQL,
 }

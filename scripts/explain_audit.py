@@ -107,6 +107,10 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("emb_semantic_dedup", "SemDeDup pairs form only inside a cluster "
      "(equi-join on cluster id) — no cartesian, Arrow-batched cosine",
      ["ArrowEvalPython"], ["CartesianProduct", "NestedLoop"]),
+    ("txt_quality_classifier", "perceptron prediction is a map-only "
+     "literal-weights projection (training's epoch aggregates already "
+     "ran as JVM partial+final sums)",
+     [], ["Join", "Exchange", "Python", "CartesianProduct"]),
 ]
 
 
