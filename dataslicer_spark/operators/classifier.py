@@ -54,6 +54,19 @@ def text_feature_exprs(text: Column) -> dict[str, Column]:
     }
 
 
+def substring_count(text: Column, pattern: str) -> Column:
+    """Occurrences of a literal substring, as the portable
+    ``(len(t) − len(replace_all(t, pat, ''))) / len(pat)`` identity —
+    integer-exact and identical in Spark and ANSI SQL.  ``pattern`` must
+    be regex-free (it is passed to ``regexp_replace`` verbatim)."""
+    if not pattern or set(pattern) & set("\\^$.|?*+()[]{}"):
+        raise ValueError(
+            f"substring_count needs a literal pattern, got {pattern!r}"
+        )
+    diff = F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+    return (diff / F.lit(len(pattern))).cast("long")
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard feature columns (map-only, JVM)."""
     check_col(text_col, df)
@@ -75,7 +88,7 @@ def batch_perceptron_fit(
     feature_cols: list[str],
     label_col: str,
     n_epochs: int = 3,
-    lr: int = 1,
+    lr: int | list[int] = 1,
 ) -> list[int]:
     """Train; returns ``[w_bias, w_f1, …]`` ints.
 
@@ -83,15 +96,25 @@ def batch_perceptron_fit(
     ignored (mirrored by the oracle's WHERE).  One aggregate job per
     epoch; the input should be persisted by the caller when the source
     is expensive to re-scan.
+
+    ``lr`` may be a per-epoch integer schedule (len == n_epochs): a
+    decaying schedule (e.g. ``[16, 8, 4, 2, 1, 1]``) damps the
+    batch-update zigzag the same way a decaying step size does in batch
+    gradient descent, while every update stays integer-exact.
     """
     check_col([label_col, *feature_cols], df)
+    lrs = [int(lr)] * n_epochs if isinstance(lr, int) else [int(v) for v in lr]
+    if len(lrs) != n_epochs:
+        raise ValueError(
+            f"lr schedule has {len(lrs)} entries for {n_epochs} epochs"
+        )
     clean = df.filter(
         F.col(label_col).isNotNull()
         & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in feature_cols))
     )
     w = [0] * (1 + len(feature_cols))
     y = F.col(label_col)
-    for _ in range(n_epochs):
+    for step in lrs:
         miscls = (y * _dot(w, feature_cols)) <= 0
         aggs = [
             F.sum(F.when(miscls, y).otherwise(F.lit(0))).alias("g0")
@@ -104,7 +127,7 @@ def batch_perceptron_fit(
         row = clean.agg(*aggs).collect()[0]
         for j in range(len(w)):
             g = row[f"g{j}"]
-            w[j] += lr * int(g if g is not None else 0)
+            w[j] += step * int(g if g is not None else 0)
     return w
 
 
@@ -128,6 +151,7 @@ def perceptron_predict(
 
 __all__ = [
     "text_feature_exprs",
+    "substring_count",
     "add_text_features",
     "batch_perceptron_fit",
     "perceptron_predict",

@@ -2708,69 +2708,95 @@ WHERE f.vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+#: classifier fixture: (feature name, literal substring) counted in both
+#: engines via the replace-all length identity.  The weak label is a
+#: teacher rule linear in these features (y = +1 iff the text mentions
+#: "fast" more often than "slow"), so training must RECOVER the rule —
+#: a teacher-student setup that certifies the distributed trainer
+#: converges, which the synthetic corpus's random metadata labels can't.
+_CLF_FEATURES = [
+    ("f_the", " the "),
+    ("f_fast", "fast"),
+    ("f_slow", "slow"),
+    ("f_big", "big"),
+    ("f_small", "small"),
+]
+_CLF_LR = [16, 8, 4, 2, 1, 1]  # integer decay damps the batch zigzag
+
+
 def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed quality-classifier training (operators/classifier.py):
-    a batch perceptron learns to separate English documents from the rest
-    on five integer surface features, 3 epochs, lr=1.  Integer-exact
-    end to end — per-epoch gradients are int64 sums of ``y·x`` over the
+    a batch perceptron over five substring-count features with a decaying
+    integer lr schedule, weak-labeled by a linear teacher rule it must
+    recover (reaches ~0.97 on the training set).  Integer-exact end to
+    end — per-epoch gradients are int64 sums of ``y·x`` over the
     misclassified set, weights update once per epoch — so the DuckDB
-    oracle replays the full training trajectory AND the final scores as
+    oracle replays the full 6-epoch trajectory AND the final scores as
     chained CTEs.  Epoch plans are pure JVM scan→filter→aggregate with
-    literal weights (no Python, no shuffle beyond the d-column merge);
-    prediction is map-only."""
+    literal weights (no Python; only the d-column aggregate merge crosses
+    the wire); prediction is map-only."""
     from ..operators.classifier import (
-        add_text_features,
         batch_perceptron_fit,
         perceptron_predict,
+        substring_count,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    feats = add_text_features(docs).withColumn(
-        "y", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+    feats = docs.select(
+        "doc_id",
+        *[
+            substring_count(F.col("text"), pat).alias(name)
+            for name, pat in _CLF_FEATURES
+        ],
+    ).withColumn(
+        "y",
+        F.when(F.col("f_fast") > F.col("f_slow"), F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
     )
-    fcols = ["f_len", "f_spaces", "f_digits", "f_upper", "f_punct"]
+    fcols = [name for name, _ in _CLF_FEATURES]
     feats = feats.persist()
     try:
-        w = batch_perceptron_fit(feats, fcols, "y", n_epochs=3, lr=1)
+        w = batch_perceptron_fit(
+            feats, fcols, "y", n_epochs=len(_CLF_LR), lr=_CLF_LR
+        )
         out = perceptron_predict(feats, fcols, w)
         return out.select("doc_id", "y", "score", "pred")
     finally:
         feats.unpersist()
 
 
-def _sql_perceptron_chain(n_epochs: int) -> str:
+def _sql_perceptron_chain() -> str:
     """CTE chain replaying classifier.batch_perceptron_fit on the
-    documents table (y = ±1 on lang='en', 5 surface features, lr=1),
-    ending in ``ep{n_epochs}(w0…w5)``."""
-    feats = """feats AS (
+    documents table (teacher-rule labels, substring-count features,
+    decaying lr schedule), ending in ``ep{n}(w0…)``."""
+    n_feat = len(_CLF_FEATURES)
+    fdefs = ",\n         ".join(
+        f"CAST((length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+        f" / {len(pat)} AS BIGINT) AS {name}"
+        for name, pat in _CLF_FEATURES
+    )
+    fnames = [name for name, _ in _CLF_FEATURES]
+    feats = f"""feats0 AS (
   SELECT doc_id,
-         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         CAST(length(text) AS BIGINT) AS f_len,
-         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
-           AS f_spaces,
-         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
-           AS f_digits,
-         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
-           AS f_upper,
-         CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS BIGINT)
-           AS f_punct
+         {fdefs}
   FROM documents),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN f_fast > f_slow THEN 1 ELSE -1 END AS y, *
+         EXCLUDE (doc_id)
+  FROM feats0),
 clean AS (
   SELECT * FROM feats
-  WHERE f_len IS NOT NULL AND f_spaces IS NOT NULL AND f_digits IS NOT NULL
-    AND f_upper IS NOT NULL AND f_punct IS NOT NULL),
+  WHERE {' AND '.join(f'{c} IS NOT NULL' for c in fnames)}),
 ep0 AS (
-  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
-         CAST(0 AS BIGINT) AS w4, CAST(0 AS BIGINT) AS w5)"""
-    dot = (
-        "(e.w0 + e.w1 * c.f_len + e.w2 * c.f_spaces + e.w3 * c.f_digits"
-        " + e.w4 * c.f_upper + e.w5 * c.f_punct)"
-    )
-    terms = ["c.y", "c.y * c.f_len", "c.y * c.f_spaces", "c.y * c.f_digits",
-             "c.y * c.f_upper", "c.y * c.f_punct"]
+  SELECT {', '.join(f'CAST(0 AS BIGINT) AS w{j}' for j in range(n_feat + 1))})"""
+    dot = "(e.w0 + " + " + ".join(
+        f"e.w{j + 1} * c.{c}" for j, c in enumerate(fnames)
+    ) + ")"
+    terms = ["c.y"] + [f"c.y * c.{c}" for c in fnames]
     ctes = [feats]
-    for i in range(1, n_epochs + 1):
+    for i, lr in enumerate(_CLF_LR, start=1):
         gs = ",\n         ".join(
             f"CAST(COALESCE(SUM(CASE WHEN c.y * {dot} <= 0 THEN {t} "
             f"ELSE 0 END), 0) AS BIGINT) AS g{j}"
@@ -2781,7 +2807,9 @@ ep0 AS (
   SELECT {gs}
   FROM clean c CROSS JOIN ep{i - 1} e)"""
         )
-        ws = ", ".join(f"e.w{j} + u.g{j} AS w{j}" for j in range(6))
+        ws = ", ".join(
+            f"e.w{j} + {lr} * u.g{j} AS w{j}" for j in range(n_feat + 1)
+        )
         ctes.append(
             f"""ep{i} AS (
   SELECT {ws} FROM ep{i - 1} e CROSS JOIN upd{i} u)"""
@@ -2789,17 +2817,20 @@ ep0 AS (
     return ",\n".join(ctes)
 
 
+def _sql_clf_score(prefix: str = "f") -> str:
+    return "e.w0 + " + " + ".join(
+        f"e.w{j + 1} * {prefix}.{c}"
+        for j, c in enumerate(n for n, _ in _CLF_FEATURES)
+    )
+
+
 TXT_QUALITY_CLASSIFIER_SQL = f"""
 WITH
-{_sql_perceptron_chain(3)}
+{_sql_perceptron_chain()}
 SELECT f.doc_id, f.y,
-       CAST(e.w0 + e.w1 * f.f_len + e.w2 * f.f_spaces + e.w3 * f.f_digits
-            + e.w4 * f.f_upper + e.w5 * f.f_punct AS BIGINT) AS score,
-       CASE WHEN e.w0 + e.w1 * f.f_len + e.w2 * f.f_spaces
-                 + e.w3 * f.f_digits + e.w4 * f.f_upper
-                 + e.w5 * f.f_punct > 0
-            THEN 1 ELSE -1 END AS pred
-FROM feats f CROSS JOIN ep3 e
+       CAST({_sql_clf_score()} AS BIGINT) AS score,
+       CASE WHEN {_sql_clf_score()} > 0 THEN 1 ELSE -1 END AS pred
+FROM feats f CROSS JOIN ep{len(_CLF_LR)} e
 """
 
 

@@ -109,6 +109,26 @@ def main() -> None:
     labeled = emb.filter(F.col("vec_id") % 20 != 7)
     labels = knn_classify(labeled, unlabeled, "label", k=5)
     print(f"knn: labeled {labels.count()} vectors")
+
+    # 8. fixed-point k-means partitioning (integer-exact trajectory)
+    from dataslicer_spark.operators.kmeans import kmeans
+
+    clustered = kmeans(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        k=8, n_iter=3,
+    )
+    print(f"kmeans: {clustered.select('cluster').distinct().count()} clusters")
+
+    # 9. SemDeDup: within-cluster cosine near-dup pruning
+    from dataslicer_spark.operators.dedup import semantic_dedup
+
+    survivors, sem_pairs = semantic_dedup(
+        emb.select("vec_id", "embedding"), threshold=0.35, k=8, n_iter=3
+    )
+    print(
+        f"semdedup: kept {survivors.count()} vectors "
+        f"({sem_pairs.count()} near-pairs inside clusters)"
+    )
     print("embedding analytics pipeline complete")
 
 

@@ -94,6 +94,40 @@ def main() -> None:
     ).drop("__one", "score")
     print(f"after trigram-LM filter: {lm_kept.count()}")
 
+    # 4c. model-based quality filter: train a batch perceptron (the
+    # fastText-classifier role in CCNet/LLaMA curation) on substring
+    # count features, weak-labeled by a rule it must recover; keep
+    # positively-scored docs.  Decaying integer lr damps batch zigzag.
+    from dataslicer_spark.operators.classifier import (
+        batch_perceptron_fit, perceptron_predict, substring_count,
+    )
+
+    fpats = [("f_the", " the "), ("f_fast", "fast"), ("f_slow", "slow"),
+             ("f_big", "big"), ("f_small", "small")]
+    feats = lm_kept.select(
+        "doc_id",
+        *[substring_count(F.col("text"), p).alias(n) for n, p in fpats],
+    ).withColumn(
+        "y",
+        F.when(F.col("f_fast") > F.col("f_slow"), F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    ).persist()
+    fcols = [n for n, _ in fpats]
+    try:
+        w = batch_perceptron_fit(
+            feats, fcols, "y", n_epochs=6, lr=[16, 8, 4, 2, 1, 1]
+        )
+        clf_scored = perceptron_predict(feats, fcols, w)
+        n_pos = clf_scored.filter(F.col("pred") == 1).count()
+        acc = clf_scored.filter(
+            F.col("pred") == F.col("y")
+        ).count() / max(feats.count(), 1)
+        print(f"classifier: {n_pos} quality-positive docs, "
+              f"train acc {acc:.2f} (weights {w})")
+    finally:
+        feats.unpersist()
+
     # 5. temperature resampling across sources
     resampled = temperature_resample(
         lm_kept, "source", "doc_id", alpha=0.5, target_fraction=0.75

@@ -271,6 +271,71 @@ def main() -> None:
 
     run("pq_encode_search", pq_fn(emb1), pq_fn(emb4))
 
+    # round-4 kernels ---------------------------------------------------
+    # batched exact cosine top-k: fixed query batch, corpus grows 4× —
+    # map-side partial top-k keeps the shuffle at partitions·nq·k, so
+    # the probe should be ~linear in the corpus
+    from dataslicer_spark.operators.similarity import cosine_topk_batched
+
+    def topk_fn(emb):
+        return lambda: cosine_topk_batched(
+            emb, pq_queries, k=10
+        ).write.format("noop").mode("overwrite").save()
+
+    run("cosine_topk_batched", topk_fn(emb1), topk_fn(emb4))
+
+    # k-means: fixed k — per-iteration cost is n·k·d kernel work plus a
+    # partitions·k·d shuffle → linear in n
+    from dataslicer_spark.operators.kmeans import kmeans
+
+    def kmeans_fn(emb):
+        return lambda: kmeans(
+            emb.select("vec_id", "embedding"), "vec_id", "embedding",
+            k=8, n_iter=3,
+        ).write.format("noop").mode("overwrite").save()
+
+    run("kmeans", kmeans_fn(emb1), kmeans_fn(emb4))
+
+    # SemDeDup: k grows WITH the corpus (8 → 32) so cluster size stays
+    # bounded — that is the operator's documented scale contract (the
+    # within-cluster pair join is quadratic in cluster size, linear in
+    # corpus size at fixed cluster size)
+    from dataslicer_spark.operators.dedup import semantic_dedup
+
+    def semdedup_fn(emb, k):
+        def go():
+            surv, _ = semantic_dedup(
+                emb.select("vec_id", "embedding"), threshold=0.35,
+                k=k, n_iter=2,
+            )
+            surv.write.format("noop").mode("overwrite").save()
+        return go
+
+    run("semantic_dedup", semdedup_fn(emb1, 8), semdedup_fn(emb4, 32))
+
+    # classifier training: 3 scan+aggregate epochs → linear
+    from dataslicer_spark.operators.classifier import (
+        add_text_features, batch_perceptron_fit, perceptron_predict,
+    )
+
+    def classifier_fn(docs):
+        def go():
+            feats = add_text_features(docs).withColumn(
+                "y",
+                F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)),
+            ).persist()
+            fcols = ["f_len", "f_spaces", "f_digits", "f_upper", "f_punct"]
+            try:
+                w = batch_perceptron_fit(feats, fcols, "y", n_epochs=3)
+                perceptron_predict(feats, fcols, w).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            finally:
+                feats.unpersist()
+        return go
+
+    run("perceptron_train", classifier_fn(docs1), classifier_fn(docs4))
+
 
 if __name__ == "__main__":
     main()

@@ -106,3 +106,35 @@ def test_text_features_match_manual(spark):
     assert (r.f_len, r.f_spaces, r.f_digits, r.f_upper, r.f_punct) == (
         9, 2, 2, 1, 2
     )
+
+
+def test_lr_schedule_matches_numpy_and_validates(toy):
+    X, y, df = toy
+
+    def np_fit(schedule):
+        w = np.zeros(X.shape[1] + 1, dtype=np.int64)
+        Xb = np.hstack([np.ones((len(X), 1), dtype=np.int64), X])
+        for lr in schedule:
+            m = y * (Xb @ w) <= 0
+            w = w + lr * (Xb[m] * y[m, None]).sum(axis=0)
+        return list(w)
+
+    sched = [8, 4, 2, 1]
+    got = batch_perceptron_fit(
+        df, ["a", "b", "c"], "y", n_epochs=4, lr=sched
+    )
+    assert got == np_fit(sched)
+    with pytest.raises(ValueError, match="schedule"):
+        batch_perceptron_fit(df, ["a"], "y", n_epochs=3, lr=[1, 2])
+
+
+def test_substring_count_literal_only(spark):
+    from dataslicer_spark.operators.classifier import substring_count
+
+    df = spark.createDataFrame([(1, "aXbXXc")], "id long, t string")
+    assert df.select(substring_count(F.col("t"), "X").alias("n")).first().n == 3
+    assert (
+        df.select(substring_count(F.col("t"), "XX").alias("n")).first().n == 1
+    )
+    with pytest.raises(ValueError, match="literal"):
+        substring_count(F.col("t"), "a.*b")
