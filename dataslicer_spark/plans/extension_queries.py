@@ -2834,6 +2834,46 @@ FROM feats f CROSS JOIN ep{len(_CLF_LR)} e
 """
 
 
+def j10_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloomjoin.py): lineitem joins
+    the high-value orders slice; the dim keys aggregate into a Bloom
+    bitmap (bit_or word aggregate — map-side partial ORs, wire cost =
+    the bitmap) that rides the fact-side predicate as one array literal,
+    so non-joining fact rows are discarded map-only BEFORE the join's
+    exchange — the "runtime filter" / sideways-information-passing shape
+    for dims too big to broadcast whole.  False positives are cleaned by
+    the real join, so the result — and the DuckDB oracle — is exactly
+    the plain join's aggregate, independent of the hash function."""
+    from ..operators.bloomjoin import bloom_prune_join
+    from .star_queries import dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450_000.0
+    ).select("o_orderkey", "o_orderdate")
+    joined = bloom_prune_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), dim, "o_orderkey"
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+J10_BLOOM_JOIN_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(l_quantity * 1048576.0) AS BIGINT)) AS DOUBLE)
+         / 1048576.0 AS sum_qty
+FROM lineitem
+JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+  ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2900,6 +2940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kmeans": emb_kmeans,
     "emb_semantic_dedup": emb_semantic_dedup,
     "txt_quality_classifier": txt_quality_classifier,
+    "j10_bloom_join": j10_bloom_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2980,4 +3021,6 @@ ORACLES: dict[str, str] = {
     "emb_semantic_dedup": EMB_SEMANTIC_DEDUP_SQL,
     # batch-perceptron training trajectory replayed epoch by epoch
     "txt_quality_classifier": TXT_QUALITY_CLASSIFIER_SQL,
+    # bloom false positives are cleaned by the join → plain-join oracle
+    "j10_bloom_join": J10_BLOOM_JOIN_SQL,
 }

@@ -111,6 +111,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "literal-weights projection (training's epoch aggregates already "
      "ran as JVM partial+final sums)",
      [], ["Join", "Exchange", "Python", "CartesianProduct"]),
+    ("j10_bloom_join", "bloom bitmap is a 1-row broadcast relation probed "
+     "by the fact-side predicate ahead of the join (no Python, no "
+     "fact shuffle in the pruning stage)",
+     ["xxhash64", "BroadcastNestedLoopJoin"],
+     ["Python", "CartesianProduct", "SortMergeJoin"]),
 ]
 
 

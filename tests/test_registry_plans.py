@@ -53,6 +53,9 @@ ALLOW = {
     # same pattern: broadcast 1-row mixture cap (sampling.mixture_resample)
     "samp_mixture": {"nested-loop-join", "single-partition-exchange"},
     "llm_data_pipeline": {"nested-loop-join", "single-partition-exchange"},
+    # the bloom bitmap is a deliberate 1-row broadcast relation (that is
+    # the whole point: ship a bounded bitmap instead of the dim keys)
+    "j10_bloom_join": {"nested-loop-join"},
 }
 
 
