@@ -2874,6 +2874,78 @@ GROUP BY l_returnflag
 """
 
 
+_BPE_MERGES = 4
+_BPE_MAX_CHARS = 256
+
+
+def txt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training + tokenization
+    (operators/bpe.py): 4 merge rounds learned over the corpus — each
+    round one pair-frequency aggregate (map-side partial counts; the
+    wire carries pair frequencies, never token streams) and one LIMIT-1
+    driver collect — then a map-only tokenize with the learned table.
+    Exact string/integer math throughout, so the DuckDB oracle replays
+    training AND tokenization bit for bit as chained CTEs."""
+    from ..operators.bpe import bpe_apply, bpe_fit
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    merges = bpe_fit(
+        docs, "text", n_merges=_BPE_MERGES, max_chars=_BPE_MAX_CHARS
+    )
+    out = bpe_apply(docs, merges, "text", max_chars=_BPE_MAX_CHARS)
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_fp"),
+    )
+
+
+def _sql_bpe_chain(n_merges: int, max_chars: int) -> str:
+    """CTE chain replaying operators/bpe.py: prep, n merge rounds (pair
+    counts → argmax merge → replace), ending in ``s{n}(doc_id, s)``."""
+    ctes = [
+        f"""s0 AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(
+                  replace(substring(text, 1, {max_chars}), ' ', '▁'),
+                  '(?s)(.)', '\\1 ', 'g') AS s
+  FROM documents WHERE text IS NOT NULL)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = f"s{i - 1}"
+        ctes.append(
+            f"""pc{i} AS (
+  SELECT p[1] || ' ' || p[2] AS pair, COUNT(*) AS cnt
+  FROM (
+    SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+    FROM (SELECT string_split(trim(s), ' ') AS l FROM {p}))
+  GROUP BY 1)""",
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT pair,
+         ' ' || pair || ' ' AS pat,
+         ' ' || replace(pair, ' ', '') || ' ' AS sub
+  FROM pc{i} ORDER BY cnt DESC, pair ASC LIMIT 1)""",
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT doc_id, replace(s, m.pat, m.sub) AS s
+  FROM {p} CROSS JOIN m{i} m)""",
+        )
+    return ",\n".join(ctes)
+
+
+TXT_BPE_SQL = f"""
+WITH
+{_sql_bpe_chain(_BPE_MERGES, _BPE_MAX_CHARS)}
+SELECT doc_id,
+       CAST(len(string_split(trim(s), ' ')) AS INTEGER) AS n_bpe_tokens,
+       md5(trim(s)) AS tok_fp
+FROM s{_BPE_MERGES}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2941,6 +3013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semantic_dedup": emb_semantic_dedup,
     "txt_quality_classifier": txt_quality_classifier,
     "j10_bloom_join": j10_bloom_join,
+    "txt_bpe_tokenize": txt_bpe_tokenize,
 }
 
 ORACLES: dict[str, str] = {
@@ -3023,4 +3096,6 @@ ORACLES: dict[str, str] = {
     "txt_quality_classifier": TXT_QUALITY_CLASSIFIER_SQL,
     # bloom false positives are cleaned by the join → plain-join oracle
     "j10_bloom_join": J10_BLOOM_JOIN_SQL,
+    # BPE training trajectory (pair counts → argmax merge → replace) ×4
+    "txt_bpe_tokenize": TXT_BPE_SQL,
 }

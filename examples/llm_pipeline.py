@@ -128,6 +128,14 @@ def main() -> None:
     finally:
         feats.unpersist()
 
+    # 4d. train a BPE tokenizer on the cleaned corpus and tokenize
+    from dataslicer_spark.operators.bpe import bpe_apply, bpe_fit
+
+    merges = bpe_fit(lm_kept, "text", n_merges=4, max_chars=256)
+    toked = bpe_apply(lm_kept, merges, "text", max_chars=256)
+    avg_tokens = toked.agg(F.avg("n_bpe_tokens")).first()[0]
+    print(f"bpe: learned merges {merges}; avg {avg_tokens:.0f} tokens/doc")
+
     # 5. temperature resampling across sources
     resampled = temperature_resample(
         lm_kept, "source", "doc_id", alpha=0.5, target_fraction=0.75

@@ -116,6 +116,10 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "fact shuffle in the pruning stage)",
      ["xxhash64", "BroadcastNestedLoopJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    ("txt_bpe_tokenize", "tokenization with the learned merge table is a "
+     "map-only replace chain (training's pair counts already ran as "
+     "partial+final aggregates)",
+     [], ["Join", "Exchange", "Python", "CartesianProduct"]),
 ]
 
 
