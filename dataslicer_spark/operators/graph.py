@@ -144,3 +144,88 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point integer PageRank — the iterative JOIN-shaped
+    computation (per round: ranks ⋈ edges on src, re-aggregate on dst),
+    deterministic enough to carry a SQL oracle.
+
+    Why integer: float PageRank sums are partitioning-dependent, so no
+    external engine can replay them exactly.  Here ranks are int64 in a
+    ``scale`` fixed-point: every node starts at ``scale // n``; each
+    round a node keeps the teleport base ``(scale·(1−d)) // n`` and
+    receives ``((r_u·d_num)//d_den)//outdeg(u)`` from each in-neighbor —
+    all exact floor divisions (operands are non-negative, so Spark,
+    DuckDB and Python integer division agree).  Floor dust and
+    dangling-node mass (out-degree 0) simply evaporate: total mass is
+    not conserved to the last unit, but every engine loses the exact
+    same units — determinism is the contract, the ranking is standard
+    PageRank (Page et al., 1999) to within the quantization.
+
+    Scale shape: the canonical distributed PageRank — per iteration one
+    shuffle of ranks on the join key and one of contributions on the
+    destination; state stays fully distributed (no driver collect, the
+    whole n-iteration computation is ONE lazy plan).  Multi-edges are
+    collapsed (DISTINCT) so out-degree has graph semantics.
+
+    Returns (node, rank) for every node appearing as src or dst.
+    """
+    d_num, d_den = damping
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the prepared graph ONCE (localCheckpoint, like
+    # connected_components): every iteration references it, and a lazy
+    # plan would re-run the upstream edge derivation per reference —
+    # measured 7.9 s → 2 s at sf0.1 for the 3-iteration plan
+    ed = e.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+
+    n = nodes.count()  # one bounded scalar to size the teleport base
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    r0 = scale // n
+    base = (scale * (d_den - d_num) // d_den) // n
+
+    ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .withColumn(
+                "__sh",
+                ((F.col("rank") * d_num
+                  - F.pmod(F.col("rank") * d_num, F.lit(d_den)))
+                 / d_den).cast("long"),
+            )
+            .withColumn(
+                "__c",
+                ((F.col("__sh") - F.pmod(F.col("__sh"), F.col("deg")))
+                 / F.col("deg")).cast("long"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("__in"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks

@@ -2946,6 +2946,78 @@ FROM s{_BPE_MERGES}
 """
 
 
+def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (operators/graph.pagerank) over the bidirected
+    customer↔supplier purchase graph (distinct lineitem⋈orders pairs;
+    node = 2·custkey / 2·suppkey+1).  The iterative JOIN-shaped scale
+    pattern: per round one shuffle of ranks on the join key, one of
+    contributions on the destination — state stays fully distributed.
+    Fixed-point int64 ranks make the 3-round trajectory exact, so the
+    DuckDB oracle replays it as chained CTEs."""
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, n_iter=3)
+
+
+def _sql_pagerank_chain(n_iter: int, scale: int = 10**12) -> str:
+    """CTE chain replaying graph.pagerank on the purchase graph, ending
+    in ``r{n_iter}(node, rank)``."""
+    ctes = [
+        """e AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e)""",
+        """outdeg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)""",
+        """nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)""",
+        f"""r0 AS (
+  SELECT node, CAST(({scale} - ({scale} % n)) / n AS BIGINT) AS rank
+  FROM nodes CROSS JOIN nn)""",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        base_num = scale * 15 // 100
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST((sh - (sh % deg)) / deg AS BIGINT)) AS BIGINT) AS cin
+  FROM (
+    SELECT e.src, e.dst, d.deg,
+           CAST((r.rank * 85 - ((r.rank * 85) % 100)) / 100 AS BIGINT) AS sh
+    FROM e JOIN outdeg d ON e.src = d.src JOIN {p} r ON r.node = e.src
+  ) e
+  GROUP BY e.dst)""",
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nodes.node,
+         CAST(({base_num} - ({base_num} % n)) / n AS BIGINT)
+           + COALESCE(c{i}.cin, 0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node)""",
+        )
+    return ",\n".join(ctes)
+
+
+GR_PAGERANK_SQL = f"""
+WITH
+{_sql_pagerank_chain(3)}
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3014,6 +3086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_quality_classifier": txt_quality_classifier,
     "j10_bloom_join": j10_bloom_join,
     "txt_bpe_tokenize": txt_bpe_tokenize,
+    "gr_pagerank": gr_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -3098,4 +3171,6 @@ ORACLES: dict[str, str] = {
     "j10_bloom_join": J10_BLOOM_JOIN_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4
     "txt_bpe_tokenize": TXT_BPE_SQL,
+    # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)
+    "gr_pagerank": GR_PAGERANK_SQL,
 }

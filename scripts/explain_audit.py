@@ -120,6 +120,9 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "map-only replace chain (training's pair counts already ran as "
      "partial+final aggregates)",
      [], ["Join", "Exchange", "Python", "CartesianProduct"]),
+    ("gr_pagerank", "rank iterations are equi-joins + hash aggregates — "
+     "state stays distributed, no Python, no cartesian",
+     ["HashAggregate"], ["Python", "CartesianProduct", "NestedLoop"]),
 ]
 
 
