@@ -336,6 +336,45 @@ def main() -> None:
 
     run("perceptron_train", classifier_fn(docs1), classifier_fn(docs4))
 
+    # BPE training: per round one pair-frequency aggregate → linear in
+    # corpus volume (4× docs, same distribution)
+    from dataslicer_spark.operators.bpe import bpe_apply, bpe_fit
+
+    def bpe_fn(docs):
+        def go():
+            merges = bpe_fit(docs, "text", n_merges=3, max_chars=256)
+            bpe_apply(docs, merges, "text", max_chars=256).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        return go
+
+    run("bpe_train_apply", bpe_fn(docs1), bpe_fn(docs4))
+
+    # PageRank: 4× = more customers (distinct key space), same supplier
+    # set — edges grow ~4×, rounds are joins + aggregates → ~linear
+    from dataslicer_spark.operators.graph import pagerank
+
+    li1 = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    o1 = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    cs1 = li1.join(o1, li1.l_orderkey == o1.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    cs4 = cs1
+    for i in (1, 2, 3):
+        cs4 = cs4.unionByName(
+            cs1.withColumn("src", F.col("src") + 10_000_000 * i)
+        )
+    def pr_fn(cs):
+        bidir = cs.unionByName(
+            cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return lambda: pagerank(bidir, n_iter=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("pagerank", pr_fn(cs1.cache()), pr_fn(cs4.cache()))
+
 
 if __name__ == "__main__":
     main()
