@@ -2599,13 +2599,13 @@ def _sql_kmeans_chain(k: int, n_iter: int, fp_bits: int, dim: int) -> str:
     centroid via the UNION ALL branch, mirroring kmeans_fit."""
     scale = repr(float(1 << fp_bits))
     ctes = [
-        f"""xv AS (
+        f"""xv AS MATERIALIZED (
   SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
                     * CAST({scale} AS DOUBLE)) AS BIGINT) AS val
   FROM embeddings, range(1, {dim + 1}) t(i)
   WHERE embedding IS NOT NULL)""",
-        f"""seeds AS (
+        f"""seeds AS MATERIALIZED (
   SELECT vec_id,
          CAST(ROW_NUMBER() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
@@ -2613,14 +2613,14 @@ def _sql_kmeans_chain(k: int, n_iter: int, fp_bits: int, dim: int) -> str:
   FROM embeddings WHERE embedding IS NOT NULL
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {k})""",
-        """cent0 AS (
+        """cent0 AS MATERIALIZED (
   SELECT s.cluster, x.dim, x.val AS c
   FROM seeds s JOIN xv x USING (vec_id))""",
     ]
     for i in range(1, n_iter + 1):
         p = f"cent{i - 1}"
         ctes.append(
-            f"""assign{i} AS (
+            f"""assign{i} AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT x.vec_id, c.cluster,
            ROW_NUMBER() OVER (
@@ -2632,14 +2632,14 @@ def _sql_kmeans_chain(k: int, n_iter: int, fp_bits: int, dim: int) -> str:
   WHERE rn = 1)""",
         )
         ctes.append(
-            f"""sums{i} AS (
+            f"""sums{i} AS MATERIALIZED (
   SELECT a.cluster, x.dim, CAST(SUM(x.val) AS BIGINT) AS s,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM xv x JOIN assign{i} a USING (vec_id)
   GROUP BY a.cluster, x.dim)""",
         )
         ctes.append(
-            f"""cent{i} AS (
+            f"""cent{i} AS MATERIALIZED (
   SELECT cluster, dim,
          CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS c
   FROM sums{i}
@@ -2648,7 +2648,7 @@ def _sql_kmeans_chain(k: int, n_iter: int, fp_bits: int, dim: int) -> str:
   WHERE p.cluster NOT IN (SELECT cluster FROM sums{i}))""",
         )
     ctes.append(
-        f"""fin AS (
+        f"""fin AS MATERIALIZED (
   SELECT vec_id, cluster, d2 FROM (
     SELECT x.vec_id, c.cluster,
            CAST(SUM((x.val - c.c) * (x.val - c.c)) AS BIGINT) AS d2,
@@ -2777,7 +2777,7 @@ def _sql_perceptron_chain() -> str:
         for name, pat in _CLF_FEATURES
     )
     fnames = [name for name, _ in _CLF_FEATURES]
-    feats = f"""feats0 AS (
+    feats = f"""feats0 AS MATERIALIZED (
   SELECT doc_id,
          {fdefs}
   FROM documents),
@@ -2803,7 +2803,7 @@ ep0 AS (
             for j, t in enumerate(terms)
         )
         ctes.append(
-            f"""upd{i} AS (
+            f"""upd{i} AS MATERIALIZED (
   SELECT {gs}
   FROM clean c CROSS JOIN ep{i - 1} e)"""
         )
@@ -2811,7 +2811,7 @@ ep0 AS (
             f"e.w{j} + {lr} * u.g{j} AS w{j}" for j in range(n_feat + 1)
         )
         ctes.append(
-            f"""ep{i} AS (
+            f"""ep{i} AS MATERIALIZED (
   SELECT {ws} FROM ep{i - 1} e CROSS JOIN upd{i} u)"""
         )
     return ",\n".join(ctes)
@@ -2904,7 +2904,7 @@ def _sql_bpe_chain(n_merges: int, max_chars: int) -> str:
     """CTE chain replaying operators/bpe.py: prep, n merge rounds (pair
     counts → argmax merge → replace), ending in ``s{n}(doc_id, s)``."""
     ctes = [
-        f"""s0 AS (
+        f"""s0 AS MATERIALIZED (
   SELECT doc_id,
          ' ' || regexp_replace(
                   replace(substring(text, 1, {max_chars}), ' ', '▁'),
@@ -2914,7 +2914,7 @@ def _sql_bpe_chain(n_merges: int, max_chars: int) -> str:
     for i in range(1, n_merges + 1):
         p = f"s{i - 1}"
         ctes.append(
-            f"""pc{i} AS (
+            f"""pc{i} AS MATERIALIZED (
   SELECT p[1] || ' ' || p[2] AS pair, COUNT(*) AS cnt
   FROM (
     SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
@@ -2922,14 +2922,14 @@ def _sql_bpe_chain(n_merges: int, max_chars: int) -> str:
   GROUP BY 1)""",
         )
         ctes.append(
-            f"""m{i} AS (
+            f"""m{i} AS MATERIALIZED (
   SELECT pair,
          ' ' || pair || ' ' AS pat,
          ' ' || replace(pair, ' ', '') || ' ' AS sub
   FROM pc{i} ORDER BY cnt DESC, pair ASC LIMIT 1)""",
         )
         ctes.append(
-            f"""s{i} AS (
+            f"""s{i} AS MATERIALIZED (
   SELECT doc_id, replace(s, m.pat, m.sub) AS s
   FROM {p} CROSS JOIN m{i} m)""",
         )
@@ -2943,6 +2943,127 @@ SELECT doc_id,
        CAST(len(string_split(trim(s), ' ')) AS INTEGER) AS n_bpe_tokens,
        md5(trim(s)) AS tok_fp
 FROM s{_BPE_MERGES}
+"""
+
+
+_HBOW_DIM = 64
+_HBOW_LR = [16, 8, 4, 2, 1, 1, 1, 1]
+
+
+def txt_hashed_bow_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style text classification end to end: hashed
+    bag-of-words features (classifier.hashed_bow_features, 64 md5
+    buckets, one count shuffle) + batch-perceptron training against the
+    same teacher rule as ``txt_quality_classifier`` — but the model sees
+    ONLY the hashed counts, so it must discover the signal-carrying
+    buckets through hash collisions (reaches ≈0.92 train accuracy; the
+    collisions are why it is not 1.0 — the honest hashing-trick
+    trade-off).  Training remains integer-exact, so the oracle replays
+    featurization AND all 8 epochs as chained CTEs."""
+    from ..operators.classifier import (
+        batch_perceptron_fit,
+        hashed_bow_features,
+        perceptron_predict,
+        substring_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feats = hashed_bow_features(docs, "doc_id", "text", dim=_HBOW_DIM)
+    lab = docs.select(
+        "doc_id",
+        F.when(
+            substring_count(F.col("text"), "fast")
+            > substring_count(F.col("text"), "slow"),
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("y"),
+    )
+    feats = feats.join(lab, "doc_id").persist()
+    fcols = [f"f{j}" for j in range(_HBOW_DIM)]
+    try:
+        w = batch_perceptron_fit(
+            feats, fcols, "y", n_epochs=len(_HBOW_LR), lr=_HBOW_LR
+        )
+        out = perceptron_predict(feats, fcols, w)
+        return out.select("doc_id", "y", "score", "pred")
+    finally:
+        feats.unpersist()
+
+
+def _sql_hashed_perceptron() -> str:
+    """CTE chain: hashed-BoW featurization + the 8-epoch perceptron
+    replay (margin computed once per row per epoch, so the SQL stays
+    compact at 64 features)."""
+    d = _HBOW_DIM
+    fcols = [f"f{j}" for j in range(d)]
+    fdefs = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN slot = {j} THEN 1 END), 0) AS BIGINT)"
+        f" AS f{j}"
+        for j in range(d)
+    )
+    ctes = [
+        r"""toks AS MATERIALIZED (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> '')""",
+        f"""slots AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % {d} AS slot
+  FROM toks)""",
+        f"""bow AS MATERIALIZED (
+  SELECT doc_id,
+         {fdefs}
+  FROM slots GROUP BY doc_id)""",
+        f"""clean AS MATERIALIZED (
+  SELECT dd.doc_id,
+         CASE WHEN (length(dd.text)
+                    - length(regexp_replace(dd.text, 'fast', '', 'g'))) / 4
+                 > (length(dd.text)
+                    - length(regexp_replace(dd.text, 'slow', '', 'g'))) / 4
+              THEN 1 ELSE -1 END AS y,
+         {', '.join(f'COALESCE(b.f{j}, 0) AS f{j}' for j in range(d))}
+  FROM documents dd LEFT JOIN bow b USING (doc_id)
+  WHERE dd.text IS NOT NULL)""",
+        f"""ep0 AS (
+  SELECT {', '.join(f'CAST(0 AS BIGINT) AS w{j}' for j in range(d + 1))})""",
+    ]
+    dot = "(e.w0 + " + " + ".join(
+        f"e.w{j + 1} * c.{c}" for j, c in enumerate(fcols)
+    ) + ")"
+    for i, lr in enumerate(_HBOW_LR, start=1):
+        gsums = ",\n         ".join(
+            ["CAST(COALESCE(SUM(CASE WHEN mis THEN y END), 0) AS BIGINT)"
+             " AS g0"]
+            + [
+                f"CAST(COALESCE(SUM(CASE WHEN mis THEN y * {c} END), 0)"
+                f" AS BIGINT) AS g{j + 1}"
+                for j, c in enumerate(fcols)
+            ]
+        )
+        ctes.append(
+            f"""upd{i} AS MATERIALIZED (
+  SELECT {gsums}
+  FROM (SELECT c.*, c.y * {dot} <= 0 AS mis
+        FROM clean c CROSS JOIN ep{i - 1} e))""",
+        )
+        ws = ", ".join(
+            f"e.w{j} + {lr} * u.g{j} AS w{j}" for j in range(d + 1)
+        )
+        ctes.append(
+            f"""ep{i} AS MATERIALIZED (
+  SELECT {ws} FROM ep{i - 1} e CROSS JOIN upd{i} u)""",
+        )
+    return ",\n".join(ctes)
+
+
+TXT_HASHED_BOW_SQL = f"""
+WITH
+{_sql_hashed_perceptron()}
+SELECT f.doc_id, f.y,
+       CAST(e.w0 + {' + '.join(f'e.w{j + 1} * f.f{j}' for j in range(_HBOW_DIM))}
+            AS BIGINT) AS score,
+       CASE WHEN e.w0 + {' + '.join(f'e.w{j + 1} * f.f{j}' for j in range(_HBOW_DIM))}
+              > 0 THEN 1 ELSE -1 END AS pred
+FROM clean f CROSS JOIN ep{len(_HBOW_LR)} e
 """
 
 
@@ -2972,15 +3093,15 @@ def _sql_pagerank_chain(n_iter: int, scale: int = 10**12) -> str:
     """CTE chain replaying graph.pagerank on the purchase graph, ending
     in ``r{n_iter}(node, rank)``."""
     ctes = [
-        """e AS (
+        """e AS MATERIALIZED (
   SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   UNION
   SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
-        """nodes AS (
+        """nodes AS MATERIALIZED (
   SELECT src AS node FROM e UNION SELECT dst FROM e)""",
-        """outdeg AS (
+        """outdeg AS MATERIALIZED (
   SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)""",
         """nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)""",
         f"""r0 AS (
@@ -2991,7 +3112,7 @@ def _sql_pagerank_chain(n_iter: int, scale: int = 10**12) -> str:
         p = f"r{i - 1}"
         base_num = scale * 15 // 100
         ctes.append(
-            f"""c{i} AS (
+            f"""c{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          CAST(SUM(CAST((sh - (sh % deg)) / deg AS BIGINT)) AS BIGINT) AS cin
   FROM (
@@ -3002,7 +3123,7 @@ def _sql_pagerank_chain(n_iter: int, scale: int = 10**12) -> str:
   GROUP BY e.dst)""",
         )
         ctes.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT nodes.node,
          CAST(({base_num} - ({base_num} % n)) / n AS BIGINT)
            + COALESCE(c{i}.cin, 0) AS rank
@@ -3087,6 +3208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j10_bloom_join": j10_bloom_join,
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
+    "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -3173,4 +3295,6 @@ ORACLES: dict[str, str] = {
     "txt_bpe_tokenize": TXT_BPE_SQL,
     # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)
     "gr_pagerank": GR_PAGERANK_SQL,
+    # hashed-BoW featurization + 8 perceptron epochs replayed
+    "txt_hashed_bow_classifier": TXT_HASHED_BOW_SQL,
 }

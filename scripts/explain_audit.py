@@ -123,6 +123,10 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("gr_pagerank", "rank iterations are equi-joins + hash aggregates — "
      "state stays distributed, no Python, no cartesian",
      ["HashAggregate"], ["Python", "CartesianProduct", "NestedLoop"]),
+    ("txt_hashed_bow_classifier", "hashed-BoW featurization is one "
+     "pinned-values pivot (count shuffle with map-side combine); "
+     "prediction is a literal-weights projection",
+     ["HashAggregate"], ["CartesianProduct", "NestedLoop"]),
 ]
 
 

@@ -138,3 +138,42 @@ def test_substring_count_literal_only(spark):
     )
     with pytest.raises(ValueError, match="literal"):
         substring_count(F.col("t"), "a.*b")
+
+
+def test_engines_agree_and_validate(toy):
+    X, y, df = toy
+    sched = [4, 2, 1]
+    a = batch_perceptron_fit(
+        df, ["a", "b", "c"], "y", n_epochs=3, lr=sched, engine="expr"
+    )
+    b = batch_perceptron_fit(
+        df, ["a", "b", "c"], "y", n_epochs=3, lr=sched, engine="arrow"
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="engine"):
+        batch_perceptron_fit(df, ["a"], "y", engine="numpy")
+
+
+def test_hashed_bow_features(spark):
+    import hashlib
+
+    from dataslicer_spark.operators.classifier import hashed_bow_features
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, ""), (3, None), (4, "  cat  ")],
+        "doc_id long, text string",
+    )
+    dim = 8
+    out = hashed_bow_features(
+        df.filter(F.col("text").isNotNull()), "doc_id", "text", dim=dim
+    )
+    rows = {r.doc_id: [r[f"f{j}"] for j in range(dim)] for r in out.collect()}
+    slot = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+    want1 = [0] * dim
+    want1[slot("cat")] += 2
+    want1[slot("dog")] += 1
+    assert rows[1] == want1
+    assert rows[2] == [0] * dim          # empty text → all-zero row kept
+    want4 = [0] * dim
+    want4[slot("cat")] = 1
+    assert rows[4] == want4
