@@ -3139,6 +3139,133 @@ SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
 """
 
 
+_RIDGE_LAM = 1
+
+
+def txt_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ridge regression (operators/ridge.py): model
+    ``n_chars ~ 1 + f_spaces + f_the + f_fast`` over the documents
+    table.  One aggregate job builds the integer normal matrix
+    (map-side partial sums — d² cells per partition cross the wire);
+    the driver solves by Cramer's rule in exact integer arithmetic;
+    prediction is a map-only fixed-order double expression.  The DuckDB
+    oracle rebuilds the same cells, expands the same 4×4 determinants
+    (int128), performs the same contractual double conversion, and
+    matches every prediction bit for bit."""
+    from ..operators.classifier import substring_count
+    from ..operators.ridge import (
+        ridge_fit_exact,
+        ridge_predict,
+        ridge_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("y"),
+        (F.length(t) - F.length(F.regexp_replace(t, " ", ""))).cast(
+            "long"
+        ).alias("f_spaces"),
+        substring_count(t, " the ").alias("f_the"),
+        substring_count(t, "fast").alias("f_fast"),
+    ).persist()
+    try:
+        det, nums = ridge_fit_exact(
+            feats, ["f_spaces", "f_the", "f_fast"], "y", lam=_RIDGE_LAM
+        )
+        w = ridge_weights(det, nums)
+        out = ridge_predict(feats, ["f_spaces", "f_the", "f_fast"], w)
+        return out.select("doc_id", "y", "pred")
+    finally:
+        feats.unpersist()
+
+
+def _sql_leibniz(cell: "callable") -> str:
+    """24-term Leibniz expansion of a 4×4 determinant; ``cell(i, j)``
+    returns the SQL expression for entry (i, j)."""
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(4)):
+        inv = sum(
+            1
+            for a in range(4)
+            for b in range(a + 1, 4)
+            if perm[a] > perm[b]
+        )
+        sign = "-" if inv % 2 else "+"
+        prod = " * ".join(cell(i, perm[i]) for i in range(4))
+        terms.append(f"{sign} {prod}")
+    return " ".join(terms)
+
+
+def _sql_ridge() -> str:
+    lam = _RIDGE_LAM
+    xs = ["1", "f_spaces", "f_the", "f_fast"]
+
+    def a_cell(i: int, j: int) -> str:
+        lo, hi = min(i, j), max(i, j)
+        base = f"c.xx_{lo}_{hi}"
+        if i == j and i > 0:
+            return f"({base} + {lam})"
+        return base
+
+    def num_cell(col: int):
+        def cell(i: int, j: int) -> str:
+            if j == col:
+                return f"c.xy_{i}"
+            return a_cell(i, j)
+        return cell
+
+    cell_defs = []
+    for i in range(4):
+        for j in range(i, 4):
+            cell_defs.append(
+                f"SUM(CAST({xs[i]} AS HUGEINT) * CAST({xs[j]} AS HUGEINT))"
+                f" AS xx_{i}_{j}"
+            )
+        cell_defs.append(
+            f"SUM(CAST({xs[i]} AS HUGEINT) * CAST(y AS HUGEINT)) AS xy_{i}"
+        )
+    dets = [f"({_sql_leibniz(a_cell)}) AS det"] + [
+        f"({_sql_leibniz(num_cell(j))}) AS num_{j}" for j in range(4)
+    ]
+    ws = ", ".join(
+        f"CAST(num_{j} AS DOUBLE) / CAST(det AS DOUBLE) AS w{j}"
+        for j in range(4)
+    )
+    return f"""feats AS MATERIALIZED (
+  SELECT doc_id, n_chars AS y,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS f_spaces,
+         CAST((length(text) - length(regexp_replace(text, ' the ', '', 'g')))
+              / 5 AS BIGINT) AS f_the,
+         CAST((length(text) - length(regexp_replace(text, 'fast', '', 'g')))
+              / 4 AS BIGINT) AS f_fast
+  FROM documents WHERE text IS NOT NULL),
+cells AS MATERIALIZED (
+  SELECT {", ".join(cell_defs)}
+  FROM feats
+  WHERE y IS NOT NULL AND f_spaces IS NOT NULL AND f_the IS NOT NULL
+    AND f_fast IS NOT NULL),
+solved AS MATERIALIZED (
+  SELECT {", ".join(dets)} FROM cells c),
+wts AS MATERIALIZED (
+  SELECT {ws} FROM solved)"""
+
+
+TXT_RIDGE_SQL = f"""
+WITH
+{_sql_ridge()}
+SELECT f.doc_id, f.y,
+       w.w0 + w.w1 * CAST(f.f_spaces AS DOUBLE)
+            + w.w2 * CAST(f.f_the AS DOUBLE)
+            + w.w3 * CAST(f.f_fast AS DOUBLE) AS pred
+FROM feats f CROSS JOIN wts w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3209,6 +3336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
+    "txt_ridge_regression": txt_ridge_regression,
 }
 
 ORACLES: dict[str, str] = {
@@ -3297,4 +3425,7 @@ ORACLES: dict[str, str] = {
     "gr_pagerank": GR_PAGERANK_SQL,
     # hashed-BoW featurization + 8 perceptron epochs replayed
     "txt_hashed_bow_classifier": TXT_HASHED_BOW_SQL,
+    # integer normal matrix + exact Cramer determinants + contractual
+    # double conversion — predictions match bit for bit
+    "txt_ridge_regression": TXT_RIDGE_SQL,
 }

@@ -127,6 +127,10 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "pinned-values pivot (count shuffle with map-side combine); "
      "prediction is a literal-weights projection",
      ["HashAggregate"], ["CartesianProduct", "NestedLoop"]),
+    ("txt_ridge_regression", "ridge prediction is a map-only fixed-order "
+     "double projection (the normal matrix already aggregated as "
+     "partial+final integer sums)",
+     [], ["Join", "Exchange", "Python", "CartesianProduct"]),
 ]
 
 
