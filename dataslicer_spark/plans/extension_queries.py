@@ -3266,6 +3266,46 @@ FROM feats f CROSS JOIN wts w
 """
 
 
+def mb_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/basket.py): part pairs
+    co-purchased within an order, pair count ≥ 3.  Pair space forms only
+    within a basket (self-join on the order key, skew-guarded); all
+    counts exact ints, each metric ONE double division — bit-exact
+    against the SQL twin."""
+    from ..operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=3
+    )
+
+
+MB_ASSOCIATION_SQL = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+nn AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM items),
+pairs AS MATERIALIZED (
+  SELECT a.i AS item_a, b2.i AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3),
+cnts AS MATERIALIZED (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY i)
+SELECT p.item_a, p.item_b, p.pair_cnt,
+       ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       CAST(p.pair_cnt AS DOUBLE) / CAST(nn.n AS DOUBLE) AS support,
+       CAST(p.pair_cnt AS DOUBLE) / CAST(ca.cnt AS DOUBLE) AS confidence,
+       CAST(p.pair_cnt * nn.n AS DOUBLE)
+         / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+FROM pairs p
+JOIN cnts ca ON ca.i = p.item_a
+JOIN cnts cb ON cb.i = p.item_b
+CROSS JOIN nn
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3337,6 +3377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_pagerank": gr_pagerank,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
     "txt_ridge_regression": txt_ridge_regression,
+    "mb_association_rules": mb_association_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -3428,4 +3469,6 @@ ORACLES: dict[str, str] = {
     # integer normal matrix + exact Cramer determinants + contractual
     # double conversion — predictions match bit for bit
     "txt_ridge_regression": TXT_RIDGE_SQL,
+    # within-basket pair join + exact counts, single-division metrics
+    "mb_association_rules": MB_ASSOCIATION_SQL,
 }
