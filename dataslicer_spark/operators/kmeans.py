@@ -98,7 +98,8 @@ def init_centroids(
     order; ties break on the id).  A bounded k-row collect."""
     check_col([id_col, vec_col], df)
     rows = (
-        df.select(
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
             quantize_expr(vec_col, fp_bits).alias("__xq"),
             F.md5(F.col(id_col).cast("string")).alias("__h"),
             F.col(id_col).alias("__id"),

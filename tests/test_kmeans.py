@@ -155,3 +155,13 @@ def test_semantic_dedup_keeps_smallest_id_per_pair(spark):
     )
     surv, _ = semantic_dedup(df, threshold=0.9, k=1, n_iter=1)
     assert {r.vec_id for r in surv.collect()} == {1}
+
+
+def test_null_vectors_cannot_seed_centroids(spark):
+    # a NULL vector with the smallest md5(id) must not become a centroid
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else [float(i), 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(df, "vec_id", "embedding", k=3, n_iter=2)
+    assert all(all(v is not None for v in c) for c in cents)
