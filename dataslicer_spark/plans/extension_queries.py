@@ -703,6 +703,30 @@ GROUP BY 1, 2
 """
 
 
+def ev_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window trending top-3 event types (streaming/events.
+    trending_topk): counts shuffle once with map-side combine; the
+    ranking window runs over per-window COUNTS, not events."""
+    from ..streaming.events import load_events, trending_topk
+
+    return trending_topk(load_events(spark, sf_dir), "1 hour", k=3)
+
+
+EV_TRENDING_SQL = """
+SELECT window_start, rank, event_type, n_events FROM (
+  SELECT window_start, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY window_start
+           ORDER BY n_events DESC, event_type ASC) AS INTEGER) AS rank
+  FROM (
+    SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+             AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2))
+WHERE rank <= 3
+"""
+
+
 def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h windows every 15min — each event lands in 4 windows."""
     events = load_events(spark, sf_dir)
@@ -3378,6 +3402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
     "txt_ridge_regression": txt_ridge_regression,
     "mb_association_rules": mb_association_rules,
+    "ev_trending": ev_trending,
 }
 
 ORACLES: dict[str, str] = {
@@ -3471,4 +3496,5 @@ ORACLES: dict[str, str] = {
     "txt_ridge_regression": TXT_RIDGE_SQL,
     # within-basket pair join + exact counts, single-division metrics
     "mb_association_rules": MB_ASSOCIATION_SQL,
+    "ev_trending": EV_TRENDING_SQL,
 }

@@ -58,6 +58,45 @@ def _fp_sum(col):
     return F.sum(F.floor(col * F.lit(_FP)).cast("long")).cast("double") / _FP
 
 
+def trending_topk(
+    events: DataFrame,
+    width: str = "1 hour",
+    k: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-window trending keys: the top-``k`` keys by event count in
+    each tumbling window, deterministic ties (count desc, key asc).
+
+    Two shuffles: (window, key) counts with map-side combine, then the
+    per-window ranking window over the COUNTS (window-cardinality ×
+    distinct-keys rows, not events).  In Structured Streaming, a global
+    per-window top-k is not incrementally emittable before the window
+    closes; run this as a triggered batch over the windowed-count sink
+    (the standard pattern), or accept append-mode results per watermark
+    close.
+    """
+    from pyspark.sql import Window as W
+
+    check_col([ts_col, key_col], events)
+    counts = events.groupBy(
+        F.window(F.col(ts_col), width).alias("w"), key_col
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    rank_w = W.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            _epoch_us(F.col("w.start")).alias("window_start"),
+            "rank",
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def tumbling_window_stats(
     events: DataFrame,
     width: str = "1 hour",

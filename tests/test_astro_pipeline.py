@@ -367,3 +367,27 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     for uid, (tot, n) in expected.items():
         assert got[uid][1] == n
         assert abs(got[uid][0] - tot) < 1e-6
+
+
+def test_trending_topk_manual_and_ties(spark):
+    from dataslicer_spark.streaming.events import trending_topk
+
+    rows = []
+    base = 1_700_000_000  # epoch seconds, hour-aligned windows
+    # hour 0: a×3, b×2, c×2, d×1 → top3 = a, b, c (tie b/c broken by name)
+    for t, n in (("a", 3), ("b", 2), ("c", 2), ("d", 1)):
+        rows += [(base + 60 * i, t) for i in range(n)]
+    # hour 1: only one type
+    rows += [(base + 3600 + 60, "z")]
+    df = spark.createDataFrame(rows, "sec long, event_type string").select(
+        F.col("sec").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = trending_topk(df, "1 hour", k=3)
+    got = [
+        (r.rank, r.event_type, r.n_events)
+        for r in out.orderBy("window_start", "rank").collect()
+    ]
+    assert got == [
+        (1, "a", 3), (2, "b", 2), (3, "c", 2),
+        (1, "z", 1),
+    ]
