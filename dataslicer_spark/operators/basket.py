@@ -52,6 +52,10 @@ def association_rules(
             F.count(F.lit(1)).alias("__sz")
         ).filter(F.col("__sz") <= max_basket_size)
         items = items.join(sizes.select("__b"), "__b")
+    # materialize once (localCheckpoint, self-releasing): the distinct
+    # relation backs the count action, both self-join sides, and the
+    # per-item counts — lazy, each reference would re-run the distinct
+    items = items.localCheckpoint(eager=True)
     n_baskets = items.select("__b").distinct().count()
     if n_baskets == 0:
         return items.select(

@@ -182,10 +182,10 @@ def batch_perceptron_fit(
         engine == "arrow"
         or (engine == "auto" and len(feature_cols) > 16)
     )
-    clean = df.filter(
-        F.col(label_col).isNotNull()
-        & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in feature_cols))
-    )
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:  # column objects, not SQL text: names with
+        cond = cond & F.col(c).isNotNull()  # spaces/dashes stay safe
+    clean = df.filter(cond)
     w = [0] * (1 + len(feature_cols))
     if use_arrow:
         return _fit_arrow(clean, feature_cols, label_col, lrs, w)

@@ -179,6 +179,14 @@ def pagerank(
     Returns (node, rank) for every node appearing as src or dst.
     """
     d_num, d_den = damping
+    # the floor divisions run as (x − x mod y)/y with the division in
+    # doubles; that stays EXACT only while rank·d_num < 2^53 — guard the
+    # public parameter so a large scale cannot silently lose units
+    if scale * d_num >= 2**53:
+        raise ValueError(
+            f"scale·damping numerator {scale * d_num} ≥ 2^53 would break "
+            "exact floor division — use scale ≤ ~1e14"
+        )
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).distinct()

@@ -195,8 +195,6 @@ def kmeans_fit(
             s, n = int(r["s"]), int(r["n"])
             new[r["cluster"]][r["dim"]] = (s - ((s % n) + n) % n) // n
         centroids = new
-        if dim and len(centroids[0]) != dim:  # pragma: no cover
-            raise AssertionError("centroid dimensionality drifted")
     src.unpersist()
     return centroids
 

@@ -42,20 +42,16 @@ def _det_int(M: list[list[int]]) -> int:
     n = len(M)
     total = 0
     for perm in permutations(range(n)):
-        sign = 1
-        seen = list(perm)
-        # parity via inversion count
         inv = sum(
             1
             for i in range(n)
             for j in range(i + 1, n)
-            if seen[i] > seen[j]
+            if perm[i] > perm[j]
         )
-        sign = -1 if inv % 2 else 1
         prod = 1
         for i in range(n):
             prod *= M[i][perm[i]]
-        total += sign * prod
+        total += -prod if inv % 2 else prod
     return total
 
 
@@ -65,12 +61,18 @@ def ridge_moments(
     label_col: str,
 ) -> tuple[list[list[int]], list[int], int]:
     """One pass: ``(XᵀX, Xᵀy, n)`` as exact ints over the bias-augmented
-    feature vector ``[1, f_1, …, f_d]``.  NULL rows are dropped."""
+    feature vector ``[1, f_1, …, f_d]``.  NULL rows are dropped.
+
+    The distributed sums are int64 (Spark's widest integral type):
+    ``Σ x_i·x_j`` must stay below 2⁶³ — under the session's ANSI mode an
+    overflow THROWS rather than wrapping, so a violation is loud.  The
+    int128 headroom note in the module docstring applies to the oracle's
+    determinant algebra, which consumes these int64 cells."""
     check_col([label_col, *feature_cols], df)
-    clean = df.filter(
-        F.col(label_col).isNotNull()
-        & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in feature_cols))
-    )
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    clean = df.filter(cond)
     xs: list[Column] = [F.lit(1).cast("long")] + [
         F.col(c).cast("long") for c in feature_cols
     ]

@@ -142,9 +142,12 @@ def cosine_topk_batched(
     temporaries are row-chunked to a fixed byte budget regardless of
     Arrow batch size.  Queries are collected driver-side — they are the
     small/broadcast side by contract, exactly as :func:`cosine_topk`
-    broadcasts them.  Corpus rows with a NULL vector are dropped (the
-    HOF path scores them NULL, ranking last; at ≥k real candidates the
-    results are identical).
+    broadcasts them.  NULL-vector rows are dropped on BOTH sides
+    (corpus rows: the HOF path scores them NULL, ranking last —
+    identical results at ≥k real candidates; query rows: a NULL query
+    produces no output rows here, where the HOF path emits k
+    all-NULL-cosine neighbors for it — filter or handle NULL query
+    vectors upstream if one-row-per-query matters).
 
     Output: (query_id, rank, vec_id, cosine, *carry_cols).
     """

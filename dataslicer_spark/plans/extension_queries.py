@@ -3299,8 +3299,12 @@ def mb_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.basket import association_rules
 
     li = _t(spark, sf_dir, "lineitem")
+    # max_basket_size=None: the oracle counts ALL baskets, so the skew
+    # guard must be off here (TPC-H orders hold ≤7 lines anyway); the
+    # guard's behavior is pinned by its own pytest instead
     return association_rules(
-        li, "l_orderkey", "l_partkey", min_pair_count=3
+        li, "l_orderkey", "l_partkey", min_pair_count=3,
+        max_basket_size=None,
     )
 
 

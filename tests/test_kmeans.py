@@ -91,9 +91,9 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
         "vec_id long, embedding array<double>",
     )
     cents = kmeans_fit(df, "vec_id", "embedding", k=3, n_iter=3)
-    ids = [r[0] for r in df.collect()]
+    ordered = df.orderBy("vec_id").collect()  # ids+vectors from ONE collect
     C_np, _, _ = _numpy_kmeans(
-        ids, [list(r[1]) for r in df.orderBy("vec_id").collect()], 3, 3
+        [r[0] for r in ordered], [list(r[1]) for r in ordered], 3, 3
     )
     # replay agrees even through the empty-cluster branch
     assert np.array_equal(np.asarray(cents), C_np)
