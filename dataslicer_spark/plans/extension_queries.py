@@ -2480,28 +2480,110 @@ def txt_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_lm_scores(docs, model, "doc_id", "text", max_chars=512)
 
 
-TXT_TRIGRAM_LM_SQL = f"""
-WITH norm AS (
+_TRIGRAM_SCORES_CHAIN = f"""norm AS (
   SELECT doc_id,
          substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                 1, 512) AS t
   FROM documents),
-tri AS (
+tri AS MATERIALIZED (
   SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
   FROM norm, UNNEST(range(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 3),
-model AS (
+model AS MATERIALIZED (
   SELECT g, COUNT(*) AS c3 FROM tri
   WHERE ('0x' || substr(md5('r2' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         < {_T1}
-  GROUP BY g)
-SELECT tri.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tri,
-       CAST(SUM(COALESCE(c3, 0)) AS BIGINT) AS sum_c3,
-       CAST(SUM(COALESCE(c3, 0)) // COUNT(*) AS BIGINT) AS score
-FROM tri LEFT JOIN model USING (g)
-GROUP BY tri.doc_id
+  GROUP BY g),
+lm_scores AS MATERIALIZED (
+  SELECT tri.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tri,
+         CAST(SUM(COALESCE(c3, 0)) AS BIGINT) AS sum_c3,
+         CAST(SUM(COALESCE(c3, 0)) // COUNT(*) AS BIGINT) AS score
+  FROM tri LEFT JOIN model USING (g)
+  GROUP BY tri.doc_id)"""
+
+TXT_TRIGRAM_LM_SQL = f"""
+WITH
+{_TRIGRAM_SCORES_CHAIN}
+SELECT doc_id, n_tri, sum_c3, score FROM lm_scores
 """
+
+
+def samp_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): docs
+    split into head/middle/tail terciles of the trigram-LM quality score,
+    then sampled per bucket — head kept whole, middle at 50%, tail at
+    20% (hash-Bernoulli, the map-only zero-shuffle device from
+    temperature_resample).  Tercile cutpoints are ONE exact-percentile
+    aggregate broadcast back (integer scores compare safely against
+    interpolated cutpoints in both engines: a flip would need an integer
+    within one ulp of a non-integer cutpoint, and exact-integer
+    cutpoints are computed exactly by both).  Scale: after the scoring
+    aggregate everything is map-only."""
+    from ..functions.text import trigram_lm_scores, trigram_model
+    from ..operators.sampling import add_split, split_thresholds
+
+    docs = _t(spark, sf_dir, "documents")
+    train = add_split(docs, "doc_id", salt="r2").filter(
+        F.col("split") == "train"
+    )
+    model = trigram_model(train, "text", max_chars=512)
+    scores = trigram_lm_scores(docs, model, "doc_id", "text", max_chars=512)
+    cuts = scores.agg(
+        F.percentile(F.col("score"), F.lit(1.0 / 3)).alias("c1"),
+        F.percentile(F.col("score"), F.lit(2.0 / 3)).alias("c2"),
+    )
+    t20 = split_thresholds((0.2, 0.8))[0]
+    t50 = split_thresholds((0.5, 0.5))[0]
+    b = scores.join(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col("score") <= F.col("c1"), F.lit(1))
+        .when(F.col("score") <= F.col("c2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pb"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = b.withColumn("bucket", bucket).withColumn("__h", h)
+    keep = (
+        ((F.col("bucket") == 1) & (F.col("__h") < F.lit(t20)))
+        | ((F.col("bucket") == 2) & (F.col("__h") < F.lit(t50)))
+        | (F.col("bucket") == 3)
+    )
+    return out.filter(keep).select("doc_id", "bucket", "score")
+
+
+def _samp_perplexity_sql() -> str:
+    from ..operators.sampling import split_thresholds
+
+    t20 = split_thresholds((0.2, 0.8))[0]
+    t50 = split_thresholds((0.5, 0.5))[0]
+    return f"""
+WITH
+{_TRIGRAM_SCORES_CHAIN},
+cuts AS (
+  SELECT QUANTILE_CONT(score, 1.0 / 3) AS c1,
+         QUANTILE_CONT(score, 2.0 / 3) AS c2
+  FROM lm_scores)
+SELECT doc_id, bucket, score FROM (
+  SELECT s.doc_id, s.score,
+         CASE WHEN s.score <= c.c1 THEN 1
+              WHEN s.score <= c.c2 THEN 2
+              ELSE 3 END AS bucket,
+         ('0x' || substr(md5('pb' || CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM lm_scores s CROSS JOIN cuts c)
+WHERE (bucket = 1 AND h < {t20})
+   OR (bucket = 2 AND h < {t50})
+   OR bucket = 3
+"""
+
+
+SAMP_PERPLEXITY_SQL = _samp_perplexity_sql()
 
 
 def emb_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3407,6 +3489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_ridge_regression": txt_ridge_regression,
     "mb_association_rules": mb_association_rules,
     "ev_trending": ev_trending,
+    "samp_perplexity_buckets": samp_perplexity_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -3501,4 +3584,6 @@ ORACLES: dict[str, str] = {
     # within-basket pair join + exact counts, single-division metrics
     "mb_association_rules": MB_ASSOCIATION_SQL,
     "ev_trending": EV_TRENDING_SQL,
+    # trigram-score chain + exact-percentile terciles + hash Bernoulli
+    "samp_perplexity_buckets": SAMP_PERPLEXITY_SQL,
 }

@@ -52,6 +52,9 @@ ALLOW = {
     "samp_temperature": {"nested-loop-join", "single-partition-exchange"},
     # same pattern: broadcast 1-row mixture cap (sampling.mixture_resample)
     "samp_mixture": {"nested-loop-join", "single-partition-exchange"},
+    # same pattern: broadcast 1-row tercile cutpoints (the percentile
+    # aggregate is the single partition; everything after is map-only)
+    "samp_perplexity_buckets": {"nested-loop-join", "single-partition-exchange"},
     "llm_data_pipeline": {"nested-loop-join", "single-partition-exchange"},
     # the bloom bitmap is a deliberate 1-row broadcast relation (that is
     # the whole point: ship a bounded bitmap instead of the dim keys)
