@@ -3416,6 +3416,63 @@ CROSS JOIN nn
 """
 
 
+def lk_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (sources/lake.snapshot_diff): orders vs a simulated
+    v2 (every 97th key removed, every 10th repriced ×2, every 113th
+    re-added under a shifted key) — the CDC-validation primitive: ONE
+    co-partitioned full-outer join classifies every key as
+    added/removed/changed/unchanged with null-safe compares."""
+    from ..sources.lake import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = orders.select("o_orderkey", "o_totalprice")
+    v2 = (
+        old.filter(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 10 == 0, F.col("o_totalprice") * 2.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(key % 113 == 0).select(
+                (key + 100_000_000).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    diff = snapshot_diff(old, v2, ["o_orderkey"], ["o_totalprice"])
+    return diff.select(
+        "o_orderkey",
+        "change",
+        F.col("old_row")["o_totalprice"].alias("old_price"),
+        F.col("new_row")["o_totalprice"].alias("new_price"),
+    )
+
+
+LK_SNAPSHOT_DIFF_SQL = """
+WITH old AS MATERIALIZED (
+  SELECT o_orderkey, o_totalprice FROM orders),
+v2 AS MATERIALIZED (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM old WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice
+  FROM old WHERE o_orderkey % 113 = 0)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+              THEN 'unchanged'
+            ELSE 'changed' END AS change,
+       o.o_totalprice AS old_price,
+       n.o_totalprice AS new_price
+FROM old o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3490,6 +3547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mb_association_rules": mb_association_rules,
     "ev_trending": ev_trending,
     "samp_perplexity_buckets": samp_perplexity_buckets,
+    "lk_snapshot_diff": lk_snapshot_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -3586,4 +3644,5 @@ ORACLES: dict[str, str] = {
     "ev_trending": EV_TRENDING_SQL,
     # trigram-score chain + exact-percentile terciles + hash Bernoulli
     "samp_perplexity_buckets": SAMP_PERPLEXITY_SQL,
+    "lk_snapshot_diff": LK_SNAPSHOT_DIFF_SQL,
 }

@@ -285,3 +285,64 @@ __all__ = [
     "write_partitioned", "read_lake", "compact_lake", "delete_from_lake",
     "zorder_write",
 ]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two table snapshots — the CDC-validation /
+    migration-audit primitive: classify every key as ``added``,
+    ``removed``, ``changed`` or ``unchanged``.
+
+    ONE full-outer equi-join on the key (both sides shuffle once on the
+    same key — co-partitioned, no fanout); change detection is a
+    null-safe column comparison (``<=>``), so NULL→value and
+    value→NULL edits register as changes while NULL==NULL does not.
+    ``compare_cols`` defaults to all shared non-key columns.  Duplicate
+    keys in either snapshot are rejected up front (a diff over non-keyed
+    rows is ill-defined) — detected with one count aggregate per side.
+
+    Output: key columns + ``change`` + per-side structs ``old_row`` /
+    ``new_row`` (NULL for the absent side).
+    """
+    from pyspark.sql import functions as F
+
+    check_col(key_cols, old)
+    check_col(key_cols, new)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    check_col(compare_cols, old)
+    check_col(compare_cols, new)
+    for side, df in (("old", old), ("new", new)):
+        dups = (
+            df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dups.count():
+            raise ValueError(
+                f"{side} snapshot has duplicate keys on {key_cols} — "
+                "snapshot_diff requires keyed rows"
+            )
+    o = old.select(
+        *key_cols, F.struct(*compare_cols).alias("old_row"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *key_cols, F.struct(*compare_cols).alias("new_row"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col("old_row")[c].eqNullSafe(F.col("new_row")[c])
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, change.alias("change"),
+                         "old_row", "new_row")

@@ -232,3 +232,41 @@ def test_zorder_validation(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     with pytest.raises(ValueError, match="two columns"):
         zorder_write(li, "/tmp/x", ["l_partkey"])
+
+
+def test_snapshot_diff_classification(spark):
+    from dataslicer_spark.sources.lake import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, price double, tag string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),      # unchanged
+         (2, 25.0, "b"),      # changed (value)
+         (3, None, "c"),      # unchanged (NULL == NULL under null-safe)
+         (5, 50.0, "e")],     # added; 4 removed
+        "k long, price double, tag string",
+    )
+    out = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}
+
+    # NULL -> value registers as a change
+    new2 = new.withColumn(
+        "price", F.when(F.col("k") == 3, 3.0).otherwise(F.col("price"))
+    )
+    out2 = {r.k: r.change for r in snapshot_diff(old, new2, ["k"]).collect()}
+    assert out2[3] == "changed"
+
+    # compare_cols restriction: tag-only diff ignores the price edit
+    out3 = {
+        r.k: r.change
+        for r in snapshot_diff(old, new, ["k"], ["tag"]).collect()
+    }
+    assert out3[2] == "unchanged"
+
+    # duplicate keys rejected
+    dup = old.unionByName(old.limit(1))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snapshot_diff(dup, new, ["k"])
