@@ -3473,6 +3473,66 @@ FROM old o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
 """
 
 
+def a13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ROLLUP (grouping sets): per-(returnflag, linestatus)
+    aggregates plus per-flag subtotals plus the grand total in ONE scan —
+    Catalyst's Expand feeds a single hash aggregate with map-side
+    partials, the OLAP-cube primitive.  ``grouping_id`` disambiguates
+    subtotal rows from genuine NULL group values."""
+    from .star_queries import dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty"
+        )
+    )
+
+
+A13_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_quantity * 1048576.0) AS BIGINT)) AS DOUBLE)
+         / 1048576.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (melt): the four lineitem measures as long-form
+    (key, metric, value) rows — a map-only Expand, no shuffle, the
+    wide→long reshape every metrics store ingests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+A14_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3548,6 +3608,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_trending": ev_trending,
     "samp_perplexity_buckets": samp_perplexity_buckets,
     "lk_snapshot_diff": lk_snapshot_diff,
+    "a13_rollup": a13_rollup,
+    "a14_unpivot": a14_unpivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -3645,4 +3707,6 @@ ORACLES: dict[str, str] = {
     # trigram-score chain + exact-percentile terciles + hash Bernoulli
     "samp_perplexity_buckets": SAMP_PERPLEXITY_SQL,
     "lk_snapshot_diff": LK_SNAPSHOT_DIFF_SQL,
+    "a13_rollup": A13_ROLLUP_SQL,
+    "a14_unpivot": A14_UNPIVOT_SQL,
 }
