@@ -130,6 +130,13 @@ def kmeans_fit(
     src = df.select(F.col(vec_col).alias("__v")).filter(
         F.col("__v").isNotNull()
     ).persist()
+    try:
+        return _fit_loop(src, df, id_col, vec_col, k, n_iter, fp_bits)
+    finally:
+        src.unpersist()
+
+
+def _fit_loop(src, df, id_col, vec_col, k, n_iter, fp_bits):
     centroids = init_centroids(df, id_col, vec_col, k, fp_bits)
     dim = len(centroids[0])
     scale = float(1 << fp_bits)
@@ -195,7 +202,6 @@ def kmeans_fit(
             s, n = int(r["s"]), int(r["n"])
             new[r["cluster"]][r["dim"]] = (s - ((s % n) + n) % n) // n
         centroids = new
-    src.unpersist()
     return centroids
 
 
