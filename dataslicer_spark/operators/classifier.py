@@ -148,8 +148,11 @@ def batch_perceptron_fit(
     n_epochs: int = 3,
     lr: int | list[int] = 1,
     engine: str = "auto",
+    init_weights: list[int] | None = None,
 ) -> list[int]:
-    """Train; returns ``[w_bias, w_f1, …]`` ints.
+    """Train; returns ``[w_bias, w_f1, …]`` ints.  ``init_weights``
+    resumes from an existing model (the online/streaming update path —
+    see streaming/train.py).
 
     ``label_col`` must hold ±1.  Rows with any NULL feature or label are
     ignored (mirrored by the oracle's WHERE).  One aggregate job per
@@ -186,7 +189,15 @@ def batch_perceptron_fit(
     for c in feature_cols:  # column objects, not SQL text: names with
         cond = cond & F.col(c).isNotNull()  # spaces/dashes stay safe
     clean = df.filter(cond)
-    w = [0] * (1 + len(feature_cols))
+    if init_weights is None:
+        w = [0] * (1 + len(feature_cols))
+    else:
+        if len(init_weights) != 1 + len(feature_cols):
+            raise ValueError(
+                f"init_weights has {len(init_weights)} entries for "
+                f"{1 + len(feature_cols)} (bias + features)"
+            )
+        w = [int(v) for v in init_weights]
     if use_arrow:
         return _fit_arrow(clean, feature_cols, label_col, lrs, w)
     y = F.col(label_col)
