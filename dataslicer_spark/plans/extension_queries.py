@@ -3473,6 +3473,65 @@ FROM old o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
 """
 
 
+def txt_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms — keyword extraction via an integer
+    TF-IDF surrogate: ``salience = tf · (N // df)`` (term frequency ×
+    integer inverse document frequency).  The ln-free form is the
+    cross-engine device: ``ln`` is transcendental and Java/DuckDB may
+    disagree in the last ulp, while integer floor-division ranks
+    identically everywhere and preserves the tf·idf ORDER for ranking
+    purposes.  Shape: one (doc, term) count aggregate, one term-level df
+    aggregate joined back (term dictionary ≪ corpus), one per-doc top-3
+    window over counts — tokens cross the wire once."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_, "term").withColumn(
+        "salience", F.col("tf") * F.floor(F.lit(int(n_docs)) / F.col("df")).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("salience").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "salience")
+    )
+
+
+TXT_SALIENT_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term),
+dfreq AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, rank, term, tf, df, salience FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         tf.tf * CAST(FLOOR(CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE))
+                      AS BIGINT) AS salience,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * CAST(FLOOR(CAST(nn.n AS DOUBLE)
+                                       / CAST(d.df AS DOUBLE)) AS BIGINT)
+                    DESC,
+                    tf.term ASC) AS INTEGER) AS rank
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN nn)
+WHERE rank <= 3
+"""
+
+
 def a13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ROLLUP (grouping sets): per-(returnflag, linestatus)
     aggregates plus per-flag subtotals plus the grand total in ONE scan —
@@ -3610,6 +3669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lk_snapshot_diff": lk_snapshot_diff,
     "a13_rollup": a13_rollup,
     "a14_unpivot": a14_unpivot,
+    "txt_salient_terms": txt_salient_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -3709,4 +3769,6 @@ ORACLES: dict[str, str] = {
     "lk_snapshot_diff": LK_SNAPSHOT_DIFF_SQL,
     "a13_rollup": A13_ROLLUP_SQL,
     "a14_unpivot": A14_UNPIVOT_SQL,
+    # ln-free integer tf-idf surrogate: floor(N/df) ranks identically
+    "txt_salient_terms": TXT_SALIENT_SQL,
 }
