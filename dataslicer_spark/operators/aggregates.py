@@ -238,8 +238,80 @@ def distinct_values(df: DataFrame, col: str) -> list:
     return [r[0] for r in df.select(col).distinct().collect()]
 
 
+def group_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    x_scale_bits: int = 0,
+    y_scale_bits: int = 0,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS ``y ~ a + b·x``) in exact
+    integer closed form — FULLY distributed, no driver solve at all
+    (the per-group complement of operators/ridge.py's global Cramer fit
+    and operators/regression.py's errors-in-variables ODR).
+
+    Inputs quantize once (``floor(v·2^bits)`` — bits 0 for
+    already-integral columns), then one hash aggregate per group builds
+    the five moment cells and the slope/intercept come from the classic
+    closed form as EXACT integer numerators/denominators::
+
+        b = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    evaluated in int64 column arithmetic (caller owns the magnitude
+    budget: ``n·Σxy`` must fit — scale bits trade precision for
+    headroom).  The float slope is ONE double division of the exact
+    ints; the intercept ``(Σy − b·Σx)/n`` evaluates in doubles with a
+    FIXED operation order (an exact integer form would need int128 —
+    ``Σy·b_den`` overflows int64), so both replay bit for bit in a SQL
+    oracle that mirrors the same order.  Groups with zero x-variance
+    get NULL slope (denominator 0, via try_divide), not a crash.
+
+    Output: group cols + n, b_num, b_den, slope, intercept.
+    """
+    check_col([x_col, y_col, *group_cols], df)
+    xq = F.floor(
+        F.col(x_col).cast("double") * F.lit(float(1 << x_scale_bits))
+    ).cast("long")
+    yq = F.floor(
+        F.col(y_col).cast("double") * F.lit(float(1 << y_scale_bits))
+    ).cast("long")
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(*group_cols, xq.alias("__x"), yq.alias("__y"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+            F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        )
+    )
+    b_num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    b_den = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    out = cells.withColumn("b_num", b_num).withColumn("b_den", b_den)
+    slope = F.try_divide(
+        F.col("b_num").cast("double"), F.col("b_den").cast("double")
+    )
+    intercept = F.try_divide(
+        F.col("__sy").cast("double")
+        - slope * F.col("__sx").cast("double"),
+        F.col("n").cast("double"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        "b_num",
+        "b_den",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
 __all__ = [
     "cluster_centroid",
+    "group_ols",
     "cluster_centroid_weighted",
     "group_stats",
     "calibration_quality",

@@ -3473,6 +3473,52 @@ FROM old o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
 """
 
 
+def a15_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (operators/aggregates.group_ols): price-per-quantity
+    slope and intercept per returnflag — fully distributed exact closed
+    form (one hash aggregate; integer moment cells; no driver solve),
+    the per-group complement of the global Cramer ridge."""
+    from ..operators.aggregates import group_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_ols(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+A15_GROUP_OLS_SQL = """
+WITH cells AS MATERIALIZED (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM (
+    SELECT l_returnflag,
+           CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 1.0) AS BIGINT) AS x,
+           CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 1.0) AS BIGINT) AS y
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+  GROUP BY l_returnflag),
+solved AS (
+  SELECT l_returnflag, n,
+         n * sxy - sx * sy AS b_num,
+         n * sxx - sx * sx AS b_den,
+         sx, sy
+  FROM cells)
+SELECT l_returnflag, n, b_num, b_den,
+       CASE WHEN b_den = 0 THEN NULL
+            ELSE CAST(b_num AS DOUBLE) / CAST(b_den AS DOUBLE) END AS slope,
+       CASE WHEN n = 0 OR b_den = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE)
+                  - (CAST(b_num AS DOUBLE) / CAST(b_den AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept
+FROM solved
+"""
+
+
 def txt_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document salient terms — keyword extraction via an integer
     TF-IDF surrogate: ``salience = tf · (N // df)`` (term frequency ×
@@ -3670,6 +3716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a13_rollup": a13_rollup,
     "a14_unpivot": a14_unpivot,
     "txt_salient_terms": txt_salient_terms,
+    "a15_group_ols": a15_group_ols,
 }
 
 ORACLES: dict[str, str] = {
@@ -3771,4 +3818,6 @@ ORACLES: dict[str, str] = {
     "a14_unpivot": A14_UNPIVOT_SQL,
     # ln-free integer tf-idf surrogate: floor(N/df) ranks identically
     "txt_salient_terms": TXT_SALIENT_SQL,
+    # exact integer moment cells; slope/intercept mirror operation order
+    "a15_group_ols": A15_GROUP_OLS_SQL,
 }

@@ -105,3 +105,34 @@ def test_null_rows_dropped(spark):
     assert n == 2
     assert XtX == [[2, 3], [3, 5]]
     assert Xty == [8, 13]
+
+
+def test_group_ols_matches_numpy_and_degenerate(spark):
+    from dataslicer_spark.operators.aggregates import group_ols
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g, (slope, icept) in (("a", (3.0, 10.0)), ("b", (-2.0, 5.0))):
+        for i in range(100):
+            x = int(rng.integers(0, 50))
+            y = int(round(slope * x + icept + rng.integers(-2, 3)))
+            rows.append((g, x, y))
+    rows += [("c", 7, 1), ("c", 7, 9)]  # zero x-variance → NULL slope
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in group_ols(df, ["g"], "x", "y").collect()}
+
+    import numpy as _np
+
+    for g in ("a", "b"):
+        xs = _np.array([r[1] for r in rows if r[0] == g], dtype=_np.int64)
+        ys = _np.array([r[2] for r in rows if r[0] == g], dtype=_np.int64)
+        n = len(xs)
+        b_num = int(n * (xs * ys).sum() - xs.sum() * ys.sum())
+        b_den = int(n * (xs * xs).sum() - xs.sum() ** 2)
+        assert (got[g].b_num, got[g].b_den) == (b_num, b_den)
+        assert abs(got[g].slope - (3.0 if g == "a" else -2.0)) < 0.1
+        want_icept = (
+            float(ys.sum()) - (float(b_num) / float(b_den)) * float(xs.sum())
+        ) / float(n)
+        assert got[g].intercept == want_icept
+    assert got["c"].slope is None and got["c"].intercept is None
