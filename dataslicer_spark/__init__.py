@@ -19,7 +19,11 @@ Layout:
   matching, pandas-dialect expression translation.
 - :mod:`dataslicer_spark.operators`  — filters, joins, aggregates, windows,
   spatial kernels, clustering, outlier rejection, regression, dedup,
-  similarity search.
+  similarity search; plus the LLM-curation / classical-ML extension:
+  fixed-point k-means, SemDeDup, batch-perceptron classifier training
+  (hashed-BoW featurization), BPE tokenizer training, exact ridge and
+  per-group OLS, PageRank, bloom-filter join pruning, market-basket
+  rules — all with engine-exact (SQL-replayable) trajectories.
 - :mod:`dataslicer_spark.functions`  — column-expression libraries
   (photometric calibration, coordinate transforms, text analysis).
 - :mod:`dataslicer_spark.sources`    — parquet write-through cache, FITS
