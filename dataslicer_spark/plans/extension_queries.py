@@ -3638,6 +3638,99 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
+def txt_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact model evaluation (operators/evaluation.py) closing the
+    train → predict → evaluate loop: the ``txt_quality_classifier``
+    perceptron is retrained (same integer trajectory) and graded against
+    its teacher labels — confusion counts, accuracy/precision/recall/F1,
+    and an **exact ROC-AUC** via the rank-sum identity computed off the
+    score *histogram* (one corpus scan; the global rank never requires a
+    global sort — mid-ranks are derived from per-distinct-score counts,
+    aggregate-sized).  Counts stay int64; each metric is a single IEEE
+    double division, so the DuckDB oracle replays training AND the
+    metrics bit for bit."""
+    from ..operators.classifier import (
+        batch_perceptron_fit,
+        perceptron_predict,
+        substring_count,
+    )
+    from ..operators.evaluation import binary_classification_report
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        *[
+            substring_count(F.col("text"), pat).alias(name)
+            for name, pat in _CLF_FEATURES
+        ],
+    ).withColumn(
+        "y",
+        F.when(F.col("f_fast") > F.col("f_slow"), F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    )
+    fcols = [name for name, _ in _CLF_FEATURES]
+    feats = feats.persist()
+    try:
+        w = batch_perceptron_fit(
+            feats, fcols, "y", n_epochs=len(_CLF_LR), lr=_CLF_LR
+        )
+        scored = perceptron_predict(feats, fcols, w)
+        return binary_classification_report(scored, "y", "score")
+    finally:
+        feats.unpersist()
+
+
+TXT_CLASSIFIER_EVAL_SQL = f"""
+WITH
+{_sql_perceptron_chain()},
+scored AS (
+  SELECT f.y, CAST({_sql_clf_score()} AS BIGINT) AS sc
+  FROM feats f CROSS JOIN ep{len(_CLF_LR)} e
+  WHERE ({_sql_clf_score()}) IS NOT NULL),
+hist AS (
+  SELECT sc, CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p_s
+  FROM scored GROUP BY sc),
+h AS (
+  SELECT sc, n_s, p_s,
+         CAST(COALESCE(SUM(n_s) OVER (
+           ORDER BY sc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cless
+  FROM hist),
+agg AS (
+  SELECT CAST(SUM(p_s) AS BIGINT) AS p,
+         CAST(SUM(n_s) - SUM(p_s) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN sc > 0 THEN p_s ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN sc > 0 THEN n_s - p_s ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(SUM(p_s * (2 * cless + n_s + 1)) AS BIGINT) AS two_rank_pos
+  FROM h)
+SELECT p, n, tp, fp,
+       CAST(n - fp AS BIGINT) AS tn,
+       CAST(p - tp AS BIGINT) AS fn,
+       CASE WHEN p + n = 0 THEN NULL
+            ELSE CAST(tp + (n - fp) AS DOUBLE) / CAST(p + n AS DOUBLE)
+       END AS accuracy,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+       END AS precision,
+       CASE WHEN p = 0 THEN NULL
+            ELSE CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)
+       END AS recall,
+       CASE WHEN 2 * tp + fp + (p - tp) = 0 THEN NULL
+            ELSE CAST(2 * tp AS DOUBLE)
+                 / CAST(2 * tp + fp + (p - tp) AS DOUBLE)
+       END AS f1,
+       CASE WHEN p = 0 OR n = 0 THEN NULL
+            ELSE CAST(two_rank_pos - p * (p + 1) AS DOUBLE)
+                 / CAST(2 * p * n AS DOUBLE)
+       END AS auc
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3717,6 +3810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_unpivot": a14_unpivot,
     "txt_salient_terms": txt_salient_terms,
     "a15_group_ols": a15_group_ols,
+    "txt_classifier_eval": txt_classifier_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -3820,4 +3914,6 @@ ORACLES: dict[str, str] = {
     "txt_salient_terms": TXT_SALIENT_SQL,
     # exact integer moment cells; slope/intercept mirror operation order
     "a15_group_ols": A15_GROUP_OLS_SQL,
+    # rank-sum AUC off the score histogram; int64 until one division/metric
+    "txt_classifier_eval": TXT_CLASSIFIER_EVAL_SQL,
 }

@@ -59,6 +59,9 @@ ALLOW = {
     # the bloom bitmap is a deliberate 1-row broadcast relation (that is
     # the whole point: ship a bounded bitmap instead of the dim keys)
     "j10_bloom_join": {"nested-loop-join"},
+    # AUC mid-ranks run over the SCORE HISTOGRAM (distinct integer
+    # scores — aggregate-sized), then a 1-row scalar aggregate
+    "txt_classifier_eval": {"single-partition-exchange"},
 }
 
 
