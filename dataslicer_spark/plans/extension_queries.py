@@ -3731,6 +3731,162 @@ FROM agg
 """
 
 
+def ev_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new + cumulative distinct users — the classic "running
+    COUNT(DISTINCT)" that naive window queries make O(n²).  Here it's
+    first-seen decomposition: min(day) per user (ONE shuffle keyed by
+    user_id — high cardinality, no skew), a per-day count, and a running
+    sum over the DAY HISTOGRAM (calendar-sized — the single-partition
+    window never sees event rows)."""
+    events = load_events(spark, sf_dir)
+    first = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+    )
+    per_day = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # DATE serializes engine-specifically in the compare harness — ship
+    # the ISO string (identical 'yyyy-MM-dd' rendering in both engines)
+    return per_day.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(cum).cast("long").alias("cum_users"),
+    )
+
+
+EV_RUNNING_DISTINCT_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id),
+d AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day)
+SELECT CAST(day AS VARCHAR) AS day, new_users,
+       CAST(SUM(new_users) OVER (
+         ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM d
+"""
+
+
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent prior-or-simultaneous touch (click/view/signup)
+    within a 7-day window; revenue rolls up per channel, with NULL
+    channel = organic/unattributed.  Composes the single-shuffle as-of
+    join (operators/asof.py — union + one window pass, never an
+    inequality-join fanout) with a fixed-point revenue aggregate;
+    touches pre-deduplicated per (user, ts) so both engines resolve
+    timestamp ties identically."""
+    from ..operators.asof import asof_join
+    from ..operators.windows import largest_wins
+    from .star_queries import dsum
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = largest_wins(
+        events.filter(
+            F.col("event_type").isin("click", "view", "signup")
+        ).select(
+            "user_id",
+            "ts",
+            F.col("event_type").alias("channel"),
+            F.col("event_id").alias("touch_event"),
+        ),
+        ["user_id", "ts"],
+        "touch_event",
+    )
+    m = asof_join(
+        purchases,
+        touches,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols=["channel", "touch_event"],
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return m.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        dsum("value", "revenue"),
+    )
+
+
+EV_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'),
+t0 AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS rts, event_type AS channel,
+         event_id AS touch_event,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+t AS (SELECT user_id, rts, channel, touch_event FROM t0 WHERE rn = 1),
+m AS (
+  SELECT p.event_id, p.value,
+         CASE WHEN p.ts - t.rts <= INTERVAL 7 DAY THEN t.channel END
+           AS channel
+  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.rts)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(FLOOR(value * 1048576.0) AS BIGINT)) AS DOUBLE)
+         / 1048576.0 AS revenue
+FROM m GROUP BY channel
+"""
+
+
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report (operators/drift.py): week-1 events vs the
+    rest of the month, per event_type — exact integer cross-multiplied
+    total-variation distance over value histograms (floats enter once,
+    in the final division).  The distribution-shift monitor every
+    recurring-crawl pipeline needs."""
+    from ..operators.drift import histogram_drift
+
+    events = load_events(spark, sf_dir)
+    cut = F.lit("2024-01-08").cast("timestamp")
+    week1 = events.filter(F.col("ts") < cut)
+    rest = events.filter(F.col("ts") >= cut)
+    out = histogram_drift(
+        week1, rest, ["event_type"], "value", bucket_width=5.0
+    )
+    return out.select("event_type", "n_a", "n_b", "l1_cross", "tvd")
+
+
+DQ_DRIFT_SQL = """
+WITH u AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS bucket,
+         CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0 ELSE 1 END AS side
+  FROM events),
+hist AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM u GROUP BY event_type, bucket),
+h AS (
+  SELECT event_type, a, b,
+         SUM(a) OVER (PARTITION BY event_type) AS na,
+         SUM(b) OVER (PARTITION BY event_type) AS nb
+  FROM hist)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(SUM(ABS(a * nb - b * na)) AS BIGINT) AS l1_cross,
+       CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN NULL
+            ELSE CAST(SUM(ABS(a * nb - b * na)) AS DOUBLE)
+                 / CAST(2 * MAX(na) * MAX(nb) AS DOUBLE)
+       END AS tvd
+FROM h GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3811,6 +3967,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_salient_terms": txt_salient_terms,
     "a15_group_ols": a15_group_ols,
     "txt_classifier_eval": txt_classifier_eval,
+    "ev_running_distinct": ev_running_distinct,
+    "ev_attribution": ev_attribution,
+    "dq_drift": dq_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -3916,4 +4075,10 @@ ORACLES: dict[str, str] = {
     "a15_group_ols": A15_GROUP_OLS_SQL,
     # rank-sum AUC off the score histogram; int64 until one division/metric
     "txt_classifier_eval": TXT_CLASSIFIER_EVAL_SQL,
+    # first-seen decomposition of running COUNT(DISTINCT)
+    "ev_running_distinct": EV_RUNNING_DISTINCT_SQL,
+    # as-of-join attribution; DuckDB native ASOF + tolerance CASE
+    "ev_attribution": EV_ATTRIBUTION_SQL,
+    # cross-multiplied integer TVD; one division per group
+    "dq_drift": DQ_DRIFT_SQL,
 }

@@ -62,6 +62,9 @@ ALLOW = {
     # AUC mid-ranks run over the SCORE HISTOGRAM (distinct integer
     # scores — aggregate-sized), then a 1-row scalar aggregate
     "txt_classifier_eval": {"single-partition-exchange"},
+    # running sum over the DAY HISTOGRAM (calendar-sized — the event
+    # rows were aggregated away two stages earlier)
+    "ev_running_distinct": {"single-partition-exchange"},
 }
 
 
