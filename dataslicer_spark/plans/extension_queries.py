@@ -3887,6 +3887,238 @@ FROM h GROUP BY event_type
 """
 
 
+def ev_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event dwell time (gap to the user's next event) aggregated by
+    event type — one user-keyed window (lead over epoch-µs integers,
+    event_id tiebreak for simultaneous events), then a tiny per-type
+    aggregate.  Gaps are int64 microseconds end to end; the mean enters
+    floats once (sum_µs / (n·10⁶), a single division)."""
+    events = load_events(spark, sf_dir)
+    e = events.select(
+        "user_id", "event_id", "event_type", _epoch_us(F.col("ts")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = e.withColumn("dwell", F.lead("ts_us").over(w) - F.col("ts_us"))
+    return d.groupBy("event_type").agg(
+        F.count("dwell").cast("long").alias("n_gaps"),
+        F.sum("dwell").cast("long").alias("total_dwell_us"),
+        F.try_divide(
+            F.sum("dwell").cast("double"),
+            (F.count("dwell") * F.lit(1_000_000)).cast("double"),
+        ).alias("mean_dwell_s"),
+    )
+
+
+EV_DWELL_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events),
+d AS (
+  SELECT event_type,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ts_us AS dwell
+  FROM e)
+SELECT event_type, CAST(COUNT(dwell) AS BIGINT) AS n_gaps,
+       CAST(SUM(dwell) AS BIGINT) AS total_dwell_us,
+       CASE WHEN COUNT(dwell) = 0 THEN NULL
+            ELSE CAST(SUM(dwell) AS DOUBLE)
+                 / CAST(COUNT(dwell) * 1000000 AS DOUBLE)
+       END AS mean_dwell_s
+FROM d GROUP BY event_type
+"""
+
+
+def a16_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles — the rank-based decile (every decile
+    boundary is a RANK cut, not an interpolated value, so there is no
+    percentile float to disagree on).  The global rank comes from
+    ``utils.dense_ids`` (range-repartition + per-partition row_number +
+    offsets), NOT a single-partition window — the scale-safe ranking
+    primitive.  Equal spends share a rank and therefore a decile
+    (dense-rank semantics, deterministic in both engines); all spend
+    math is fixed-point int64 until the final /2²⁰ display casts."""
+    from ..utils import dense_ids
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1048576.0)).cast("long")
+        ).alias("sp")
+    )
+    dv = dense_ids(spend.select("sp"), "sp", "rk")
+    nd = dv.count()
+    per_cust = spend.join(dv, "sp").withColumn(
+        "decile", F.expr(f"CAST((rk * 10) DIV {nd} AS BIGINT)")
+    )
+    return (
+        per_cust.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("sp").cast("double") / F.lit(1048576.0)).alias(
+                "total_spend"
+            ),
+            (F.min("sp").cast("double") / F.lit(1048576.0)).alias(
+                "min_spend"
+            ),
+            (F.max("sp").cast("double") / F.lit(1048576.0)).alias(
+                "max_spend"
+            ),
+        )
+    )
+
+
+A16_SPEND_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1048576.0) AS BIGINT))
+              AS BIGINT) AS sp
+  FROM orders GROUP BY o_custkey),
+dv AS (
+  SELECT sp, CAST(DENSE_RANK() OVER (ORDER BY sp) - 1 AS BIGINT) AS rk
+  FROM (SELECT DISTINCT sp FROM spend)),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dv)
+SELECT CAST((d.rk * 10) // n.n AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(s.sp) AS DOUBLE) / 1048576.0 AS total_spend,
+       CAST(MIN(s.sp) AS DOUBLE) / 1048576.0 AS min_spend,
+       CAST(MAX(s.sp) AS DOUBLE) / 1048576.0 AS max_spend
+FROM spend s JOIN dv d ON s.sp = d.sp CROSS JOIN nd n
+GROUP BY 1
+"""
+
+
+def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage per source: the share of token occurrences
+    whose term is NOT in the corpus vocabulary (terms appearing in at
+    least 0.5% of documents — a relative, scale-free cutoff kept as the
+    integer comparison ``df·200 ≥ N``).  The tokenizer-coverage /
+    domain-shift check every corpus refresh runs.  Tokens cross the
+    wire once, pre-collapsed: the join against the term dictionary is
+    over (source, term) COUNTS, never the raw token stream; the rate is
+    one double division per source."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dfreq = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.count()
+    vocab = dfreq.filter(F.col("df") * 200 >= F.lit(int(n_docs))).select(
+        "term", F.lit(1).alias("__v")
+    )
+    joined = st.join(vocab, "term", "left")
+    oov = F.sum(F.when(F.col("__v").isNull(), F.col("cnt")).otherwise(0))
+    return joined.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        oov.cast("long").alias("oov_tokens"),
+        F.try_divide(
+            oov.cast("double"), F.sum("cnt").cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+TXT_OOV_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, t AS term FROM (
+    SELECT doc_id, source,
+           unnest(regexp_split_to_array(text, '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''),
+st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY source, term),
+dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM documents WHERE text IS NOT NULL),
+vocab AS (SELECT term FROM dfreq CROSS JOIN nn WHERE df * 200 >= n)
+SELECT s.source, CAST(SUM(s.cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN s.cnt ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CASE WHEN SUM(s.cnt) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN v.term IS NULL THEN s.cnt ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(s.cnt) AS DOUBLE)
+       END AS oov_rate
+FROM st s LEFT JOIN vocab v ON s.term = v.term
+GROUP BY s.source
+"""
+
+
+def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (operators/graph.triangle_count) of the part
+    co-occurrence graph: parts are linked when they appear in the same
+    high-value order (within-basket pair join — pairs form only inside
+    an order, the standard basket bound).  Degree orientation keeps the
+    wedge space at Σ C(outdeg,2) with outdeg ≤ O(√E) — hub-proof — and
+    the closure test is one hash equi-join.  Returns the one-row census
+    (vertices, edges, wedges, triangles, global clustering coefficient;
+    the coefficient is the single double division)."""
+    from ..operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    hi = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450_000.0
+    ).select("o_orderkey")
+    liw = li.join(
+        hi, li["l_orderkey"] == hi["o_orderkey"], "left_semi"
+    )
+    a = liw.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = liw.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+GR_TRIANGLES_SQL = """
+WITH hi AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0),
+li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN hi ON l.l_orderkey = hi.o_orderkey),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY x),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+summ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges,
+         CAST(SUM(d) / 2 AS BIGINT) AS n_edges
+  FROM deg)
+SELECT n_vertices, n_edges, n_wedges, t AS n_triangles,
+       CASE WHEN n_wedges = 0 THEN NULL
+            ELSE CAST(3 * t AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       END AS clustering_coeff
+FROM summ CROSS JOIN tri
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3970,6 +4202,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_running_distinct": ev_running_distinct,
     "ev_attribution": ev_attribution,
     "dq_drift": dq_drift,
+    "ev_dwell_time": ev_dwell_time,
+    "a16_spend_deciles": a16_spend_deciles,
+    "txt_oov_rate": txt_oov_rate,
+    "gr_triangles": gr_triangles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4081,4 +4317,12 @@ ORACLES: dict[str, str] = {
     "ev_attribution": EV_ATTRIBUTION_SQL,
     # cross-multiplied integer TVD; one division per group
     "dq_drift": DQ_DRIFT_SQL,
+    # int64 µs gaps; mean = one division
+    "ev_dwell_time": EV_DWELL_SQL,
+    # rank-cut deciles (dense_ids ≡ DENSE_RANK), fixed-point spends
+    "a16_spend_deciles": A16_SPEND_DECILES_SQL,
+    # relative df cutoff as integer comparison; counts join, not tokens
+    "txt_oov_rate": TXT_OOV_SQL,
+    # census is orientation-independent; coefficient one division
+    "gr_triangles": GR_TRIANGLES_SQL,
 }

@@ -65,6 +65,10 @@ ALLOW = {
     # running sum over the DAY HISTOGRAM (calendar-sized — the event
     # rows were aggregated away two stages earlier)
     "ev_running_distinct": {"single-partition-exchange"},
+    # the census output is ONE row: the nested loop joins the 1-row
+    # degree summary to the 1-row triangle count; the single partitions
+    # are those scalar aggregates' final stages
+    "gr_triangles": {"nested-loop-join", "single-partition-exchange"},
 }
 
 
