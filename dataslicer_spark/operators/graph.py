@@ -336,3 +336,67 @@ def triangle_count(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances — ``(node, dist)`` for every node
+    reachable from ``sources`` within ``max_hops`` edges (``dist`` 0 for
+    the sources themselves; unreached nodes are absent).
+
+    Frontier-propagation formulation: each round joins only the CURRENT
+    frontier against the edge list (one hash shuffle keyed by the edge
+    source), anti-joins away already-settled nodes, and appends the rest
+    at distance r.  Because a node's first discovery round IS its BFS
+    distance, no min-aggregate over candidate distances is needed — set
+    semantics only, no floats, so the whole trajectory replays exactly
+    in SQL (chained CTEs with EXCEPT).  State stays distributed;
+    per-round ``localCheckpoint`` truncates the growing lineage (the
+    connected_components / pagerank device) and the one driver-side
+    action per round is an emptiness check that also provides early
+    exit.  Rounds are bounded by ``max_hops`` — at 100 TB you cap the
+    radius, not the node count.
+    """
+    from ..utils import check_col
+
+    check_col([src, dst], edges)
+    check_col([node_col], sources)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .filter(F.col(node_col).isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for r in range(1, max_hops + 1):
+        new = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(r).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist

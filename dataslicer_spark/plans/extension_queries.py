@@ -4066,6 +4066,13 @@ def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coefficient is the single double division)."""
     from ..operators.graph import triangle_count
 
+    return triangle_count(_part_edges(spark, sf_dir))
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence edges (src < dst, distinct): parts sharing a
+    high-value order.  Pairs form only WITHIN an order (basket-bounded
+    self-equi-join on the order key — never a cross join)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     hi = _t(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 450_000.0
@@ -4079,12 +4086,12 @@ def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = liw.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
     )
-    edges = (
+    return (
         a.join(b, "ok")
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
     )
-    return triangle_count(edges)
 
 
 GR_TRIANGLES_SQL = """
@@ -4116,6 +4123,145 @@ SELECT n_vertices, n_edges, n_wedges, t AS n_triangles,
             ELSE CAST(3 * t AS DOUBLE) / CAST(n_wedges AS DOUBLE)
        END AS clustering_coeff
 FROM summ CROSS JOIN tri
+"""
+
+
+def gr_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability profile (operators/graph.bfs_hops): hop-distance
+    histogram from the smallest part in the co-occurrence graph, radius
+    3.  Frontier propagation — per round ONE hash join of the current
+    frontier against the edge list plus an anti-join against settled
+    nodes; first-discovery round = distance, so the trajectory is pure
+    set algebra and replays exactly as chained CTEs with EXCEPT.  The
+    source is itself a 1-row aggregate (no driver round-trip)."""
+    from ..operators.graph import bfs_hops
+
+    edges = _part_edges(spark, sf_dir)
+    sources = edges.agg(F.min("src").alias("node"))
+    d = bfs_hops(edges, sources, max_hops=3)
+    return d.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+GR_BFS_SQL = """
+WITH hi AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0),
+li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN hi ON l.l_orderkey = hi.o_orderkey),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS (
+  SELECT u AS src, v AS dst FROM e0
+  UNION
+  SELECT v AS src, u AS dst FROM e0),
+s AS (SELECT MIN(src) AS node FROM e),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s),
+f1 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+  EXCEPT SELECT node FROM d0),
+d1 AS (SELECT * FROM d0
+       UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1),
+f2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+  EXCEPT SELECT node FROM d1),
+d2 AS (SELECT * FROM d1
+       UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2),
+f3 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+  EXCEPT SELECT node FROM d2),
+d3 AS (SELECT * FROM d2
+       UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3)
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d3 GROUP BY dist
+"""
+
+
+def txt_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier: documents ranked
+    into 10 score buckets (rank-cut via ``utils.dense_ids`` — the
+    scale-safe ranking device, dense-rank semantics so equal scores
+    share a bucket), each bucket reporting its empirical positive rate
+    against its mean score.  A well-calibrated filter's pos_rate should
+    rise monotonically with the bucket — THE standard check before a
+    quality threshold is chosen.  Integer counts/score sums; pos_rate
+    and mean_score are each a single double division."""
+    from ..operators.classifier import (
+        batch_perceptron_fit,
+        perceptron_predict,
+        substring_count,
+    )
+    from ..utils import dense_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        *[
+            substring_count(F.col("text"), pat).alias(name)
+            for name, pat in _CLF_FEATURES
+        ],
+    ).withColumn(
+        "y",
+        F.when(F.col("f_fast") > F.col("f_slow"), F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    )
+    fcols = [name for name, _ in _CLF_FEATURES]
+    feats = feats.persist()
+    try:
+        w = batch_perceptron_fit(
+            feats, fcols, "y", n_epochs=len(_CLF_LR), lr=_CLF_LR
+        )
+        sc = perceptron_predict(feats, fcols, w).filter(
+            F.col("score").isNotNull()
+        )
+        dv = dense_ids(sc.select("score"), "score", "rk")
+        nd = dv.count()
+        per = sc.join(dv, "score").withColumn(
+            "bucket", F.expr(f"CAST((rk * 10) DIV {nd} AS BIGINT)")
+        )
+        pos = F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        return per.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            pos.cast("long").alias("n_pos"),
+            F.try_divide(
+                pos.cast("double"), F.count(F.lit(1)).cast("double")
+            ).alias("pos_rate"),
+            F.try_divide(
+                F.sum("score").cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ).alias("mean_score"),
+        )
+    finally:
+        feats.unpersist()
+
+
+TXT_CALIBRATION_SQL = f"""
+WITH
+{_sql_perceptron_chain()},
+scored AS (
+  SELECT f.y, CAST({_sql_clf_score()} AS BIGINT) AS score
+  FROM feats f CROSS JOIN ep{len(_CLF_LR)} e
+  WHERE ({_sql_clf_score()}) IS NOT NULL),
+dv AS (
+  SELECT score,
+         CAST(DENSE_RANK() OVER (ORDER BY score) - 1 AS BIGINT) AS rk
+  FROM (SELECT DISTINCT score FROM scored)),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dv)
+SELECT CAST((d.rk * 10) // n.n AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN s.y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)
+       END AS pos_rate,
+       CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE CAST(SUM(s.score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       END AS mean_score
+FROM scored s JOIN dv d ON s.score = d.score CROSS JOIN nd n
+GROUP BY 1
 """
 
 
@@ -4206,6 +4352,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a16_spend_deciles": a16_spend_deciles,
     "txt_oov_rate": txt_oov_rate,
     "gr_triangles": gr_triangles,
+    "gr_bfs_hops": gr_bfs_hops,
+    "txt_calibration_curve": txt_calibration_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -4325,4 +4473,8 @@ ORACLES: dict[str, str] = {
     "txt_oov_rate": TXT_OOV_SQL,
     # census is orientation-independent; coefficient one division
     "gr_triangles": GR_TRIANGLES_SQL,
+    # frontier chain replayed via EXCEPT CTEs; set algebra only
+    "gr_bfs_hops": GR_BFS_SQL,
+    # rank-cut buckets (dense_ids ≡ DENSE_RANK) over integer scores
+    "txt_calibration_curve": TXT_CALIBRATION_SQL,
 }
