@@ -4265,6 +4265,71 @@ GROUP BY 1
 """
 
 
+#: corr-matrix fixture: lineitem measures, quantized at 2 decimals
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def a17_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix (operators/stats.corr_matrix)
+    over the four lineitem measures — ONE scan, ONE aggregate carrying
+    15 exact cells (int64 linear, decimal(38,0) quadratic: partitioning
+    cannot change a digit), floats entering once per pair in a pinned
+    num / (sqrt·sqrt) order the DuckDB HUGEINT oracle mirrors
+    bit for bit."""
+    from ..operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS, scale=100.0)
+
+
+def _sql_corr_matrix() -> str:
+    cs = _CORR_COLS
+    quant = ",\n         ".join(
+        f"CAST(FLOOR(CAST({c} AS DOUBLE) * 100.0) AS BIGINT) AS v{i}"
+        for i, c in enumerate(cs)
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cs)
+    cells = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for i in range(len(cs)):
+        cells.append(f"CAST(SUM(v{i}) AS HUGEINT) AS s{i}")
+        cells.append(
+            f"SUM(CAST(v{i} AS HUGEINT) * v{i}) AS p{i}{i}"
+        )
+    from itertools import combinations
+
+    for i, j in combinations(range(len(cs)), 2):
+        cells.append(
+            f"SUM(CAST(v{i} AS HUGEINT) * v{j}) AS p{i}{j}"
+        )
+    rows = []
+    for i, j in combinations(range(len(cs)), 2):
+        num = f"(n * p{i}{j} - s{i} * s{j})"
+        va = f"(n * p{i}{i} - s{i} * s{i})"
+        vb = f"(n * p{j}{j} - s{j} * s{j})"
+        rows.append(
+            f"""SELECT '{cs[i]}' AS var_x, '{cs[j]}' AS var_y,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN {va} = 0 OR {vb} = 0 THEN NULL
+            ELSE CAST({num} AS DOUBLE)
+                 / (sqrt(CAST({va} AS DOUBLE)) * sqrt(CAST({vb} AS DOUBLE)))
+       END AS corr
+FROM cells"""
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH q AS (
+  SELECT {quant}
+  FROM lineitem WHERE {notnull}),
+cells AS (
+  SELECT {', '.join(cells)}
+  FROM q)
+{body}
+"""
+
+
+A17_CORR_SQL = _sql_corr_matrix()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4354,6 +4419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_triangles": gr_triangles,
     "gr_bfs_hops": gr_bfs_hops,
     "txt_calibration_curve": txt_calibration_curve,
+    "a17_corr_matrix": a17_corr_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -4477,4 +4543,6 @@ ORACLES: dict[str, str] = {
     "gr_bfs_hops": GR_BFS_SQL,
     # rank-cut buckets (dense_ids ≡ DENSE_RANK) over integer scores
     "txt_calibration_curve": TXT_CALIBRATION_SQL,
+    # decimal(38)/HUGEINT exact cells; pinned num/(sqrt·sqrt) order
+    "a17_corr_matrix": A17_CORR_SQL,
 }

@@ -69,6 +69,9 @@ ALLOW = {
     # degree summary to the 1-row triangle count; the single partitions
     # are those scalar aggregates' final stages
     "gr_triangles": {"nested-loop-join", "single-partition-exchange"},
+    # the moment-cell aggregate is ONE row (15 exact cells); the single
+    # partition is that scalar aggregate's final stage
+    "a17_corr_matrix": {"single-partition-exchange"},
 }
 
 
