@@ -309,8 +309,72 @@ def group_ols(
     )
 
 
+
+def weighted_median(
+    df,
+    group_cols,
+    value_col: str,
+    weight_col: str,
+    weight_scale: float = 1.0,
+):
+    """Per-group lower weighted median — the smallest value v whose
+    cumulative weight reaches half the group total (2·cumw(v) ≥ W).
+
+    Exactness device: weights are quantized once to int64
+    (``floor(w·weight_scale)``) and everything after is integer — the
+    cumulative sum, the doubling, the comparison — so there is no
+    float accumulation to diverge across engines or partitionings; the
+    VALUE column is never arithmetic'd at all, just ordered.
+
+    Shape: weights pre-aggregate per (group, value) — the window walks
+    DISTINCT VALUES per group, not rows — then one partitioned cumsum
+    and a min-filter.  Two key shuffles total, both with map-side
+    partials.  Rows with NULL value/weight or non-positive quantized
+    weight are dropped (a zero-weight observation cannot carry a
+    median).
+
+    Returns one row per group: ``total_weight`` (int64, quantized
+    units) and ``weighted_median`` (the value column's type).
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    check_col(keys + [value_col, weight_col], df)
+    wq = F.floor(
+        F.col(weight_col).cast("double") * F.lit(float(weight_scale))
+    ).cast("long")
+    base = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .select(*keys, F.col(value_col).alias("__v"), wq.alias("__w"))
+        .filter(F.col("__w") > 0)
+    )
+    per_value = base.groupBy(*keys, "__v").agg(
+        F.sum("__w").alias("__wsum")
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*keys)
+    h = per_value.withColumn(
+        "__cum", F.sum("__wsum").over(w_cum)
+    ).withColumn("__tot", F.sum("__wsum").over(w_tot))
+    return (
+        h.filter(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*keys)
+        .agg(
+            F.max("__tot").cast("long").alias("total_weight"),
+            F.min("__v").alias("weighted_median"),
+        )
+    )
+
+
 __all__ = [
     "cluster_centroid",
+    "weighted_median",
     "group_ols",
     "cluster_centroid_weighted",
     "group_stats",

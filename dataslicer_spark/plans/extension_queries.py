@@ -4330,6 +4330,46 @@ cells AS (
 A17_CORR_SQL = _sql_corr_matrix()
 
 
+def a18_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag quantity-weighted median price
+    (operators/aggregates.weighted_median): weights ride int64 after one
+    quantization, the cumulative-weight window walks DISTINCT VALUES per
+    group (not rows), and the median itself is only ordered, never
+    arithmetic'd — the robust central-tendency aggregate with zero float
+    accumulation."""
+    from ..operators.aggregates import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+
+
+A18_WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 1.0) AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+pv AS (
+  SELECT g, v, CAST(SUM(w) AS BIGINT) AS wsum
+  FROM base WHERE w > 0 GROUP BY g, v),
+h AS (
+  SELECT g, v, wsum,
+         CAST(SUM(wsum) OVER (
+           PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(wsum) OVER (PARTITION BY g) AS BIGINT) AS tot
+  FROM pv)
+SELECT g AS l_returnflag,
+       CAST(MAX(tot) AS BIGINT) AS total_weight,
+       MIN(v) AS weighted_median
+FROM h WHERE 2 * cum >= tot
+GROUP BY g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4420,6 +4460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_bfs_hops": gr_bfs_hops,
     "txt_calibration_curve": txt_calibration_curve,
     "a17_corr_matrix": a17_corr_matrix,
+    "a18_weighted_median": a18_weighted_median,
 }
 
 ORACLES: dict[str, str] = {
@@ -4545,4 +4586,6 @@ ORACLES: dict[str, str] = {
     "txt_calibration_curve": TXT_CALIBRATION_SQL,
     # decimal(38)/HUGEINT exact cells; pinned num/(sqrt·sqrt) order
     "a17_corr_matrix": A17_CORR_SQL,
+    # int64 weight cumsum over distinct values; value never arithmetic'd
+    "a18_weighted_median": A18_WEIGHTED_MEDIAN_SQL,
 }

@@ -77,3 +77,63 @@ def test_partitioning_invariance_bitwise(spark):
     one = corr_matrix(df.coalesce(1), ["p", "q"]).collect()[0]["corr"]
     many = corr_matrix(df.repartition(32), ["p", "q"]).collect()[0]["corr"]
     assert one == many  # bit-identical, not approx
+
+
+# ---- weighted_median ----
+
+from dataslicer_spark.operators.aggregates import weighted_median
+
+
+def _py_wmedian(pairs):
+    """Lower weighted median of (value, int_weight) pairs."""
+    agg = {}
+    for v, w in pairs:
+        if v is None or w is None or w <= 0:
+            continue
+        agg[v] = agg.get(v, 0) + w
+    tot = sum(agg.values())
+    cum = 0
+    for v in sorted(agg):
+        cum += agg[v]
+        if 2 * cum >= tot:
+            return v, tot
+    return None, 0
+
+
+def test_weighted_median_matches_python(spark):
+    rng = random.Random(5)
+    pairs = [
+        (round(rng.uniform(0, 100), 2), rng.randrange(1, 9))
+        for _ in range(500)
+    ] + [(50.0, 3), (50.0, 4)]  # forced value ties
+    df = spark.createDataFrame(
+        [("g", v, float(w)) for v, w in pairs], "g string, v double, w double"
+    )
+    r = weighted_median(df, ["g"], "v", "w").collect()[0]
+    ev, et = _py_wmedian(pairs)
+    assert (r["weighted_median"], r["total_weight"]) == (ev, et)
+
+
+def test_weighted_median_weight_dominance(spark):
+    # one huge weight drags the median to its value regardless of count
+    rows = [("g", float(i), 1.0) for i in range(100)] + [("g", 77.5, 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    r = weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert r["weighted_median"] == 77.5
+
+
+def test_weighted_median_drops_nonpositive_and_null(spark):
+    rows = [
+        ("g", 1.0, 5.0), ("g", 2.0, 0.0), ("g", 3.0, -2.0),
+        ("g", None, 9.0), ("g", 9.0, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    r = weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert (r["weighted_median"], r["total_weight"]) == (1.0, 5)
+
+
+def test_weighted_median_even_split_takes_lower(spark):
+    rows = [("g", 10.0, 1.0), ("g", 20.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    r = weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert r["weighted_median"] == 10.0  # 2*cum(10)=2 >= tot=2
