@@ -4370,6 +4370,73 @@ GROUP BY g
 """
 
 
+def samp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed bootstrap (operators/bootstrap.py): a
+    ~94% percentile CI for the mean event value from 64 hash-derived
+    Poisson(1) replicates — no RNG, no coordination, ONE corpus scan
+    with a map-only replicate explosion feeding partial aggregates.
+    The whole resampling procedure replays bit for bit in DuckDB (same
+    md5, same integer inverse-CDF thresholds, same fixed-point sums)."""
+    from ..operators.bootstrap import bootstrap_mean_ci
+
+    events = load_events(spark, sf_dir)
+    return bootstrap_mean_ci(
+        events, "value", "event_id", n_replicates=64, trim=2
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    from ..operators.bootstrap import poisson1_thresholds
+
+    ts = poisson1_thresholds()
+    case = (
+        "CASE "
+        + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(ts))
+        + f" ELSE {len(ts)} END"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+full_m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CASE WHEN COUNT(*) = 0 THEN NULL
+              ELSE CAST(SUM(vq) AS DOUBLE)
+                   / CAST(COUNT(*) * 1048576 AS DOUBLE)
+         END AS mean
+  FROM base),
+cells AS (
+  SELECT vq, b,
+         ('0x' || substr(md5('bs' || id || ':' || CAST(b AS VARCHAR)),
+                         1, 13))::BIGINT AS u
+  FROM base CROSS JOIN range(0, 64) t(b)),
+rep AS (
+  SELECT b, CAST(SUM(w * vq) AS BIGINT) AS sw,
+         CAST(SUM(w) AS BIGINT) AS cnt
+  FROM (SELECT vq, b, {case} AS w FROM cells)
+  GROUP BY b),
+means AS (
+  SELECT b, CAST(sw AS DOUBLE) / CAST(cnt * 1048576 AS DOUBLE) AS m
+  FROM rep WHERE cnt > 0),
+ranked AS (
+  SELECT m,
+         ROW_NUMBER() OVER (ORDER BY m ASC, b ASC) AS ra,
+         ROW_NUMBER() OVER (ORDER BY m DESC, b DESC) AS rd
+  FROM means),
+ci AS (
+  SELECT MAX(CASE WHEN ra = 3 THEN m END) AS ci_lo,
+         MAX(CASE WHEN rd = 3 THEN m END) AS ci_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_replicates
+  FROM ranked)
+SELECT f.n_rows, f.mean, c.ci_lo, c.ci_hi, c.n_replicates
+FROM full_m f CROSS JOIN ci c
+"""
+
+
+SAMP_BOOTSTRAP_SQL = _sql_bootstrap_ci()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4461,6 +4528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_calibration_curve": txt_calibration_curve,
     "a17_corr_matrix": a17_corr_matrix,
     "a18_weighted_median": a18_weighted_median,
+    "samp_bootstrap_ci": samp_bootstrap_ci,
 }
 
 ORACLES: dict[str, str] = {
@@ -4588,4 +4656,6 @@ ORACLES: dict[str, str] = {
     "a17_corr_matrix": A17_CORR_SQL,
     # int64 weight cumsum over distinct values; value never arithmetic'd
     "a18_weighted_median": A18_WEIGHTED_MEDIAN_SQL,
+    # hash-derived Poisson bootstrap; md5 + integer thresholds replay
+    "samp_bootstrap_ci": SAMP_BOOTSTRAP_SQL,
 }

@@ -72,6 +72,9 @@ ALLOW = {
     # the moment-cell aggregate is ONE row (15 exact cells); the single
     # partition is that scalar aggregate's final stage
     "a17_corr_matrix": {"single-partition-exchange"},
+    # replicate ranking walks B=64 rows; the nested loop joins the
+    # 1-row full-mean aggregate to the 1-row CI aggregate
+    "samp_bootstrap_ci": {"nested-loop-join", "single-partition-exchange"},
 }
 
 
