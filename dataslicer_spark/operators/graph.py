@@ -400,3 +400,68 @@ def bfs_hops(
         dist = dist.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) — ``(node, label)`` after ``n_iter`` rounds; nodes sharing
+    a label form a community.
+
+    Determinism contract (what makes this SQL-replayable where textbook
+    LPA is not): updates are SYNCHRONOUS (every node reads round r−1's
+    labels — asynchronous order-dependence is what usually makes LPA
+    irreproducible) and the argmax is totally ordered — most frequent
+    neighbor label, ties broken by SMALLEST label.  Fixed ``n_iter``
+    bounds work; synchronous LPA can oscillate on bipartite-ish
+    structures, which a fixed round count simply truncates —
+    reproducibility over convergence, the same trade the fixed-point
+    PageRank makes.
+
+    Per round: one hash join (labels ⋈ edges), one (node, label) count
+    aggregate with map-side partials, one per-node argmax window —
+    state fully distributed, lineage truncated per round
+    (localCheckpoint), no driver action at all.
+    """
+    from pyspark.sql import Window
+
+    from ..utils import check_col
+
+    check_col([src, dst], edges)
+    nbrs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nbrs.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    pick = Window.partitionBy("u").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        counts = (
+            nbrs.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -4437,6 +4437,111 @@ FROM full_m f CROSS JOIN ci c
 SAMP_BOOTSTRAP_SQL = _sql_bootstrap_ci()
 
 
+def gr_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the part co-occurrence graph
+    (operators/graph.label_propagation, 3 synchronous rounds,
+    ties → smallest label): community-size histogram.  The synchronous +
+    totally-ordered-argmax contract is what lets an iterative community
+    algorithm carry an exact SQL oracle at all — textbook asynchronous
+    LPA is irreproducible by construction."""
+    from ..operators.graph import label_propagation
+
+    labels = label_propagation(_part_edges(spark, sf_dir), n_iter=3)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+def _sql_lpa_chain(n_iter: int) -> str:
+    ctes = [
+        """hi AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)""",
+        """li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN hi ON l.l_orderkey = hi.o_orderkey)""",
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """e AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e0
+  UNION
+  SELECT v AS src, u AS dst FROM e0)""",
+        """l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e)""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.src AS u, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e JOIN l{i - 1} l ON e.dst = l.node
+  GROUP BY e.src, l.label)"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY u ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i})
+  WHERE rn = 1)"""
+        )
+    return ",\n".join(ctes)
+
+
+GR_COMMUNITIES_SQL = f"""
+WITH
+{_sql_lpa_chain(3)}
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l3 GROUP BY label
+"""
+
+
+def a19_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source diversity as Gini impurity — the ln-free
+    diversity measure (entropy needs a transcendental; Gini is pure
+    arithmetic): gini = (N² − Σnᵢ²) / N², integer numerator via
+    cross-multiplication, ONE double division per group.  Two tiny
+    aggregates ((lang, source) counts, then per-lang cells) — the
+    corpus is scanned once.  Int64 budget: N < 3·10⁹ rows per group."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = per.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("__ssq"),
+    )
+    n = F.col("n_docs")
+    return cells.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.try_divide(
+            (n * n - F.col("__ssq")).cast("double"), (n * n).cast("double")
+        ).alias("gini"),
+    )
+
+
+A19_GINI_SQL = """
+WITH per AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+cells AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(n * n) AS BIGINT) AS ssq
+  FROM per GROUP BY lang)
+SELECT lang, n_docs, n_sources,
+       CASE WHEN n_docs = 0 THEN NULL
+            ELSE CAST(n_docs * n_docs - ssq AS DOUBLE)
+                 / CAST(n_docs * n_docs AS DOUBLE)
+       END AS gini
+FROM cells
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4529,6 +4634,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a17_corr_matrix": a17_corr_matrix,
     "a18_weighted_median": a18_weighted_median,
     "samp_bootstrap_ci": samp_bootstrap_ci,
+    "gr_communities": gr_communities,
+    "a19_gini_diversity": a19_gini_diversity,
 }
 
 ORACLES: dict[str, str] = {
@@ -4658,4 +4765,8 @@ ORACLES: dict[str, str] = {
     "a18_weighted_median": A18_WEIGHTED_MEDIAN_SQL,
     # hash-derived Poisson bootstrap; md5 + integer thresholds replay
     "samp_bootstrap_ci": SAMP_BOOTSTRAP_SQL,
+    # synchronous LPA trajectory, argmax totally ordered → exact CTEs
+    "gr_communities": GR_COMMUNITIES_SQL,
+    # ln-free Gini: integer cross-multiplied numerator, one division
+    "a19_gini_diversity": A19_GINI_SQL,
 }
