@@ -4497,6 +4497,99 @@ FROM l3 GROUP BY label
 """
 
 
+def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class query: recall@5 of the
+    hyperplane-LSH index against exact brute force — the measurement
+    every approximate-index deployment signs off on.  Both sides are
+    themselves oracled queries (seeded-plane LSH replay + exact top-k),
+    so even the RECALL is value-exact cross-engine: hit counting is a
+    semi-join on (query, neighbor), recall one division."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    lsh = sim_topk_lsh(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("__h")
+    )
+    j = bf.join(lsh, ["query_id", "vec_id"], "left")
+    hits = F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
+    return j.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_expected"),
+        hits.cast("long").alias("n_hits"),
+        F.try_divide(
+            hits.cast("double"), F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
+EMB_RECALL_SQL = f"""
+WITH bf AS (
+{SIM_TOPK_SQL}
+), lsh AS (
+{SIM_TOPK_LSH_SQL}
+)
+SELECT CAST(COUNT(DISTINCT b.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       END AS recall
+FROM bf b LEFT JOIN lsh l
+  ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+"""
+
+
+def ev_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue report per event type — the
+    period-over-period lag pattern: fixed-point weekly sums (bit-stable
+    doubles), one lag window per type, delta and percent change each a
+    single deterministic float op."""
+    from .star_queries import dsum
+
+    events = load_events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    rev = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", wk.cast("date").cast("string").alias("week"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value", "revenue"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "event_type",
+        "week",
+        "n_events",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("wow_abs"),
+        F.try_divide(F.col("revenue") - prev, prev).alias("wow_pct"),
+    )
+
+
+EV_WOW_SQL = """
+WITH rev AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+              AS VARCHAR) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 1048576.0) AS BIGINT)) AS DOUBLE)
+           / 1048576.0 AS revenue
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, 2)
+SELECT event_type, week, n_events, revenue,
+       LAG(revenue) OVER w AS prev_revenue,
+       revenue - LAG(revenue) OVER w AS wow_abs,
+       CASE WHEN LAG(revenue) OVER w = 0 THEN NULL
+            ELSE (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w
+       END AS wow_pct
+FROM rev
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
 def a19_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language source diversity as Gini impurity — the ln-free
     diversity measure (entropy needs a transcendental; Gini is pure
@@ -4636,6 +4729,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "samp_bootstrap_ci": samp_bootstrap_ci,
     "gr_communities": gr_communities,
     "a19_gini_diversity": a19_gini_diversity,
+    "emb_recall_eval": emb_recall_eval,
+    "ev_wow_change": ev_wow_change,
 }
 
 ORACLES: dict[str, str] = {
@@ -4769,4 +4864,8 @@ ORACLES: dict[str, str] = {
     "gr_communities": GR_COMMUNITIES_SQL,
     # ln-free Gini: integer cross-multiplied numerator, one division
     "a19_gini_diversity": A19_GINI_SQL,
+    # recall of two already-oracled queries; hit count + one division
+    "emb_recall_eval": EMB_RECALL_SQL,
+    # fixed-point weekly sums; lag deltas are single float ops
+    "ev_wow_change": EV_WOW_SQL,
 }

@@ -75,6 +75,9 @@ ALLOW = {
     # replicate ranking walks B=64 rows; the nested loop joins the
     # 1-row full-mean aggregate to the 1-row CI aggregate
     "samp_bootstrap_ci": {"nested-loop-join", "single-partition-exchange"},
+    # composes sim_topk_bruteforce (broadcast query side BY DESIGN) and
+    # ends in a 1-row scalar aggregate
+    "emb_recall_eval": {"nested-loop-join", "single-partition-exchange"},
 }
 
 
