@@ -375,6 +375,51 @@ def main() -> None:
 
     run("pagerank", pr_fn(cs1.cache()), pr_fn(cs4.cache()))
 
+    # round-4 additions: triangle census and LPA communities on the part
+    # co-occurrence graph (4× = more orders → ~4× edges, same degree
+    # distribution, so wedge space grows ~linearly under the degree
+    # orientation); bootstrap CI is one scan + map-only explosion →
+    # strictly linear
+    from dataslicer_spark.operators.bootstrap import bootstrap_mean_ci
+    from dataslicer_spark.operators.graph import label_propagation, triangle_count
+
+    hi1 = o1.filter(F.col("o_totalprice") > 450_000.0).select("o_orderkey")
+    liw1 = li1.join(hi1, li1.l_orderkey == hi1.o_orderkey, "left_semi")
+    pa = liw1.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    pb = liw1.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pe1 = (
+        pa.join(pb, "ok").filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst")).distinct()
+    )
+    pe4 = pe1
+    for i in (1, 2, 3):
+        pe4 = pe4.unionByName(
+            pe1.withColumn("src", F.col("src") + 1_000_000 * i)
+            .withColumn("dst", F.col("dst") + 1_000_000 * i)
+        )
+    pe1, pe4 = pe1.cache(), pe4.cache()
+    pe1.count(), pe4.count()
+
+    run(
+        "triangle_count",
+        lambda: triangle_count(pe1).write.format("noop").mode("overwrite").save(),
+        lambda: triangle_count(pe4).write.format("noop").mode("overwrite").save(),
+    )
+    run(
+        "label_propagation",
+        lambda: label_propagation(pe1, n_iter=3).write.format("noop")
+        .mode("overwrite").save(),
+        lambda: label_propagation(pe4, n_iter=3).write.format("noop")
+        .mode("overwrite").save(),
+    )
+
+    def boot_fn(ev):
+        return lambda: bootstrap_mean_ci(
+            ev, "value", "event_id", n_replicates=64
+        ).write.format("noop").mode("overwrite").save()
+
+    run("bootstrap_ci", boot_fn(ev1), boot_fn(ev4))
+
 
 if __name__ == "__main__":
     main()
