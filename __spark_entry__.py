@@ -30,19 +30,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return star_queries.flagship(spark, "/root/testdata/sf0.001")
 
 
+def _witnessed_keys() -> set[str]:
+    """Query names already recorded in a committed driver CORRECTNESS
+    artifact.  The driver only records the first 50 registry entries per
+    round, so we rotate: keys never yet witnessed go to the front of the
+    registry until every query has appeared in a driver artifact."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen |= set(json.load(fh))
+        except Exception:
+            continue
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
     north-star extensions (dedup / similarity / text / event windows)."""
     # astro first: its ~40-operator DAG must run before the other 75
-    # queries fill the JVM's JIT code cache — A/B-measured both ways this
-    # round: astro-first 16-46 s, astro-last 74 s (generated code left
+    # queries fill the JVM's JIT code cache — A/B-measured both ways in
+    # round 4: astro-first 16-46 s, astro-last 74 s (generated code left
     # interpreted once the code cache saturates); session.py also raises
     # ReservedCodeCacheSize for headroom
-    return {
+    full = {
         **astro_pipeline.QUERIES,
         **star_queries.QUERIES,
         **extension_queries.QUERIES,
     }
+    witnessed = _witnessed_keys()
+    astro = [k for k in astro_pipeline.QUERIES if k in full]
+    fresh = [k for k in full if k not in witnessed and k not in astro]
+    rest = [k for k in full if k in witnessed and k not in astro]
+    return {k: full[k] for k in (*astro, *fresh, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -19,6 +19,7 @@ A user of the reference maps their calls 1:1:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -274,6 +275,29 @@ class SlicerFrame:
         reps, stats = exact_dedup(self.df, id_col, text_col)
         return self._wrap(reps), self._wrap(stats)
 
+    # -- diagnostic plot sinks (reference dataset_base.py:72-96,
+    # objtable.py:334-346) ---------------------------------------------------
+    def sample_pandas(self, cols=None, max_rows: int = 100_000):
+        """Bounded ``toPandas()``: at most ``max_rows`` driver rows, the
+        cap enforced distributedly (plotting.bounded_sample_pandas)."""
+        from .plotting import bounded_sample_pandas
+
+        return bounded_sample_pandas(self.df, cols, max_rows)
+
+    def plot_histogram(self, col: str, **kw) -> str:
+        """Histogram diagnostic over a bounded sample (objtable.py:334-339);
+        returns the written file path.  Requires matplotlib."""
+        from .plotting import plot_histogram
+
+        return plot_histogram(self.df, col, **kw)
+
+    def plot_scatter(self, x_col: str, y_col: str, **kw) -> str:
+        """Scatter diagnostic over a bounded sample (objtable.py:340-343);
+        returns the written file path.  Requires matplotlib."""
+        from .plotting import plot_scatter
+
+        return plot_scatter(self.df, x_col, y_col, **kw)
+
     # -- sinks (S4) ----------------------------------------------------------
     def to_parquet(self, path: str, mode: str = "overwrite") -> None:
         """Engine-native sink (the reference's gzip-CSV cache, S4/S6)."""
@@ -299,6 +323,18 @@ class SlicerDataset:
         self.name = name
         self.metadata = SlicerFrame(metadata) if metadata is not None else None
         self.objtable = SlicerFrame(objtable) if objtable is not None else None
+        self.plot_dir: str | None = None
+
+    def set_plot_dir(self, plot_dir: str) -> None:
+        """(dataset_base.set_plot_dir, dataset_base.py:55-70)."""
+        os.makedirs(plot_dir, exist_ok=True)
+        self.plot_dir = plot_dir
+
+    def save_fig(self, fig, name: str, **savefig_kwargs) -> str:
+        """(dataset_base.save_fig, dataset_base.py:72-96)."""
+        from .plotting import save_fig
+
+        return save_fig(fig, name, self.plot_dir, **savefig_kwargs)
 
     # -- loading (S1/S5/S6) --------------------------------------------------
     @classmethod

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, materialize
 
 #: SentencePiece-style space marker — input spaces become real tokens.
 SPACE_MARK = "▁"
@@ -88,32 +88,44 @@ def bpe_fit(
     """Learn ``n_merges`` merges; returns them in order (each a
     ``"left right"`` pair string).  Raises if the corpus exhausts its
     pairs early (fewer distinct adjacent pairs than requested merges) —
-    a real corpus never does at practical vocabulary sizes."""
+    a real corpus never does at practical vocabulary sizes.
+
+    Incremental fit: the tokenized corpus is materialized each round and
+    only the NEWEST merge is applied to it — per-round cost is one
+    pair-count aggregate plus one map-only replace pass, so total cost is
+    O(n_merges · corpus), not the O(n_merges² · corpus) of re-applying
+    the whole merge chain to the raw corpus every round (which also built
+    an n_merges-deep expression tree — a codegen/analyzer killer at a
+    32k-merge production vocabulary)."""
     check_col(text_col, df)
-    corpus = df.select(
-        bpe_prepare(F.col(text_col), max_chars).alias("__s")
-    ).filter(F.col(text_col).isNotNull()).persist()
+    corpus = materialize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            bpe_prepare(F.col(text_col), max_chars).alias("__s")
+        )
+    )
     merges: list[str] = []
-    try:
-        for _ in range(n_merges):
-            s = F.col("__s")
-            for m in merges:
-                s = apply_merge(s, m)
-            top = (
-                corpus.select(F.explode(adjacent_pairs(s)).alias("__p"))
-                .groupBy("__p")
-                .count()
-                .orderBy(F.col("count").desc(), F.col("__p").asc())
-                .limit(1)
-                .collect()
+    for _ in range(n_merges):
+        top = (
+            corpus.select(
+                F.explode(adjacent_pairs(F.col("__s"))).alias("__p")
             )
-            if not top:
-                raise ValueError(
-                    f"corpus exhausted after {len(merges)} merges"
+            .groupBy("__p")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("__p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"corpus exhausted after {len(merges)} merges"
+            )
+        merges.append(top[0]["__p"])
+        if len(merges) < n_merges:
+            corpus = materialize(
+                corpus.select(
+                    apply_merge(F.col("__s"), merges[-1]).alias("__s")
                 )
-            merges.append(top[0]["__p"])
-    finally:
-        corpus.unpersist()
+            )
     return merges
 
 

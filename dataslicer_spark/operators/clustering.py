@@ -58,7 +58,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..utils import check_col, grouped_map_in_pandas
+from ..utils import check_col, grouped_map_in_pandas, materialize
 
 
 def _project(df: DataFrame, x_col: str, y_col: str, coord: str, eps: float):
@@ -440,8 +440,11 @@ def dbscan(
         # the sf0.1 flagship (25.5 s → 7.5 s once removed).  After the
         # checkpoint the probe and any follow-up read scan stored blocks;
         # the distributed fallback also stops double-reading the
-        # groupBy/distinct (it consumes ``keys`` twice).
-        key_sets_df = key_sets_df.localCheckpoint()
+        # groupBy/distinct (it consumes ``keys`` twice).  utils.materialize
+        # upgrades to a reliable checkpoint() when the session has a
+        # checkpoint dir (executor loss on a real cluster can't recompute
+        # localCheckpoint blocks); local mode keeps localCheckpoint.
+        key_sets_df = materialize(key_sets_df)
         probe = key_sets_df.limit(driver_merge_max_sets + 1).collect()
         if len(probe) <= driver_merge_max_sets:
             key_sets = probe

@@ -538,13 +538,15 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 3
 
 
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via the default multi-table
-    sign-LSH path (4 bits × 8 tables, seed 42) + exact fixed-point
-    re-rank.  The planes are seeded literals, so the DuckDB oracle
-    replays the identical buckets → the probabilistic candidate set is
-    still bit-identical cross-engine."""
+    """Embedding-cosine near-dup pairs via multi-table sign-LSH
+    (explicitly pinned at 4 bits × 8 tables, seed 42 — the static DuckDB
+    oracle bakes in these plane literals) + exact fixed-point re-rank.
+    The planes are seeded literals, so the DuckDB oracle replays the
+    identical buckets → the probabilistic candidate set is bit-identical
+    cross-engine.  Production callers leave ``n_planes=None`` and get
+    the corpus-size-derived width (``derive_n_planes``) instead."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.35, dim=64)
+    return embedding_near_dup(emb, threshold=0.35, n_planes=4, dim=64)
 
 
 def _lsh_planes_values(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
@@ -1531,23 +1533,43 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup, self-certified against exact aggregates.
+    """The sketch SCALE path, nothing else: DataSketches HLL distinct
+    counts + GK approx quartiles per returnflag — ONE groupBy, one scan,
+    no shuffle of raw values (partial sketches merge map-side).  This is
+    the query a 100 TB lake actually runs; its exact twins live in
+    ``sk_hll_certify`` so the bench measures sketch cost, not the
+    countDistinct Expand that sketches exist to avoid (that twin was
+    ~14× the sketch cost at sf0.1).  Estimates are engine-specific →
+    rows-only driver check; the value-hash oracle rides on
+    sk_hll_certify, and pytest pins the error bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("l_orderkey"), F.lit(12))
+        ).alias("n_l_orderkey"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("l_partkey"), F.lit(12))
+        ).alias("n_l_partkey"),
+        F.percentile_approx(
+            F.col("l_extendedprice"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10_000),
+        ).alias("q_l_extendedprice"),
+    )
 
-    Runs the sketch scale path (DataSketches HLL distinct counts + KLL-ish
-    approx quartiles, per returnflag) AND its exact twins, and outputs
-    engine-independent values: the exact distinct counts plus booleans
-    asserting each estimate sits within its published bound (HLL lgK=12 →
-    |est/exact−1| ≤ 5% ≈ 3·RSE; percentile_approx accuracy=10⁴ → value
-    between the exact p∓2·10⁻⁴ quantiles).  Both sketches are
-    order-independent (HLL) or deterministically bounded (GK quantiles),
-    so the booleans are TRUE by contract — which the DuckDB oracle can
-    verify with a full value-hash instead of the former rows-only check.
-    The raw-estimate form remains available via functions/sketches.py.
+
+def sk_hll_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch certification twin of ``sk_hll_stats``: runs the sketches
+    AND exact aggregates, outputs engine-independent values — the exact
+    distinct counts plus booleans asserting each estimate sits within its
+    published bound (HLL lgK=12 → |est/exact−1| ≤ 5% ≈ 3·RSE;
+    percentile_approx accuracy=10⁴ → value between the exact p∓2·10⁻⁴
+    quantiles).  The booleans are TRUE by contract, so the DuckDB oracle
+    verifies with a full value-hash.
 
     Plan note: sketch estimates, approx quantiles, and the exact twins
-    are ONE groupBy — a single scan of the fact table (the modular
-    hll_distinct/approx_quantiles helpers compose the same expressions;
-    calling them separately here cost two extra full scans + two joins —
+    are ONE groupBy — a single scan of the fact table (calling the
+    modular helpers separately cost two extra full scans + two joins —
     at 100 TB that is 300 TB read instead of 100).  The two
     COUNT(DISTINCT)s plan as one Expand, still one pass over the data."""
     li = _t(spark, sf_dir, "lineitem")
@@ -4660,6 +4682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "samp_stratified": samp_stratified,
     "emb_quantize": emb_quantize,
     "sk_hll_stats": sk_hll_stats,
+    "sk_hll_certify": sk_hll_certify,
     "sk_theta_sets": sk_theta_sets,
     "sk_hll_rollup": sk_hll_rollup,
     "ev_funnel_by_session": ev_funnel_by_session,
@@ -4760,7 +4783,7 @@ ORACLES: dict[str, str] = {
     # n_probe = n_lists ⇒ provably equals brute force (see sim_topk_ivf)
     "sim_topk_ivf": SIM_TOPK_SQL,
     # exact counts + bound-certification booleans (TRUE by sketch contract)
-    "sk_hll_stats": SK_HLL_SQL,
+    "sk_hll_certify": SK_HLL_SQL,
     "sk_theta_sets": SK_THETA_SQL,
     "sk_hll_rollup": SK_HLL_ROLLUP_SQL,
     "ev_funnel_by_session": EV_FUNNEL_SESSION_SQL,

@@ -326,3 +326,25 @@ def dense_ids(
         )
         .drop("__pid", "__off")
     )
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage.
+
+    Uses reliable ``checkpoint()`` when the session has a checkpoint dir
+    configured — on a real cluster the stored blocks survive executor
+    loss / dynamic-allocation downscale, and with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` stale
+    rounds' files are reclaimed.  Without a checkpoint dir it falls back
+    to ``localCheckpoint()``: correct and fast in local mode (and for
+    bounded frames whose loss just fails the job), but the unreplicated
+    executor blocks cannot be recomputed after executor loss — cluster
+    deployments of iterative operators should set a checkpoint dir."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -85,9 +85,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      ["HashJoin"], ["CartesianProduct", "NestedLoop"]),
     ("sk_theta_sets", "theta sketches aggregate JVM-side partial+final",
      ["HashAggregate", "theta_sketch_agg"], ["Python"]),
-    ("sk_hll_stats", "sketches + exact twins are ONE scan / one groupBy "
+    ("sk_hll_certify", "sketches + exact twins are ONE scan / one groupBy "
      "(Expand shares the pass for the two COUNT DISTINCTs)",
      ["HashAggregate", "Expand"], ["Join"]),
+    ("sk_hll_stats", "sketch-only path has NO exact-twin Expand and no "
+     "Python — pure partial+final sketch agg",
+     ["HashAggregate"], ["Expand", "Python", "Join"]),
     ("emb_pca_gram", "Gram matrix reduces per-partition before the "
      "shuffle — mapInPandas partials + final agg, no row explosion",
      ["MapInPandas", "HashAggregate"], ["Join", "Explode", "Generate"]),

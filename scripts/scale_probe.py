@@ -350,6 +350,17 @@ def main() -> None:
 
     run("bpe_train_apply", bpe_fn(docs1), bpe_fn(docs4))
 
+    # BPE merge-count scaling: FIXED corpus, 16 vs 64 merges — the
+    # incremental fit (materialize per round, apply only the newest
+    # merge) must be ~linear in merge count (≈4×), not the ≈16× of the
+    # old re-apply-the-whole-chain shape; this is the knob that grows to
+    # 32k in a production vocabulary, so its exponent matters more than
+    # the corpus axis above.  Reported as t_1x=16 merges, t_4x=64 merges.
+    def bpe_merges_fn(n):
+        return lambda: bpe_fit(docs1, "text", n_merges=n, max_chars=256)
+
+    run("bpe_merge_count_16_vs_64", bpe_merges_fn(16), bpe_merges_fn(64))
+
     # PageRank: 4× = more customers (distinct key space), same supplier
     # set — edges grow ~4×, rounds are joins + aggregates → ~linear
     from dataslicer_spark.operators.graph import pagerank

@@ -61,6 +61,10 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     # every non-oracle query is a documented engine-specific op:
     # mm's fake codec is PCG-seeded numpy; the astro pipeline
-    # contains DBSCAN/Jenks (no SQL twin)
+    # contains DBSCAN/Jenks (no SQL twin); sk_hll_stats is the
+    # sketch-only scale path (estimates are engine-specific — its
+    # value-hash oracle rides on sk_hll_certify)
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"astro_flagship_pipeline", "mm_image_features"}
+    assert rows_only <= {
+        "astro_flagship_pipeline", "mm_image_features", "sk_hll_stats",
+    }

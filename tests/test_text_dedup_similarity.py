@@ -497,3 +497,46 @@ def test_cosine_topk_batched_edge_cases(spark):
     withcos = corpus2.withColumn("cosine", F.lit(1.0))
     with _pytest.raises(ValueError, match="carry_cols"):
         cosine_topk_batched(withcos, queries, k=2, carry_cols=("cosine",))
+
+
+def test_derive_n_planes_rule():
+    from dataslicer_spark.operators.dedup import derive_n_planes
+
+    # tiny corpora clamp to the floor; growth adds ~1 bit per doubling
+    assert derive_n_planes(0) == 4
+    assert derive_n_planes(256) == 4
+    assert derive_n_planes(1 << 20) == 12          # 2^20/256 = 2^12
+    assert derive_n_planes((1 << 20) + 1) == 13    # ceil rounds up
+    assert derive_n_planes(1 << 40) == 24          # hi clamp
+    assert derive_n_planes(1 << 20, target_bucket_rows=8) == 17
+
+
+def test_lsh_candidate_growth_is_near_linear(spark):
+    """Corpus-size-derived plane count keeps sign-LSH candidate volume
+    ~linear in corpus size: 4× rows (250k → 1M synthetic vectors) must
+    grow candidates far below the 16× of a fixed-width quadratic blowup
+    (sign bits of k > dim planes are necessarily correlated, so bucket
+    skew allows some super-linearity; observed ≈6× at dim=16 — a fixed
+    k=4 would be ≈16× and rising)."""
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.operators.dedup import (
+        _lsh_candidate_pairs, derive_n_planes,
+    )
+
+    dim = 16
+
+    def corpus(n):
+        v = F.array(*[
+            (F.hash(F.col("id"), F.lit(j)).cast("double")
+             / F.lit(float(2 ** 31)))
+            for j in range(dim)
+        ])
+        return spark.range(n).select(F.col("id"), v.alias("v"))
+
+    counts = {}
+    for n in (250_000, 1_000_000):
+        k = derive_n_planes(n, target_bucket_rows=8)
+        counts[n] = _lsh_candidate_pairs(corpus(n), k, 1, 7, dim).count()
+    growth = counts[1_000_000] / max(counts[250_000], 1)
+    assert growth < 10.0, counts
