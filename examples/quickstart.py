@@ -47,6 +47,16 @@ def main() -> None:
     print("calibrated sources kept:", kept.count(), "| outliers:", outliers.count())
     kept.df.select("clusterID", "cal_mag", "ps1mag_band").show(5)
 
+    # --- diagnostic plot sink (reference objtable.py:334-346): bounded
+    # driver sample always works; rendering needs matplotlib -------------
+    sample = kept.sample_pandas(["cal_mag"], max_rows=10_000)
+    print("bounded diagnostic sample rows:", len(sample))
+    try:
+        out = kept.plot_histogram("cal_mag", plot_dir="/tmp/dslicer_plots")
+        print("wrote diagnostic:", out)
+    except NotImplementedError as e:
+        print("plot sink gated:", e)
+
     # --- training-pipeline extensions on the documents table --------------
     docs = SlicerFrame(
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
