@@ -45,23 +45,32 @@ def _matplotlib():
         ) from e
 
 
-def bounded_sample_pandas(
+def bounded_sample_df(
     df: DataFrame,
     cols: Sequence[str] | None = None,
     max_rows: int = 100_000,
-):
-    """``toPandas()`` capped at ``max_rows`` driver rows, enforced
-    DISTRIBUTEDLY: order by a row-value hash and take the first
-    ``max_rows`` (TakeOrderedAndProject — each executor keeps at most
-    ``max_rows`` rows, the driver merges).  Hash order makes the subset
+) -> DataFrame:
+    """The capped-sample plan: order by a row-value hash and take the
+    first ``max_rows`` — Spark plans a ``TakeOrderedAndProject`` (each
+    executor keeps at most ``max_rows`` rows, the driver merges; no
+    global sort, no full collect).  Hash order makes the subset
     pseudo-random yet deterministic across runs and partitionings, with
     no count-then-sample second job.  Column pruning happens before the
     hash, so the scan reads only the plotted columns."""
     if cols:
         check_col(list(cols), df)
         df = df.select(*cols)
-    sel = df.orderBy(F.xxhash64(F.struct(*df.columns))).limit(max_rows)
-    return sel.toPandas()
+    return df.orderBy(F.xxhash64(F.struct(*df.columns))).limit(max_rows)
+
+
+def bounded_sample_pandas(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    max_rows: int = 100_000,
+):
+    """``toPandas()`` capped at ``max_rows`` driver rows, enforced
+    DISTRIBUTEDLY via :func:`bounded_sample_df`."""
+    return bounded_sample_df(df, cols, max_rows).toPandas()
 
 
 def save_fig(fig, name: str, plot_dir: str | None = None, **savefig_kwargs):
@@ -127,6 +136,7 @@ def plot_scatter(
 
 
 __all__ = [
+    "bounded_sample_df",
     "bounded_sample_pandas",
     "save_fig",
     "plot_histogram",

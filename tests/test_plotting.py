@@ -84,3 +84,27 @@ def test_dataset_plot_dir_roundtrip(spark, tmp_path):
 
     assert out == os.path.join(target, "diag.png")
     assert os.path.exists(out)
+
+
+def test_bounded_sample_plans_take_ordered_with_pruned_scan(spark, tmp_path):
+    """The cap must be a TakeOrderedAndProject (each executor keeps at
+    most max_rows — no global sort, no full collect) over a scan that
+    reads only the plotted columns."""
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.plotting import bounded_sample_df
+
+    path = str(tmp_path / "wide.parquet")
+    spark.range(1000).select(
+        "id",
+        F.col("id").cast("double").alias("a"),
+        F.col("id").cast("double").alias("b"),
+        F.col("id").cast("string").alias("c"),
+    ).write.parquet(path)
+    df = bounded_sample_df(spark.read.parquet(path), ["a"], max_rows=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "a:double" in scan[0]
+    for other in ("b:double", "c:string"):
+        assert other not in scan[0]
