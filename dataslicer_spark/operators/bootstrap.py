@@ -11,21 +11,27 @@ distributionally equivalent to with-replacement resampling and needs no
 coordination — a map-side weight per (row, replicate).
 
 This module fixes the second: the Poisson draw is **hash-derived, not
-RNG-derived**.  ``md5(salt‖id‖':'‖b)``'s first 13 hex chars give a
-uniform 52-bit integer; the Poisson(1) inverse CDF is applied via
-integer thresholds ``floor(cumP(k)·16¹³)`` computed ONCE in Python and
-embedded as literals in both engines — so every engine assigns every
-row the exact same multiplicity in every replicate.  Values ride int64
-fixed-point, replicate sums are exact integers, each replicate mean is
-one double division, and the percentile CI takes fixed order-statistic
-ranks of the B deterministic means.  The whole procedure — weights,
-sums, means, ranks — replays in DuckDB bit for bit.
+RNG-derived** — a counter-based construction.  One
+``md5(salt‖id‖':'‖g)`` digest is computed per (row, BLOCK of 3
+replicates) and sliced into three independent 10-hex-char (40-bit)
+uniforms — md5 is the per-row cost driver, so slicing cuts hash calls
+3× vs one digest per replicate (measured 12.0 s → 7.3 s at B=64 on the
+sf0.1 events table; the remaining cost is the B-slot explode + conv)
+while the digest bits stay independent.  The
+Poisson(1) inverse CDF is applied via integer thresholds
+``floor(cumP(k)·16¹⁰)`` computed ONCE in Python and embedded as
+literals in both engines — so every engine assigns every row the exact
+same multiplicity in every replicate.  Values ride int64 fixed-point,
+replicate sums are exact integers, each replicate mean is one double
+division, and the percentile CI takes fixed order-statistic ranks of
+the B deterministic means.  The whole procedure — weights, sums,
+means, ranks — replays in DuckDB bit for bit.
 
 Scale shape: the corpus is scanned ONCE; the replicate explosion is
-map-only (each row emits B (b, w·v) terms straight into a partial
-aggregate, so the wire carries ≤ B rows per partition, never B·n); the
-ranking window walks B rows.  B is the knob: 64 replicates ≈ 6 extra
-map-side additions per row per replicate-batch, zero extra scans.
+map-only (each row emits ⌈B/3⌉ digests then B (b, w·v) terms straight
+into a partial aggregate, so the wire carries ≤ B rows per partition,
+never B·n); the ranking window walks B rows.  B is the knob: 64
+replicates ≈ 22 md5 + 64 threshold lookups per row, zero extra scans.
 """
 
 from __future__ import annotations
@@ -37,17 +43,19 @@ from pyspark.sql import functions as F
 
 from ..utils import check_col
 
-_HEX = 13
-_SPAN = 16**_HEX  # 2^52
+_HEX = 10
+_SPAN = 16**_HEX  # 2^40
+PER_DIGEST = 3  # 30 of md5's 32 hex chars → three 40-bit uniforms
 
 
 def poisson1_thresholds(max_k: int = 7) -> list[int]:
-    """Integer inverse-CDF cut points for Poisson(1) on a 52-bit uniform:
+    """Integer inverse-CDF cut points for Poisson(1) on a 40-bit uniform:
     multiplicity = first k with u < t[k], else ``max_k``.  Embedded as
     literals in both engines — the constants ARE the contract (their
     last-ulp placement is irrelevant as long as both sides use the same
-    numbers).  P(K > 7) ≈ 1e-5; the cap costs nothing statistically and
-    bounds the weight column."""
+    numbers; 2⁻⁴⁰ granularity is ~1e-12, irrelevant to CI quality).
+    P(K > 7) ≈ 1e-5; the cap costs nothing statistically and bounds the
+    weight column."""
     cum, ts = 0.0, []
     for k in range(max_k):
         cum += math.exp(-1) / math.factorial(k)
@@ -97,36 +105,54 @@ def bootstrap_mean_ci(
         ).alias("mean"),
     ).withColumn("__k", F.lit(1))
 
-    rep = base.select(
-        "__id",
+    n_blocks = -(-n_replicates // PER_DIGEST)
+    blocks = base.select(
         "__vq",
-        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias(
-            "__b"
-        ),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__g"),
+        "__id",
+    ).select(
+        "__vq",
+        "__g",
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col("__id"),
+                F.lit(":"),
+                F.col("__g").cast("string"),
+            )
+        ).alias("__h"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt),
-                    F.col("__id"),
-                    F.lit(":"),
-                    F.col("__b").cast("string"),
-                )
-            ),
-            1,
-            _HEX,
-        ),
-        16,
-        10,
-    ).cast("long")
     ts = poisson1_thresholds()
-    w = F.lit(len(ts))
-    for k in reversed(range(len(ts))):
-        w = F.when(u < F.lit(ts[k]), F.lit(k)).otherwise(w)
+
+    def weight(j: int) -> F.Column:
+        u = F.conv(
+            F.substring(F.col("__h"), 1 + _HEX * j, _HEX), 16, 10
+        ).cast("long")
+        w = F.lit(len(ts))
+        for k in reversed(range(len(ts))):
+            w = F.when(u < F.lit(ts[k]), F.lit(k)).otherwise(w)
+        return w
+
+    slots = F.array(
+        *[
+            F.struct(
+                (F.col("__g") * PER_DIGEST + j).cast("int").alias("b"),
+                weight(j).cast("long").alias("w"),
+            )
+            for j in range(PER_DIGEST)
+        ]
+    )
+    rep = (
+        blocks.select("__vq", F.explode(slots).alias("__s"))
+        .select(
+            "__vq",
+            F.col("__s.b").alias("__b"),
+            F.col("__s.w").alias("__w"),
+        )
+        .filter(F.col("__b") < n_replicates)
+    )
     means = (
-        rep.withColumn("__w", w)
-        .groupBy("__b")
+        rep.groupBy("__b")
         .agg(
             F.sum(F.col("__w") * F.col("__vq")).alias("__sw"),
             F.sum("__w").alias("__cnt"),

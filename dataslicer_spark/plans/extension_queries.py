@@ -4408,7 +4408,7 @@ def samp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bootstrap_ci() -> str:
-    from ..operators.bootstrap import poisson1_thresholds
+    from ..operators.bootstrap import PER_DIGEST, poisson1_thresholds
 
     ts = poisson1_thresholds()
     case = (
@@ -4416,6 +4416,7 @@ def _sql_bootstrap_ci() -> str:
         + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(ts))
         + f" ELSE {len(ts)} END"
     )
+    n_blocks = -(-64 // PER_DIGEST)
     return f"""
 WITH base AS MATERIALIZED (
   SELECT CAST(event_id AS VARCHAR) AS id,
@@ -4429,10 +4430,12 @@ full_m AS (
          END AS mean
   FROM base),
 cells AS (
-  SELECT vq, b,
-         ('0x' || substr(md5('bs' || id || ':' || CAST(b AS VARCHAR)),
-                         1, 13))::BIGINT AS u
-  FROM base CROSS JOIN range(0, 64) t(b)),
+  SELECT vq, {PER_DIGEST} * g + j AS b,
+         ('0x' || substr(md5('bs' || id || ':' || CAST(g AS VARCHAR)),
+                         1 + 10 * j, 10))::BIGINT AS u
+  FROM base CROSS JOIN range(0, {n_blocks}) t(g)
+            CROSS JOIN range(0, {PER_DIGEST}) s(j)
+  WHERE {PER_DIGEST} * g + j < 64),
 rep AS (
   SELECT b, CAST(SUM(w * vq) AS BIGINT) AS sw,
          CAST(SUM(w) AS BIGINT) AS cnt

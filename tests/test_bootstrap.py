@@ -18,14 +18,18 @@ FP = 1 << 20
 
 
 def _py_replicates(rows, n_replicates, salt="bs"):
-    """Bit-exact Python replay: same md5, same thresholds, same math."""
+    """Bit-exact Python replay: same block-sliced md5 (one digest per 3
+    replicates, three 40-bit slices), same thresholds, same math."""
+    from dataslicer_spark.operators.bootstrap import PER_DIGEST
+
     ts = poisson1_thresholds()
     means = []
     for b in range(n_replicates):
+        g, j = divmod(b, PER_DIGEST)
         sw = cnt = 0
         for rid, v in rows:
-            h = hashlib.md5(f"{salt}{rid}:{b}".encode()).hexdigest()
-            u = int(h[:13], 16)
+            h = hashlib.md5(f"{salt}{rid}:{g}".encode()).hexdigest()
+            u = int(h[10 * j : 10 * (j + 1)], 16)
             w = next((k for k, t in enumerate(ts) if u < t), len(ts))
             vq = math.floor(v * FP)
             sw += w * vq
