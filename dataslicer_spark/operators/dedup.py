@@ -699,9 +699,10 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    k: int = 8,
+    k: int | None = None,
     n_iter: int = 3,
     fp_bits: int | None = None,
+    target_cluster_rows: int = 512,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
     embedding corpus, then drop every document that has a smaller-id
@@ -711,6 +712,11 @@ def semantic_dedup(
     a cluster, so the quadratic term is bounded by the largest cluster,
     not the corpus — pick ``k`` so clusters fit the pair budget (the
     paper runs 50k clusters over 5 B images for exactly this reason).
+    ``k=None`` (the default) derives it from the corpus:
+    ``k = clamp(ceil(n / target_cluster_rows), 4, 65536)`` — expected
+    cluster size stays ≈ ``target_cluster_rows`` as the corpus grows, so
+    the within-cluster pair join stays ~linear in n (n·target/2 pairs)
+    instead of silently quadratic at a fixed k.  Costs one ``count()``.
 
     Keep rule: the smallest id of any near-pair survives — one
     deterministic pass, no transitive closure (a chain a~b~c with
@@ -730,6 +736,13 @@ def semantic_dedup(
     check_col([id_col, vec_col], df)
     fp = FP_BITS_DEFAULT if fp_bits is None else fp_bits
     df = df.filter(F.col(vec_col).isNotNull())
+    if k is None:
+        n_rows = df.count()
+        k = max(4, min(65_536, -(-n_rows // target_cluster_rows)))
+        _LOG.info(
+            "semantic_dedup: n=%d -> k=%d clusters "
+            "(target occupancy ~%d)", n_rows, k, target_cluster_rows,
+        )
     centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter, fp_bits=fp)
     assigned = kmeans_assign(df, centroids, vec_col, fp_bits=fp)
     base = assigned.select(

@@ -165,3 +165,27 @@ def test_null_vectors_cannot_seed_centroids(spark):
     )
     cents = kmeans_fit(df, "vec_id", "embedding", k=3, n_iter=2)
     assert all(all(v is not None for v in c) for c in cents)
+
+
+def test_semantic_dedup_auto_k_derivation(spark):
+    """k=None derives cluster count from corpus size so expected cluster
+    occupancy stays ~target_cluster_rows (the paper's 50k-clusters-for-5B
+    rule as a default)."""
+    import numpy as np
+
+    from dataslicer_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n=60, target 16 -> ceil(60/16)=4 clusters
+    surv, _ = semantic_dedup(
+        df, threshold=0.9999, n_iter=1, target_cluster_rows=16
+    )
+    got = surv.select("cluster").distinct().count()
+    assert 1 <= got <= 4  # k-means may leave a derived cluster empty
+    # floor clamp: tiny corpus still gets >=4 centroids requested
+    surv2, _ = semantic_dedup(
+        df.limit(5), threshold=0.9999, n_iter=1, target_cluster_rows=512
+    )
+    assert surv2.count() == 5
