@@ -340,7 +340,7 @@ def _kmeans_numpy(M: np.ndarray, k: int, seed: int, n_iter: int = 20) -> np.ndar
 
 def build_ivf_index(
     corpus: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
@@ -354,8 +354,16 @@ def build_ivf_index(
     always a sampled offline step); centroids ship to executors inside an
     Arrow UDF closure.  Build once, search many — persist with
     :func:`save_ivf_index` for cross-job reuse.
+
+    ``n_lists=None`` derives the FAISS rule of thumb ``≈ √n`` (clamped to
+    [4, 65536]; one extra ``count()``): per-probe scan cost ~n/√n and
+    quantizer cost ~√n both stay sublinear as the corpus grows, where a
+    fixed list count silently degrades each probe toward a full scan.
     """
     check_col([corpus_id, corpus_vec], corpus)
+    if n_lists is None:
+        n_rows = corpus.count()
+        n_lists = max(4, min(65_536, int(n_rows**0.5)))
     # hash-ordered top-n: data-deterministic and layout-independent
     # (plain limit() trains on whatever partitions list first — a
     # source-clustered corpus would give the quantizer one region only)
@@ -473,7 +481,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     n_probe: int = 3,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",

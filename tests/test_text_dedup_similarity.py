@@ -540,3 +540,14 @@ def test_lsh_candidate_growth_is_near_linear(spark):
         counts[n] = _lsh_candidate_pairs(corpus(n), k, 1, 7, dim).count()
     growth = counts[1_000_000] / max(counts[250_000], 1)
     assert growth < 10.0, counts
+
+
+def test_ivf_auto_n_lists_sqrt_rule(spark, emb):
+    """n_lists=None derives ~sqrt(n) inverted lists (FAISS rule) so probe
+    cost stays sublinear as the corpus grows."""
+    from dataslicer_spark.operators.similarity import build_ivf_index
+
+    n = emb.count()
+    centroids, assigned = build_ivf_index(emb, n_lists=None, seed=42)
+    assert len(centroids) == max(4, min(65_536, int(n ** 0.5)))
+    assert assigned.select("list_id").distinct().count() <= len(centroids)
