@@ -193,6 +193,33 @@ def minhash_signatures(
     ).filter(F.col("signature").isNotNull())
 
 
+def band_buckets(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bucket) keys of a ``minhash_signatures`` frame: ``bands``
+    bands of ``num_perm/bands`` signature slots, each hashed to one
+    bucket key (multi-arg xxhash64 over the band's slots directly —
+    string concat per band was measurably slower).  Shared by
+    :func:`minhash_lsh_pairs` and the persistent index
+    (``operators/dedup_index.py``) so stored and probe-side buckets are
+    always computed identically."""
+    r = num_perm // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[b * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -230,26 +257,8 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"verify must be True, False or 'exact', got {verify!r}"
         )
-    r = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
-    bucketed = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # multi-arg xxhash64 over the band's slots directly
-                        # (string concat per band was measurably slower)
-                        F.xxhash64(
-                            *[F.col("signature")[b * r + j] for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    bucketed = band_buckets(sigs, num_perm, bands)
     a = bucketed.select(F.col("id").alias("id_a"), "band", "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
@@ -840,6 +849,7 @@ __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "band_buckets",
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_pairs",

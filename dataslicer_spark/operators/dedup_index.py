@@ -1,0 +1,245 @@
+"""Persistent MinHash/LSH near-dup index — build once, then dedup every
+incoming batch against the accumulated corpus WITHOUT recomputing it.
+
+The production ingestion loop at 100 TB is incremental: a daily crawl
+batch must be near-dup-checked against billions of already-ingested
+documents.  Re-running pairwise LSH over (corpus + batch) rescans the
+corpus every day; the index instead persists exactly the two artifacts
+LSH needs — fixed-size MinHash signatures and their banded bucket keys
+— so a batch costs: hash the batch, join its bands against the stored
+band table, verify only the candidates.
+
+Plan shape (the part that matters at scale):
+
+- the stored band table is the big side and is NEVER shuffled: the new
+  batch's (band, bucket) keys are broadcast, so candidate generation is
+  a map-side hash join over a straight scan of the index;
+- verification joins signatures by id for candidate ids only;
+  signatures are ``num_perm``·8 bytes regardless of document length —
+  document bodies never enter the index;
+- appending a deduped batch is a parquet append of its signatures and
+  bands — no rewrite, no compaction requirement (compact with
+  ``sources/lake.py`` tooling if small files accumulate);
+- the streaming form is this operator inside ``foreachBatch``:
+  dedup the micro-batch against the index, append survivors.
+
+The banding math is identical to :func:`minhash_lsh_pairs`
+(``operators/dedup.py``), so recall follows the same
+``1-(1-j^r)^b`` curve; index parameters are stored in a meta table and
+re-validated on every probe — a probe with different (n, num_perm,
+bands) would silently find nothing, so it raises instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+from .dedup import band_buckets, minhash_signatures
+
+#: index layout: <path>/{signatures,bands,meta} parquet directories.
+_SIGS, _BANDS, _META = "signatures", "bands", "meta"
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> None:
+    """Create the index at ``path`` from an initial corpus (may be
+    empty).  Stores signatures, band keys, and the hashing parameters."""
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    check_col([id_col, text_col], df)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    sigs.write.mode("overwrite").parquet(os.path.join(path, _SIGS))
+    band_buckets(
+        df.sparkSession.read.parquet(os.path.join(path, _SIGS)),
+        num_perm,
+        bands,
+    ).write.mode("overwrite").parquet(os.path.join(path, _BANDS))
+    df.sparkSession.createDataFrame(
+        [(n, num_perm, bands)], "n int, num_perm int, bands int"
+    ).write.mode("overwrite").parquet(os.path.join(path, _META))
+
+
+def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    row = spark.read.parquet(os.path.join(path, _META)).collect()[0]
+    return row.n, row.num_perm, row.bands
+
+
+def dedup_against_minhash_index(
+    new_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    append_survivors: bool = True,
+    exact_verify_with: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup the batch against the index; returns
+    ``(survivors, matches)``.
+
+    ``matches`` = (new_id, index_id, est_jaccard ≥ threshold) — the
+    signature-slot-agreement estimate, like ``verify=True`` pairs mode.
+    ``survivors`` = batch rows with no index match (they are also
+    near-dup'd against EACH OTHER via the same band keys — a batch with
+    two copies of a new document keeps the smaller id).
+
+    ``exact_verify_with`` — the source-of-truth document table the index
+    was built from (the lake table; the index itself stores only
+    signatures, never bodies).  When given, candidate matches are
+    re-verified with the TRUE shingle-set Jaccard (texts fetched for
+    candidate ids only) and ``matches`` carries ``jaccard`` instead of
+    ``est_jaccard`` — the engine-independent output (= exact pair set
+    minus LSH misses, miss probability (1−t^r)^b) that the DuckDB
+    oracle checks; see ``minhash_lsh_pairs(verify="exact")``.
+
+    With ``append_survivors`` (default) the survivors' signatures and
+    band keys are appended to the index, so consecutive calls implement
+    the incremental-ingestion loop; pass False for a dry-run check.
+    Everything before the final parquet append is lazy-plus-one-action;
+    the stored band table is scanned once, map-side hash-joined against
+    the broadcast batch keys."""
+    from ..functions.text import word_shingles
+
+    spark = new_df.sparkSession
+    check_col([id_col, text_col], new_df)
+    n, num_perm, bands = _read_meta(spark, path)
+    sigs_new = minhash_signatures(
+        new_df, id_col, text_col, n, num_perm
+    ).persist()
+    bands_new = band_buckets(sigs_new, num_perm, bands).persist()
+
+    stored_bands = spark.read.parquet(os.path.join(path, _BANDS))
+    cand = (
+        stored_bands.withColumnRenamed("id", "index_id")
+        .join(
+            F.broadcast(bands_new.withColumnRenamed("id", "new_id")),
+            ["band", "bucket"],
+        )
+        .select("new_id", "index_id")
+        .dropDuplicates()
+    )
+    stored_sigs = spark.read.parquet(os.path.join(path, _SIGS))
+    if exact_verify_with is not None:
+        check_col([id_col, text_col], exact_verify_with)
+        sh_new = new_df.select(
+            F.col(id_col).alias("new_id"),
+            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh_n"),
+        ).filter(F.size("sh_n") > 0)
+        sh_idx = exact_verify_with.select(
+            F.col(id_col).alias("index_id"),
+            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh_i"),
+        ).filter(F.size("sh_i") > 0)
+        est = (
+            cand.join(F.broadcast(sh_new), "new_id")
+            .join(sh_idx, "index_id")
+            .withColumn(
+                "n_common", F.size(F.array_intersect("sh_n", "sh_i"))
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (
+                    F.size("sh_n") + F.size("sh_i") - F.col("n_common")
+                ).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "index_id", "jaccard")
+        )
+    else:
+        est = (
+            cand.join(
+                F.broadcast(
+                    sigs_new.select(
+                        F.col("id").alias("new_id"),
+                        F.col("signature").alias("sig_new"),
+                    )
+                ),
+                "new_id",
+            )
+            .join(
+                stored_sigs.select(
+                    F.col("id").alias("index_id"),
+                    F.col("signature").alias("sig_idx"),
+                ),
+                "index_id",
+            )
+            .withColumn(
+                "est_jaccard",
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_new", "sig_idx",
+                            lambda x, y: (x == y).cast("int"),
+                        ),
+                        lambda v: v == 1,
+                    )
+                ).cast("double")
+                / F.lit(float(num_perm)),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("new_id", "index_id", "est_jaccard")
+        )
+
+    # within-batch near-dup via the same band keys: keep the smaller id
+    a = bands_new.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bands_new.select(F.col("id").alias("id_b"), "band", "bucket")
+    intra = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(
+            sigs_new.select(
+                F.col("id").alias("id_a"), F.col("signature").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs_new.select(
+                F.col("id").alias("id_b"), F.col("signature").alias("sb")
+            ),
+            "id_b",
+        )
+        .filter(
+            F.size(
+                F.filter(
+                    F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / F.lit(float(num_perm))
+            >= threshold
+        )
+        .select(F.col("id_b").alias("dropped_id"))
+    )
+    dropped = (
+        est.select(F.col("new_id").alias("dropped_id"))
+        .unionByName(intra)
+        .distinct()
+    )
+    survivors = new_df.join(
+        dropped.withColumnRenamed("dropped_id", id_col), id_col, "left_anti"
+    )
+
+    if append_survivors:
+        surv_ids = survivors.select(F.col(id_col).alias("id"))
+        surv_sigs = sigs_new.join(F.broadcast(surv_ids), "id", "left_semi")
+        surv_sigs.write.mode("append").parquet(os.path.join(path, _SIGS))
+        band_buckets(surv_sigs, num_perm, bands).write.mode("append").parquet(
+            os.path.join(path, _BANDS)
+        )
+    return survivors, est
+
+
+__all__ = [
+    "build_minhash_index",
+    "dedup_against_minhash_index",
+]

@@ -482,6 +482,72 @@ WHERE CAST(n_common AS DOUBLE)
 """
 
 
+def dd_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent MinHash/LSH index probe (operators/dedup_index.py) —
+    the incremental-ingestion shape: build the signature+band index from
+    the document table (bodies never stored), then near-dup a batch of
+    planted mutations against it WITHOUT rescanning the corpus (the
+    stored band table map-side hash-joins the broadcast batch keys).
+    Matches are exact-Jaccard verified against the source-of-truth
+    table, so the output is engine-independent (= exact cross-pair set
+    minus LSH misses; at r=2, b=32, t=0.8 the per-pair miss probability
+    is < 1e-14) and the DuckDB oracle computes it directly."""
+    import tempfile
+
+    from ..operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    batch = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
+        ).alias("text"),
+    )
+    path = tempfile.mkdtemp(prefix="dslicer_mhidx_")
+    build_minhash_index(docs, path, "doc_id", num_perm=64, bands=32)
+    _surv, matches = dedup_against_minhash_index(
+        batch, path, "doc_id", threshold=0.8,
+        append_survivors=False, exact_verify_with=docs,
+    )
+    return matches.select(
+        F.col("index_id").alias("id_a"),
+        F.col("new_id").alias("id_b"),
+        "jaccard",
+    )
+
+
+DD_INDEX_INCREMENTAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 100000, t[1:greatest(len(t)-3, 1)] AS t FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM corpus, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+"""
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤k pairs over the near-dup corpus.
 
@@ -4675,6 +4741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_resolve_groups": dd_resolve_groups,
     "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_index_incremental": dd_index_incremental,
     "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
     "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -4773,6 +4840,7 @@ ORACLES: dict[str, str] = {
     # exact-verification output → engine-independent despite xxhash64
     # candidates (miss probability < 1e-14/pair at r=2 b=32 t=0.8)
     "dd_minhash_lsh": DD_MINHASH_SQL,
+    "dd_index_incremental": DD_INDEX_INCREMENTAL_SQL,
     # md5-derived 60-bit hashes → full fingerprint replay in SQL
     "dd_simhash": DD_SIMHASH_SQL,
     "txt_train_split": TXT_TRAIN_SPLIT_SQL,

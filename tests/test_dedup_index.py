@@ -1,0 +1,133 @@
+"""Persistent MinHash/LSH index (operators/dedup_index.py): the
+incremental-ingestion loop — build, probe batches, append survivors —
+plus parameter-contract and plan-shape checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataslicer_spark.operators.dedup import minhash_lsh_pairs
+from dataslicer_spark.operators.dedup_index import (
+    build_minhash_index,
+    dedup_against_minhash_index,
+)
+
+
+def _mutate(df, id_shift, drop_words=3):
+    """Near-duplicate copies: shift ids, drop the last few words."""
+    toks = F.split(F.col("text"), r"\s+")
+    return df.select(
+        (F.col("doc_id") + id_shift).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.size(toks) - drop_words)
+        ).alias("text"),
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(120)
+        .cache()
+    )
+
+
+def test_incremental_ingestion_loop(spark, docs, tmp_path):
+    path = str(tmp_path / "mhidx")
+    seed = docs.limit(60)
+    build_minhash_index(seed, path, "doc_id")
+
+    # batch 1: 30 fresh docs + near-dup copies of 20 indexed ones
+    fresh1 = docs.subtract(seed).limit(30)
+    dups_of_indexed = _mutate(seed.limit(20), 500_000)
+    batch1 = fresh1.unionByName(dups_of_indexed)
+    surv1, matches1 = dedup_against_minhash_index(
+        batch1, path, "doc_id", threshold=0.5
+    )
+    matched_new = {r.new_id for r in matches1.collect()}
+    # high recall on planted near-dups of indexed docs
+    assert len(matched_new & {r.doc_id + 500_000 for r in seed.limit(20).collect()}) >= 16
+    surv_ids = {r.doc_id for r in surv1.select("doc_id").collect()}
+    assert surv_ids & {r.doc_id for r in fresh1.collect()}  # fresh kept
+    assert not (surv_ids & matched_new)  # matched dropped
+
+    # batch 2: copies of batch-1 SURVIVORS must now match (survivors were
+    # appended), and re-sending an already-matched dup still matches
+    batch2 = _mutate(fresh1.limit(10), 700_000)
+    surv2, matches2 = dedup_against_minhash_index(
+        batch2, path, "doc_id", threshold=0.5
+    )
+    assert matches2.count() >= 8  # recall vs the newly appended docs
+    assert surv2.count() <= 2
+
+
+def test_within_batch_dedup_keeps_smaller_id(spark, docs, tmp_path):
+    path = str(tmp_path / "mhidx2")
+    build_minhash_index(docs.limit(0), path, "doc_id")  # empty index
+    base = docs.limit(10)
+    batch = base.unionByName(_mutate(base, 900_000, drop_words=2))
+    surv, matches = dedup_against_minhash_index(
+        batch, path, "doc_id", threshold=0.5
+    )
+    # the smaller-id originals survive; their mutated twins drop
+    ids = {r.doc_id for r in surv.select("doc_id").collect()}
+    assert {r.doc_id for r in base.collect()} <= ids
+    assert all(i < 900_000 for i in ids)
+    assert matches.count() == 0  # empty index -> no cross-index matches
+
+
+def test_probe_parity_with_pairwise_lsh(spark, docs, tmp_path):
+    """Index probe must find the same (indexed, new) pairs as running
+    pairwise minhash_lsh_pairs over the union — same signatures, same
+    bands, same estimate."""
+    path = str(tmp_path / "mhidx3")
+    old = docs.limit(40)
+    build_minhash_index(old, path, "doc_id")
+    new = _mutate(old.limit(15), 500_000)
+    _surv, matches = dedup_against_minhash_index(
+        new, path, "doc_id", threshold=0.5, append_survivors=False
+    )
+    got = {(r.index_id, r.new_id, r.est_jaccard) for r in matches.collect()}
+
+    both = minhash_lsh_pairs(
+        old.unionByName(new), "doc_id", threshold=0.5
+    )
+    want = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in both.collect()
+        if r.id_a < 500_000 <= r.id_b  # cross old->new pairs only
+    }
+    assert got == want
+
+
+def test_append_false_leaves_index_untouched(spark, docs, tmp_path):
+    path = str(tmp_path / "mhidx4")
+    build_minhash_index(docs.limit(20), path, "doc_id")
+    import os
+
+    before = sorted(os.listdir(os.path.join(path, "signatures")))
+    new = _mutate(docs.limit(5), 800_000)
+    dedup_against_minhash_index(
+        new, path, "doc_id", append_survivors=False
+    )[0].count()
+    assert sorted(os.listdir(os.path.join(path, "signatures"))) == before
+
+
+def test_band_table_is_scanned_not_shuffled(spark, docs, tmp_path):
+    """Scale contract: candidate generation broadcast-joins the batch
+    keys against the stored band table — no exchange on the stored
+    side."""
+    path = str(tmp_path / "mhidx5")
+    build_minhash_index(docs.limit(40), path, "doc_id")
+    new = _mutate(docs.limit(5), 800_000)
+    _surv, matches = dedup_against_minhash_index(
+        new, path, "doc_id", append_survivors=False
+    )
+    plan = matches._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
