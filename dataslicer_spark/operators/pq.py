@@ -371,3 +371,37 @@ def ivf_pq_search(
         list_col="list_id",
         query_lists=query_lists,
     )
+
+
+def save_pq_index(
+    codebooks: np.ndarray, codes: DataFrame, path: str
+) -> None:
+    """Persist a PQ index: the trained codebooks as a (subspace, code,
+    centroid) table plus the uint8-code corpus — the build-once /
+    search-many shape (mirrors ``similarity.save_ivf_index``).  The
+    codes table is ~32× smaller than the raw vectors, so a later search
+    job scans megabytes where the corpus was gigabytes."""
+    spark = codes.sparkSession
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k, _ds = cb.shape
+    rows = [
+        (j, c, [float(x) for x in cb[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """Load ``(codebooks, codes)`` written by :func:`save_pq_index`."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.subspace for r in rows)
+    k = 1 + max(r.code for r in rows)
+    ds = len(rows[0].centroid)
+    cb = np.empty((m, k, ds), dtype=np.float64)
+    for r in rows:
+        cb[r.subspace, r.code] = r.centroid
+    return cb, spark.read.parquet(f"{path}/codes")

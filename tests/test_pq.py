@@ -196,3 +196,34 @@ def test_ivf_pq_respects_per_query_probes(spark, corpus):
         hits = [r["vec_id"] for r in out if r["query_id"] == qid]
         assert hits, qid
         assert all(list_of[h] == own for h in hits), (qid, own)
+
+
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    """Search results from a reloaded PQ index are identical to the
+    in-memory index (exact codebook doubles survive the parquet trip)."""
+    import numpy as np
+
+    from dataslicer_spark.operators.pq import (
+        load_pq_index, pq_encode, pq_search, save_pq_index, train_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id < 3").select(
+        corpus.vec_id.alias("query_id"), "embedding"
+    )
+    cbs = train_pq(corpus, m=4, k=16, seed=3)
+    codes = pq_encode(corpus, cbs)
+    want = sorted(
+        map(tuple, pq_search(codes, queries, cbs, k=5).collect())
+    )
+
+    path = str(tmp_path / "pqidx")
+    save_pq_index(cbs, codes, path)
+    cbs2, codes2 = load_pq_index(spark, path)
+    assert np.array_equal(cbs, cbs2)
+    got = sorted(
+        map(tuple, pq_search(codes2, queries, cbs2, k=5).collect())
+    )
+    assert got == want
