@@ -85,6 +85,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      ["HashJoin"], ["CartesianProduct", "NestedLoop"]),
     ("sk_theta_sets", "theta sketches aggregate JVM-side partial+final",
      ["HashAggregate", "theta_sketch_agg"], ["Python"]),
+    ("dd_index_incremental", "index probe broadcast-joins batch keys; "
+     "stored band table never shuffles",
+     ["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    ("samp_bootstrap_ci", "replicate explosion is map-only into partial "
+     "aggregates; the only joins are 1-row CI frames",
+     ["HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
     ("sk_hll_certify", "sketches + exact twins are ONE scan / one groupBy "
      "(Expand shares the pass for the two COUNT DISTINCTs)",
      ["HashAggregate", "Expand"], ["Join"]),
