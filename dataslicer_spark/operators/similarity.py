@@ -262,7 +262,7 @@ def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 10,
+    n_planes: int | None = 10,
     multiprobe_bits: int = 1,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
@@ -277,9 +277,18 @@ def hyperplane_lsh_topk(
     distance ≤ m of its own pattern (single-bit flips for m=1), trading
     join fanout for recall — the standard multi-probe LSH move so one
     table shuffle serves high recall without more hash tables.
+
+    ``n_planes=None`` derives the width from corpus size
+    (``dedup.derive_n_planes`` — bucket occupancy, and so per-query
+    candidate volume, stays bounded as the corpus grows; one extra
+    ``count()``).
     """
     check_col([corpus_id, corpus_vec], corpus)
     check_col([query_id, query_vec], queries)
+    if n_planes is None:
+        from .dedup import derive_n_planes
+
+        n_planes = derive_n_planes(corpus.count())
     dim = len(corpus.select(corpus_vec).first()[0])
     c = add_hyperplane_bucket(
         corpus.select(

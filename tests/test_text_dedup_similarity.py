@@ -551,3 +551,15 @@ def test_ivf_auto_n_lists_sqrt_rule(spark, emb):
     centroids, assigned = build_ivf_index(emb, n_lists=None, seed=42)
     assert len(centroids) == max(4, min(65_536, int(n ** 0.5)))
     assert assigned.select("list_id").distinct().count() <= len(centroids)
+
+
+def test_hyperplane_lsh_auto_planes(spark, emb):
+    from dataslicer_spark.operators.dedup import derive_n_planes
+    from dataslicer_spark.operators.similarity import hyperplane_lsh_topk
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = hyperplane_lsh_topk(emb, queries, k=3, n_planes=None)
+    assert out.count() <= 3 * queries.count()
+    assert derive_n_planes(emb.count()) >= 4
