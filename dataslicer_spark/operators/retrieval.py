@@ -1,0 +1,137 @@
+"""BM25 keyword retrieval — score a document corpus against a fixed
+query-term set and return the global top-k.
+
+The missing piece between the text-quality operators and the ANN stack:
+`similarity.py` retrieves by embedding; this retrieves by lexical
+overlap, the standard first stage of a retrieval pipeline (and the
+usual recall backstop next to a dense index).
+
+Plan shape (what matters at 100 TB):
+
+- ONE explode + ONE hash aggregate: per-document term frequencies for
+  the |Q| query terms and the document length come out of a single
+  ``groupBy(doc)`` with conditional-count cells — map-side partials,
+  |Q|+1 integer columns per doc on the wire, tokens themselves never
+  shuffle.
+- corpus statistics (N, Σdl, per-term document frequencies) reduce the
+  per-doc frame to ONE row, cross-joined back (broadcast by AQE — it is
+  a single row).
+- scoring is a map-only projection; the global top-k is
+  ``orderBy().limit(k)`` — Spark's distributed TakeOrdered (per-partition
+  heap + driver merge of k·P rows), never a single-partition window.
+
+Cross-engine determinism (DuckDB oracle): BM25's textbook
+``ln((N-df+0.5)/(df+0.5)+1)`` IDF is transcendental — Java and DuckDB
+may disagree in the last ulp — so this uses the log-free Robertson
+odds-ratio IDF ``(N-df+0.5)/(df+0.5)`` directly.  Every remaining
+operation is IEEE +,-,*,/ with pinned association order (bit-identical
+across engines on identical operands), and the per-term scores are
+combined with the same binary fixed-point device as
+``star_queries.dsum`` so the cross-term sum is integer arithmetic.
+The ranking is a genuine BM25 family member (per-term monotone in the
+standard IDF), and the k1/b saturation behaviour is untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+
+#: fractional bits for the per-term fixed-point scores (values ≲ 1e4
+#: per term at any realistic corpus size: idf ≤ N, saturation ≤ k1+1).
+FP_BITS = 20
+
+
+def _fp(col: Column) -> Column:
+    return F.floor(col * F.lit(float(2**FP_BITS))).cast("long")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by (log-free) BM25 against ``query_terms``.
+
+    Returns ``(id_col, rank, bm25, n_matched)`` ordered by
+    ``bm25 DESC, id ASC`` (deterministic tie-break).  Documents matching
+    no query term are excluded.  Whitespace tokenization, exact term
+    match — normalize/stem upstream if needed.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    check_col([id_col, text_col], docs)
+
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+    # one aggregate: dl + a tf cell per query term (integer partials)
+    tf_cells = [
+        F.count(F.when(F.col("term") == F.lit(t), 1)).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"), *tf_cells
+    )
+
+    # corpus stats: one row (N, Σdl, df per term)
+    df_cells = [
+        F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+        for i in range(len(query_terms))
+    ]
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *df_cells,
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+
+    term_fps: list[Column] = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        ts = idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm))
+        term_fps.append(_fp(ts))
+
+    total = term_fps[0]
+    for t in term_fps[1:]:
+        total = total + t
+    n_matched = None
+    for i in range(len(query_terms)):
+        m = F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)
+        n_matched = m if n_matched is None else n_matched + m
+
+    out = (
+        scored.select(
+            F.col(id_col),
+            (total.cast("double") / F.lit(float(2**FP_BITS))).alias("bm25"),
+            n_matched.cast("int").alias("n_matched"),
+        )
+        .filter(F.col("n_matched") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "bm25", "n_matched"
+    )
+
+
+__all__ = ["bm25_topk"]

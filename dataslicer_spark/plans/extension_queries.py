@@ -4726,6 +4726,84 @@ FROM cells
 """
 
 
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: global top-10 documents by BM25 for a fixed
+    3-term query — the keyword first stage next to the dense ANN stack
+    (`sim_topk_*`).  One explode + one conditional-count aggregate (|Q|+1
+    integer cells per doc, tokens never shuffle), one-row corpus-stats
+    broadcast, map-only scoring, distributed TakeOrdered top-k.  The IDF
+    is the log-free Robertson odds ratio and per-term scores combine via
+    binary fixed point, so Spark and DuckDB agree bit for bit (see
+    ``operators/retrieval.py``)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "vector", "fast"], k=10)
+
+
+TXT_BM25_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''),
+per_doc AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS dl,
+         CAST(COUNT(*) FILTER (WHERE term = 'spark') AS BIGINT) AS tf_0,
+         CAST(COUNT(*) FILTER (WHERE term = 'vector') AS BIGINT) AS tf_1,
+         CAST(COUNT(*) FILTER (WHERE term = 'fast') AS BIGINT) AS tf_2
+  FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(COUNT(*) FILTER (WHERE tf_0 > 0) AS BIGINT) AS df_0,
+         CAST(COUNT(*) FILTER (WHERE tf_1 > 0) AS BIGINT) AS df_1,
+         CAST(COUNT(*) FILTER (WHERE tf_2 > 0) AS BIGINT) AS df_2
+  FROM per_doc),
+scored AS (
+  SELECT p.doc_id,
+         CAST(
+           CAST(FLOOR(((CAST(s.n_docs - s.df_0 AS DOUBLE) + 0.5)
+                        / (CAST(s.df_0 AS DOUBLE) + 0.5))
+             * ((CAST(p.tf_0 AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(p.tf_0 AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                       / (CAST(s.sum_dl AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+             * 1048576.0) AS BIGINT)
+           + CAST(FLOOR(((CAST(s.n_docs - s.df_1 AS DOUBLE) + 0.5)
+                        / (CAST(s.df_1 AS DOUBLE) + 0.5))
+             * ((CAST(p.tf_1 AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(p.tf_1 AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                       / (CAST(s.sum_dl AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+             * 1048576.0) AS BIGINT)
+           + CAST(FLOOR(((CAST(s.n_docs - s.df_2 AS DOUBLE) + 0.5)
+                        / (CAST(s.df_2 AS DOUBLE) + 0.5))
+             * ((CAST(p.tf_2 AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(p.tf_2 AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                       / (CAST(s.sum_dl AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+             * 1048576.0) AS BIGINT)
+         AS DOUBLE) / 1048576.0 AS bm25,
+         (CASE WHEN p.tf_0 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN p.tf_1 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN p.tf_2 > 0 THEN 1 ELSE 0 END) AS n_matched
+  FROM per_doc p CROSS JOIN stats s)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+         AS rank,
+       bm25,
+       CAST(n_matched AS INTEGER) AS n_matched
+FROM scored WHERE n_matched > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4824,6 +4902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a19_gini_diversity": a19_gini_diversity,
     "emb_recall_eval": emb_recall_eval,
     "ev_wow_change": ev_wow_change,
+    "txt_bm25_topk": txt_bm25_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4962,4 +5041,6 @@ ORACLES: dict[str, str] = {
     "emb_recall_eval": EMB_RECALL_SQL,
     # fixed-point weekly sums; lag deltas are single float ops
     "ev_wow_change": EV_WOW_SQL,
+    # log-free odds-ratio IDF + pinned IEEE op order + fixed-point sum
+    "txt_bm25_topk": TXT_BM25_SQL,
 }

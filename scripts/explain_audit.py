@@ -140,6 +140,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "double projection (the normal matrix already aggregated as "
      "partial+final integer sums)",
      [], ["Join", "Exchange", "Python", "CartesianProduct"]),
+    ("txt_bm25_topk", "BM25 top-k: JVM conditional-count aggregate, "
+     "one-row stats broadcast, distributed TakeOrdered — no Python, no "
+     "single-partition global sort",
+     ["TakeOrderedAndProject", "HashAggregate"],
+     ["Python", "SortMergeJoin"]),
 ]
 
 
