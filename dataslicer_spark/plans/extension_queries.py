@@ -4804,6 +4804,63 @@ LIMIT 10
 """
 
 
+def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169, integer-surrogate
+    variant): score every document in the multilingual pool by its
+    hashed-unigram+bigram importance w.r.t. the ``lang='en'`` target
+    slice and keep the global top-50.  Gram construction is map-only
+    (array ops — tokens never shuffle), the 256-bucket model is one
+    conditional-count aggregate broadcast back, the top-k a distributed
+    TakeOrdered.  See ``operators/dsir.py``."""
+    from ..operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        F.col("lang") == "en",
+        k=50,
+        n_buckets=256,
+        carry_cols=["lang"],
+    )
+
+
+SAMP_DSIR_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+grams AS MATERIALIZED (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(toks) AS gram FROM base
+    UNION ALL
+    SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS gram
+    FROM (SELECT doc_id, lang, toks,
+                 unnest(range(1, len(toks))) AS i
+          FROM base))),
+model AS MATERIALIZED (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt_r,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cnt_t
+  FROM grams GROUP BY bucket),
+wts AS (
+  SELECT bucket, ((cnt_t + 1) * 1048576) // (cnt_r + 1) AS s_b
+  FROM model),
+scored AS (
+  SELECT g.doc_id, g.lang, CAST(SUM(w.s_b) AS BIGINT) AS importance
+  FROM grams g JOIN wts w USING (bucket)
+  GROUP BY g.doc_id, g.lang)
+SELECT doc_id, lang, importance,
+       CAST(ROW_NUMBER() OVER (ORDER BY importance DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM scored
+ORDER BY importance DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4903,6 +4960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_recall_eval": emb_recall_eval,
     "ev_wow_change": ev_wow_change,
     "txt_bm25_topk": txt_bm25_topk,
+    "samp_dsir_select": samp_dsir_select,
 }
 
 ORACLES: dict[str, str] = {
@@ -5043,4 +5101,6 @@ ORACLES: dict[str, str] = {
     "ev_wow_change": EV_WOW_SQL,
     # log-free odds-ratio IDF + pinned IEEE op order + fixed-point sum
     "txt_bm25_topk": TXT_BM25_SQL,
+    # integer ratio surrogate: md5 buckets, BIGINT div, exact gram sums
+    "samp_dsir_select": SAMP_DSIR_SQL,
 }

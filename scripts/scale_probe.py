@@ -431,6 +431,26 @@ def main() -> None:
 
     run("bootstrap_ci", boot_fn(ev1), boot_fn(ev4))
 
+    # round-6 additions: BM25 is one conditional-count aggregate + a
+    # 1-row broadcast + TakeOrdered; DSIR is map-only gram construction +
+    # a bounded bucket model broadcast back — both strictly linear
+    from dataslicer_spark.operators.dsir import dsir_select
+    from dataslicer_spark.operators.retrieval import bm25_topk
+
+    def bm25_fn(docs):
+        return lambda: bm25_topk(
+            docs, ["spark", "vector", "fast"], k=10
+        ).write.format("noop").mode("overwrite").save()
+
+    run("bm25_topk", bm25_fn(docs1), bm25_fn(docs4))
+
+    def dsir_fn(docs):
+        return lambda: dsir_select(
+            docs, F.col("lang") == "en", k=50, n_buckets=4096
+        ).write.format("noop").mode("overwrite").save()
+
+    run("dsir_select", dsir_fn(docs1), dsir_fn(docs4))
+
 
 if __name__ == "__main__":
     main()

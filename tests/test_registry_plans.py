@@ -83,6 +83,10 @@ ALLOW = {
     # aggregate's final stage and the rank window over the ≤k rows that
     # survive the distributed TakeOrdered (operators/retrieval.py)
     "txt_bm25_topk": {"nested-loop-join", "single-partition-exchange"},
+    # the single partition is the rank window over the ≤k rows that
+    # survive the distributed TakeOrdered (operators/dsir.py); the
+    # bucket-model join is a broadcast equi join
+    "samp_dsir_select": {"single-partition-exchange"},
 }
 
 
