@@ -9,11 +9,13 @@ Stage-by-stage (each prints surviving rows; scale notes inline):
   1. exact dedup                 — fingerprint groupBy (bodies never shuffle)
   2. near-dup resolution         — MinHash-LSH pairs → connected components
   3. quality scoring + CDF cut   — keep each language's top half
+  3b. DSIR importance ranking    — hashed-n-gram similarity to the en slice
   4. decontamination             — drop docs sharing 3-grams with eval set
   5. temperature resampling      — flatten the source mix (α = 0.5)
   6. PII scrubbing               — email/IP/number redaction + audit count
   7. train/val/test split        — content-hash, engine/order stable
   8. sequence packing            — 512-token bins, then materialized packs
+  9. BM25 retrieval probe        — keyword audit of the final corpus
 """
 
 from __future__ import annotations
@@ -65,6 +67,18 @@ def main() -> None:
         scored, "lang", "quality_score", 0.5, "doc_id"
     ).select("doc_id", "text", "lang", "source")
     print(f"after quality cut: {good.count()}")
+
+    # 3b. DSIR target-domain selection: rank the pool by hashed-n-gram
+    # similarity to the English slice (Xie et al. 2023) — here just
+    # reported, not cut, so the demo corpus keeps its volume
+    from dataslicer_spark.operators.dsir import dsir_select
+
+    top_like_en = dsir_select(
+        good, F.col("lang") == "en", k=5, n_buckets=1024,
+        carry_cols=["lang"],
+    )
+    print("dsir: top-5 most-English-like docs "
+          f"{[(r.doc_id, r.lang) for r in top_like_en.collect()]}")
 
     # 4. decontaminate against a held-out eval slice
     sp = add_split(
@@ -163,6 +177,16 @@ def main() -> None:
     seqs = materialize_packs(packed, "doc_id", "n_tokens", "text")
     print(f"packed sequences: {seqs.count()}")
     seqs.select("pack_id", "n_docs", "total_tokens").orderBy("pack_id").show(5)
+
+    # 9. corpus QA: BM25 keyword retrieval over the final corpus — the
+    # "what did we actually keep about X?" audit tool
+    from dataslicer_spark.operators.retrieval import bm25_topk
+
+    hits = bm25_topk(
+        final.select("doc_id", "text"), ["spark", "vector"], k=3
+    )
+    print("bm25 probe ('spark vector'): "
+          f"{[(r.doc_id, round(r.bm25, 3)) for r in hits.collect()]}")
 
 
 if __name__ == "__main__":
