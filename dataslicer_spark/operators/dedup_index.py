@@ -127,6 +127,10 @@ def dedup_against_minhash_index(
         )
         .select("new_id", "index_id")
         .dropDuplicates()
+        # both the verify join and the candidate-id prefilter below
+        # consume this bounded (|batch|·matches) frame — persist so the
+        # stored band table is scanned once, not once per consumer
+        .persist()
     )
     stored_sigs = spark.read.parquet(os.path.join(path, _SIGS))
     if exact_verify_with is not None:
@@ -135,10 +139,23 @@ def dedup_against_minhash_index(
             F.col(id_col).alias("new_id"),
             F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh_n"),
         ).filter(F.size("sh_n") > 0)
-        sh_idx = exact_verify_with.select(
-            F.col(id_col).alias("index_id"),
-            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh_i"),
-        ).filter(F.size("sh_i") > 0)
+        # honor the "texts fetched for candidate ids only" contract: a
+        # broadcast semi-join on the bounded candidate-id set keeps the
+        # corpus-side shingle computation (tokenize + n-gram + distinct,
+        # the expensive map work) off every non-candidate row — at index
+        # scale the corpus is billions of rows, the candidates are
+        # batch-sized
+        cand_ids = cand.select(F.col("index_id").alias(id_col)).distinct()
+        sh_idx = (
+            exact_verify_with.join(F.broadcast(cand_ids), id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("index_id"),
+                F.array_distinct(word_shingles(F.col(text_col), n)).alias(
+                    "sh_i"
+                ),
+            )
+            .filter(F.size("sh_i") > 0)
+        )
         est = (
             cand.join(F.broadcast(sh_new), "new_id")
             .join(sh_idx, "index_id")
