@@ -16,6 +16,7 @@ Stage-by-stage (each prints surviving rows; scale notes inline):
   7. train/val/test split        — content-hash, engine/order stable
   8. sequence packing            — 512-token bins, then materialized packs
   9. BM25 retrieval probe        — keyword audit of the final corpus
+  10. shard export + verify      — deterministic shards, manifest, checksums
 """
 
 from __future__ import annotations
@@ -187,6 +188,24 @@ def main() -> None:
     )
     print("bm25 probe ('spark vector'): "
           f"{[(r.doc_id, round(r.bm25, 3)) for r in hits.collect()]}")
+
+    # 10. export the train split as deterministic shards + manifest,
+    # then run the trainer-side integrity check
+    import tempfile
+
+    from dataslicer_spark.sources.shards import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    out = tempfile.mkdtemp(prefix="train_shards_")
+    manifest = write_training_shards(
+        train.select("doc_id", "text", "n_tokens"), out, "doc_id", 4,
+        token_col="n_tokens",
+    )
+    n_ok = verify_shards(spark, out).filter(F.col("ok")).count()
+    print(f"shards: {len(manifest['shards'])} written, {n_ok} verified, "
+          f"{manifest['total_tokens']} tokens")
 
 
 if __name__ == "__main__":
