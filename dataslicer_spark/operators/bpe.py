@@ -149,5 +149,28 @@ def bpe_apply(
     )
 
 
+def save_merges(merges: list[str], path: str) -> None:
+    """Persist a trained merge table as JSON — the artifact a production
+    pipeline trains once and applies everywhere (the merge list IS the
+    tokenizer; order is the training order and must be preserved)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"version": 1, "merges": list(merges)}, f, indent=1)
+
+
+def load_merges(path: str) -> list[str]:
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    merges = obj["merges"]
+    if not all(isinstance(m, str) and " " in m for m in merges):
+        raise ValueError(f"{path}: malformed merge table")
+    return merges
+
+
 __all__ = ["SPACE_MARK", "bpe_prepare", "adjacent_pairs", "apply_merge",
-           "bpe_fit", "bpe_apply"]
+           "bpe_fit", "bpe_apply", "save_merges", "load_merges"]
