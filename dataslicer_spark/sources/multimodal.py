@@ -7,12 +7,16 @@ kernels over Arrow batches — the executor-parallel shape that scales to
 100 TB of assets (each task decodes its partition's blobs; no driver
 involvement; decoded tensors never shuffle unless asked).
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
-decoders are pluggable callables: the default raises
-``NotImplementedError`` naming the dependency, and
-``deterministic_fake_decoder`` produces seeded pseudo-media so the Spark
-plumbing — schemas, batching, UDF signatures, partitioning — is real and
-tested end-to-end.  Swapping in a real codec changes one argument.
+Codecs are pluggable callables.  24-bit uncompressed BMP decodes with a
+REAL zero-dependency pure-numpy codec (``bmp_decoder``; ``bmp_encode``
+is its test twin), so the decode → resize → featurize path runs
+end-to-end on genuine image files in this container.  PNG/JPEG/ffmpeg
+formats need external codecs that are NOT installed: for those the
+default ``auto_decoder`` raises ``NotImplementedError`` naming the
+dependency, and ``deterministic_fake_decoder`` produces seeded
+pseudo-media so the Spark plumbing — schemas, batching, UDF signatures,
+partitioning — stays testable.  Swapping in a real codec changes one
+argument.
 """
 
 from __future__ import annotations
@@ -72,6 +76,74 @@ def _missing_codec_decoder(raw: bytes) -> np.ndarray:
     )
 
 
+# --- real zero-dependency codec: 24-bit uncompressed BMP ------------------
+# BMP's BI_RGB form is plain bytes + two fixed-layout headers, so a pure
+# numpy codec needs no external library — this makes the decode → resize →
+# featurize pipeline genuinely end-to-end on REAL image files in this
+# container (PNG/JPEG still require PIL and stay dependency-gated).
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP."""
+    import struct
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("bmp_encode expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order, BGR channel order (the format's native layout)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    pixel_bytes = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835,
+        0, 0,
+    )
+    return header + pixel_bytes
+
+
+def bmp_decoder(raw: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into (h, w, 3) uint8 RGB.
+
+    Handles bottom-up (positive height) and top-down (negative height)
+    layouts and 4-byte row padding; anything else (palette, RLE, 32-bit)
+    raises ``ValueError`` → a NULL row under ``decode_media``'s
+    PERMISSIVE contract."""
+    import struct
+
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size = struct.unpack_from("<I", raw, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP core header")
+    w, h_signed = struct.unpack_from("<ii", raw, 18)
+    planes, bpp = struct.unpack_from("<HH", raw, 26)
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0:
+        raise ValueError("only 24-bit BI_RGB BMP supported")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    end = pixel_off + stride * h
+    if end > len(raw):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h,
+                         offset=pixel_off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+    if h_signed > 0:  # bottom-up
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def auto_decoder(raw: bytes) -> np.ndarray:
+    """Sniff the container by magic bytes: BMP decodes natively (pure
+    numpy); other formats fall through to the dependency-gated error."""
+    if raw[:2] == b"BM":
+        return bmp_decoder(raw)
+    return _missing_codec_decoder(raw)
+
+
 def deterministic_fake_decoder(
     raw: bytes, height: int = 8, width: int = 8, channels: int = 3
 ) -> np.ndarray:
@@ -111,7 +183,7 @@ DECODED_SCHEMA = T.StructType(
 
 def decode_media(
     df: DataFrame,
-    decoder: Callable[[bytes], np.ndarray] = _missing_codec_decoder,
+    decoder: Callable[[bytes], np.ndarray] = auto_decoder,
     content_col: str = "content",
     path_col: str = "path",
 ) -> DataFrame:
@@ -286,6 +358,9 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "read_binary_assets",
     "deterministic_fake_decoder",
+    "bmp_encode",
+    "bmp_decoder",
+    "auto_decoder",
     "decode_media",
     "extract_image_features",
     "resize_images",
