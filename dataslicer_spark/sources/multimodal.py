@@ -144,6 +144,161 @@ def auto_decoder(raw: bytes) -> np.ndarray:
     return _missing_codec_decoder(raw)
 
 
+# --- real zero-dependency audio codec: 16-bit PCM WAV ---------------------
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 PCM samples — shape (n,) mono or (n, channels) — as
+    a RIFF/WAVE file."""
+    import struct
+
+    if samples.dtype != np.int16:
+        raise ValueError("wav_encode expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()  # frame-interleaved
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decoder(raw: bytes) -> tuple[int, np.ndarray]:
+    """Decode a 16-bit PCM WAV into ``(sample_rate, (n, channels) int16)``.
+
+    Walks the RIFF chunk list (tolerating extra chunks like LIST/INFO
+    before data); anything non-PCM16 raises ``ValueError`` → a NULL row
+    under ``decode_audio``'s PERMISSIVE contract."""
+    import struct
+
+    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        size = struct.unpack_from("<I", raw, pos + 4)[0]
+        chunk = raw[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    codec, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if codec != 1 or bits != 16 or ch < 1:
+        raise ValueError("only 16-bit PCM WAV supported")
+    n = len(data) // (2 * ch)
+    samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return rate, np.ascontiguousarray(samples)
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("samples", T.ArrayType(T.IntegerType())),  # flattened
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    decoder: Callable[[bytes], tuple[int, np.ndarray]] = wav_decoder,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Decode audio blobs → (path, rate, n, channels, flattened samples)
+    via ``mapInPandas`` — same Arrow-batch shape as :func:`decode_media`;
+    failed decodes become NULL rows (PERMISSIVE)."""
+    check_col([content_col, path_col], df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    rate, arr = decoder(bytes(raw))
+                    rows.append(
+                        dict(path=path, sample_rate=rate,
+                             n_samples=arr.shape[0],
+                             n_channels=arr.shape[1],
+                             samples=arr.reshape(-1).astype("int32"))
+                    )
+                except NotImplementedError:
+                    raise
+                except Exception:  # noqa: BLE001 — corrupt blob → null row
+                    rows.append(
+                        dict(path=path, sample_rate=None, n_samples=None,
+                             n_channels=None, samples=None)
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, DECODED_AUDIO_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(decoded: DataFrame) -> DataFrame:
+    """Per-clip loudness/activity features from decoded PCM — the audio
+    analogue of :func:`extract_image_features` (channels averaged)."""
+    check_col(
+        ["path", "samples", "sample_rate", "n_samples", "n_channels"],
+        decoded,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.samples is None or not r.n_samples:
+                    rows.append(dict(path=r.path, duration_ms=None,
+                                     rms=None, peak=None,
+                                     zero_crossing_rate=None))
+                    continue
+                arr = np.asarray(r.samples, dtype=np.float64).reshape(
+                    r.n_samples, r.n_channels
+                )
+                mono = arr.mean(axis=1)
+                zc = (
+                    float(np.count_nonzero(np.signbit(mono[1:])
+                                           != np.signbit(mono[:-1])))
+                    / max(len(mono) - 1, 1)
+                )
+                rows.append(
+                    dict(
+                        path=r.path,
+                        duration_ms=int(
+                            r.n_samples * 1000 // r.sample_rate
+                        ),
+                        rms=float(np.sqrt(np.mean(mono**2))),
+                        peak=int(np.max(np.abs(arr))),
+                        zero_crossing_rate=zc,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def deterministic_fake_decoder(
     raw: bytes, height: int = 8, width: int = 8, channels: int = 3
 ) -> np.ndarray:
@@ -361,6 +516,10 @@ __all__ = [
     "bmp_encode",
     "bmp_decoder",
     "auto_decoder",
+    "wav_encode",
+    "wav_decoder",
+    "decode_audio",
+    "extract_audio_features",
     "decode_media",
     "extract_image_features",
     "resize_images",
