@@ -33,6 +33,8 @@ _CHECKS: list[tuple[str, str, str]] = [
      "Spark re-aggregates the remaining partition per row (O(n²) per "
      "key) — use a DESCENDING growing frame instead (see "
      "operators/timeseries.interpolate_linear)"),
+    # NOTE: the final stage of a scalar aggregate (keys=[]) is excluded
+    # in explain_scale_report — see _SP_BENIGN below
     (r"SinglePartition", "single-partition-exchange",
      "all data moves to ONE task — global windows/sorts without a "
      "partition key; shard the computation (pack_documents' shard key) "
@@ -41,6 +43,12 @@ _CHECKS: list[tuple[str, str, str]] = [
      "row-at-a-time Python — 10-100× slower than Arrow; use pandas_udf "
      "or built-in functions"),
 ]
+
+
+#: benign form: the exchange feeding a scalar aggregate's final stage —
+#: its child line carries partial_* (HashAggregate) or a partial
+#: ObjectHashAggregate buffer
+_SP_BENIGN = r"Exchange SinglePartition[^\n]*\n[^\n]*partial_"
 
 
 @dataclass
@@ -65,7 +73,15 @@ def explain_scale_report(df: DataFrame) -> list[PlanFinding]:
     findings = []
     for pattern, check, why in _CHECKS:
         n = len(re.findall(pattern, plan))
-        if n:
+        if check == "single-partition-exchange" and n:
+            # a SinglePartition exchange whose child is a PARTIAL
+            # aggregate is the final stage of a scalar (keys=[])
+            # aggregate: it moves one pre-reduced buffer per upstream
+            # partition, not data.  Catalyst itself injects this shape
+            # (runtime bloom-filter subqueries under semi-joins), so
+            # counting it would flag plans the optimizer improved.
+            n -= len(re.findall(_SP_BENIGN, plan))
+        if n > 0:
             findings.append(PlanFinding(check, why, n))
     # WindowExec warning surface: Window with empty partition spec prints
     # as 'Window [...]' above a SinglePartition exchange — covered by the
