@@ -1925,6 +1925,53 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_bmp_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec twin of ``mm_image_features``: the same sha-cycle
+    pixel derivation, but every image is round-tripped through genuine
+    24-bit BMP bytes — ``bmp_encode`` in an Arrow kernel, then
+    ``decode_media``'s default ``auto_decoder`` PARSES the file format
+    (headers, padding, bottom-up rows) before features.  The round trip
+    is identity on pixels, so the value-hash oracle is the same SQL:
+    a DuckDB-verified check that the real codec path is lossless."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.multimodal import (
+        bmp_encode,
+        decode_media,
+        extract_image_features,
+        sha_cycle_decoder,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "content": [
+                        bmp_encode(
+                            sha_cycle_decoder(bytes(raw)).astype(np.uint8)
+                        )
+                        for raw in pdf["content"]
+                    ],
+                }
+            )
+
+    bmp = blobs.mapInPandas(enc, "path string, content binary")
+    feats = extract_image_features(decode_media(bmp))
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("mean_intensity"),
+        F.col("std_intensity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # decontamination / resampling / quality-CDF filtering
 # ---------------------------------------------------------------------------
@@ -4961,6 +5008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_wow_change": ev_wow_change,
     "txt_bm25_topk": txt_bm25_topk,
     "samp_dsir_select": samp_dsir_select,
+    "mm_bmp_codec_features": mm_bmp_codec_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -5103,4 +5151,7 @@ ORACLES: dict[str, str] = {
     "txt_bm25_topk": TXT_BM25_SQL,
     # integer ratio surrogate: md5 buckets, BIGINT div, exact gram sums
     "samp_dsir_select": SAMP_DSIR_SQL,
+    # real BMP round trip is identity on pixels → shares the sha-cycle
+    # oracle; a hash mismatch here means the codec is lossy
+    "mm_bmp_codec_features": MM_IMAGE_FEATURES_SQL,
 }
