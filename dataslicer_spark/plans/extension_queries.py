@@ -1972,6 +1972,84 @@ def mm_bmp_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_wav_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analogue of ``mm_bmp_codec_features``: 16 int16 PCM samples
+    derived from each document's sha256 digest (sample j = byte[2j]·256
+    + byte[2j+1] − 32768, 8 kHz mono), round-tripped through genuine
+    RIFF/WAVE bytes (``wav_encode`` → ``decode_audio`` parses the chunk
+    list), then loudness/activity features.  Every feature is
+    integer-exact until one division (mean of 16 int64 squares is a
+    divide-by-2⁴ — exact) or a correctly-rounded ``sqrt``, so DuckDB
+    replays the full decode + feature math bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.multimodal import (
+        decode_audio,
+        extract_audio_features,
+        wav_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            out = []
+            for raw in pdf["content"]:
+                d = np.frombuffer(
+                    hashlib.sha256(bytes(raw)).digest(), dtype=np.uint8
+                ).astype(np.int32)
+                s = (d[0::2] * 256 + d[1::2] - 32768).astype(np.int16)
+                out.append(wav_encode(s, 8000))
+            yield pd.DataFrame({"path": pdf["path"], "content": out})
+
+    wav = blobs.mapInPandas(enc, "path string, content binary")
+    feats = extract_audio_features(decode_audio(wav))
+    return feats.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "duration_ms",
+        "rms",
+        "peak",
+        "zero_crossing_rate",
+    )
+
+
+MM_WAV_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+           (strpos('0123456789abcdef', h[2*i+1]) - 1) * 16
+           + (strpos('0123456789abcdef', h[2*i+2]) - 1)) AS bytes
+  FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+), s AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), j ->
+           bytes[2*j+1] * 256 + bytes[2*j+2] - 32768) AS smp
+  FROM b
+), f AS (
+  SELECT doc_id, smp,
+         list_sum(list_transform(smp, x -> CAST(x AS BIGINT) * x)) AS ssq,
+         list_max(list_transform(smp, x -> abs(x))) AS peak,
+         list_sum(list_transform(range(0, 15), j ->
+           CASE WHEN (smp[j+1] < 0) <> (smp[j+2] < 0) THEN 1 ELSE 0 END))
+           AS zc
+  FROM s
+)
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS duration_ms,
+       sqrt(CAST(ssq AS DOUBLE) / 16) AS rms,
+       CAST(peak AS INTEGER) AS peak,
+       CAST(zc AS DOUBLE) / 15 AS zero_crossing_rate
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # decontamination / resampling / quality-CDF filtering
 # ---------------------------------------------------------------------------
@@ -5009,6 +5087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_bm25_topk": txt_bm25_topk,
     "samp_dsir_select": samp_dsir_select,
     "mm_bmp_codec_features": mm_bmp_codec_features,
+    "mm_wav_codec_features": mm_wav_codec_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -5154,4 +5233,6 @@ ORACLES: dict[str, str] = {
     # real BMP round trip is identity on pixels → shares the sha-cycle
     # oracle; a hash mismatch here means the codec is lossy
     "mm_bmp_codec_features": MM_IMAGE_FEATURES_SQL,
+    # real WAV round trip; int64 cells, /2^4 exact, correctly-rounded sqrt
+    "mm_wav_codec_features": MM_WAV_FEATURES_SQL,
 }
