@@ -256,7 +256,57 @@ def dedup_against_minhash_index(
     return survivors, est
 
 
+def compact_minhash_index(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> dict[str, int]:
+    """Small-files maintenance for the incremental loop: every
+    ``dedup_against_minhash_index(append_survivors=True)`` call appends
+    one batch's worth of parquet files to the signature and band tables,
+    so a daily-ingest index accumulates file counts linear in days —
+    eventually a metadata stampede on every probe scan.  Rewrites both
+    tables to ~``target_mb`` files with the crash-safe two-rename swap
+    of ``sources/lake.compact_lake`` (the band table is additionally
+    clustered by ``(band, bucket)`` so a probe's broadcast-join scan
+    reads co-located buckets).  Returns {table: n_files_after}."""
+    import math
+    import shutil
+
+    out: dict[str, int] = {}
+    for table, order_cols in ((_SIGS, ["id"]), (_BANDS, ["band", "bucket"])):
+        tdir = os.path.join(path, table)
+        tmp, old = tdir + ".__compacting__", tdir + ".__old__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(old):
+            if os.path.exists(tdir):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, tdir)
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(tdir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        df = spark.read.parquet(tdir)
+        df.repartitionByRange(
+            n_files, *[F.col(c) for c in order_cols]
+        ).write.mode("overwrite").parquet(tmp)
+        os.rename(tdir, old)
+        os.rename(tmp, tdir)
+        shutil.rmtree(old)
+        out[table] = sum(
+            1
+            for r, _d, fs in os.walk(tdir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    return out
+
+
 __all__ = [
     "build_minhash_index",
     "dedup_against_minhash_index",
+    "compact_minhash_index",
 ]

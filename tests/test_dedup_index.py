@@ -131,3 +131,40 @@ def test_band_table_is_scanned_not_shuffled(spark, docs, tmp_path):
     plan = matches._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_compact_index_reduces_files_preserves_probes(spark, docs, tmp_path):
+    """After several appends the index has files ∝ batches; compaction
+    collapses them and probe results are unchanged."""
+    import os
+
+    from dataslicer_spark.operators.dedup_index import compact_minhash_index
+
+    path = str(tmp_path / "mhidx5")
+    build_minhash_index(docs.limit(30), path, "doc_id")
+    for i in range(1, 4):  # three daily batches
+        batch = docs.limit(30 + 10 * i).subtract(docs.limit(30 + 10 * (i - 1)))
+        dedup_against_minhash_index(batch, path, "doc_id", threshold=0.9)
+
+    def n_files(table):
+        d = os.path.join(path, table)
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_sigs = n_files("signatures")
+    assert before_sigs > 1  # appends accumulated small files
+
+    probe = _mutate(docs.limit(20), 900_000)
+    _, m_before = dedup_against_minhash_index(
+        probe, path, "doc_id", threshold=0.5, append_survivors=False
+    )
+    want = {(r.new_id, r.index_id) for r in m_before.collect()}
+
+    out = compact_minhash_index(spark, path, target_mb=128)
+    assert out["signatures"] == 1 and out["bands"] == 1
+    assert n_files("signatures") == 1 and n_files("bands") == 1
+
+    _, m_after = dedup_against_minhash_index(
+        probe, path, "doc_id", threshold=0.5, append_survivors=False
+    )
+    assert {(r.new_id, r.index_id) for r in m_after.collect()} == want
+    assert want  # the probe actually matched something
