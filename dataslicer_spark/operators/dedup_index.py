@@ -37,7 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, materialize
 from .dedup import band_buckets, minhash_signatures
 
 #: index layout: <path>/{signatures,bands,meta} parquet directories.
@@ -83,6 +83,7 @@ def dedup_against_minhash_index(
     threshold: float = 0.5,
     append_survivors: bool = True,
     exact_verify_with: DataFrame | None = None,
+    release_cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup the batch against the index; returns
     ``(survivors, matches)``.
@@ -107,7 +108,15 @@ def dedup_against_minhash_index(
     the incremental-ingestion loop; pass False for a dry-run check.
     Everything before the final parquet append is lazy-plus-one-action;
     the stored band table is scanned once, map-side hash-joined against
-    the broadcast batch keys."""
+    the broadcast batch keys.
+
+    ``release_cache`` — for callers that invoke this in a loop (the
+    streaming form runs it every micro-batch): eagerly materializes the
+    two returned frames, then unpersists the call's three internal
+    cached frames (batch signatures, band keys, candidate pairs) so a
+    long-running driver doesn't accumulate one cache generation per
+    batch.  The RETURNED frames come back materialized (checkpointed;
+    their blocks are reclaimed when the frames are GC'd)."""
     from ..functions.text import word_shingles
 
     spark = new_df.sparkSession
@@ -246,6 +255,14 @@ def dedup_against_minhash_index(
         dropped.withColumnRenamed("dropped_id", id_col), id_col, "left_anti"
     )
 
+    if release_cache:
+        # materialize (checkpoint) both results BEFORE touching the index
+        # dirs: the append's refreshByPath invalidates any CACHE whose
+        # plan reads the index paths, so a mere persist would silently
+        # recompute post-append with a re-listed index containing the
+        # batch itself — every document would self-match and be dropped.
+        # Checkpointing severs the lineage from those paths entirely.
+        survivors, est = materialize(survivors), materialize(est)
     if append_survivors:
         surv_ids = survivors.select(F.col(id_col).alias("id"))
         surv_sigs = sigs_new.join(F.broadcast(surv_ids), "id", "left_semi")
@@ -253,6 +270,9 @@ def dedup_against_minhash_index(
         band_buckets(surv_sigs, num_perm, bands).write.mode("append").parquet(
             os.path.join(path, _BANDS)
         )
+    if release_cache:
+        for frame in (sigs_new, bands_new, cand):
+            frame.unpersist()
     return survivors, est
 
 

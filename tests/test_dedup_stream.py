@@ -87,3 +87,32 @@ def test_stream_dedup_within_batch_and_replay(spark, tmp_path):
         )
         assert stats["n_dropped"] == 1 and 5 in kept_sets[-1]
     assert kept_sets[0] == kept_sets[1]
+
+
+def test_stream_leaves_no_cached_frames(spark, tmp_path):
+    """release_cache contract: after the stream drains, the session's
+    cache holds nothing from the per-batch probe internals."""
+    import os
+
+    from dataslicer_spark.operators.dedup_index import build_minhash_index
+    from dataslicer_spark.streaming.dedup_stream import stream_dedup_ingest
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    base = spark.range(0, 20).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma delta epsilon zeta ', id) AS text",
+    )
+    build_minhash_index(base, idx, "doc_id")
+    for i in (0, 1):
+        base.withColumn("doc_id", base.doc_id + 100 * (i + 1)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    spark.catalog.clearCache()
+    stream_dedup_ingest(
+        spark, src, "doc_id long, text string", idx, "doc_id",
+        threshold=0.9,
+    )
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "per-batch caches leaked"
