@@ -78,27 +78,36 @@ def write_training_shards(
     token_col: str | None = None,
     salt: str = "",
     compression: str = "zstd",
+    fmt: str = "parquet",
 ) -> dict:
-    """Write ``df`` as ``n_shards`` hive-partitioned parquet shards plus
-    a ``_MANIFEST.json``; returns the manifest dict.
+    """Write ``df`` as ``n_shards`` hive-partitioned shards plus a
+    ``_MANIFEST.json``; returns the manifest dict.
+
+    ``fmt``: ``"parquet"`` (default) or ``"jsonl"`` — gzipped
+    newline-delimited JSON, the other common trainer handoff format
+    (Spark's json source IS JSONL: one object per line).
 
     The manifest records per shard: ``rows``, ``tokens`` (if
-    ``token_col`` given), and ``checksum`` — Σ xxhash64(id) mod 2⁶³,
+    ``token_col`` given), and ``checksum`` — Σ (xxhash64(id) mod 2³⁰),
     order-independent and partitioning-independent, so two exports of
     the same corpus can be compared without reading data files.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be parquet or jsonl, got {fmt!r}")
     check_col([id_col] + ([token_col] if token_col else []), df)
 
     sharded = df.withColumn("shard", _shard_col(id_col, n_shards, salt))
-    (
+    writer = (
         sharded.repartition(n_shards, F.col("shard"))
         .write.mode("overwrite")
-        .option("compression", compression)
         .partitionBy("shard")
-        .parquet(path)
     )
+    if fmt == "parquet":
+        writer.option("compression", compression).parquet(path)
+    else:
+        writer.option("compression", "gzip").json(path)
 
     aggs = _manifest_aggs(id_col, token_col)
     per_shard = {
@@ -110,6 +119,7 @@ def write_training_shards(
         "salt": salt,
         "id_col": id_col,
         "token_col": token_col,
+        "fmt": fmt,
         "schema": df.schema.jsonValue(),
         "total_rows": sum(s["rows"] for s in per_shard.values()),
         "shards": {str(k): per_shard[k] for k in sorted(per_shard)},
@@ -128,10 +138,18 @@ def read_training_shards(
     path: str,
     shards: list[int] | None = None,
 ) -> DataFrame:
-    """Read an exported shard set; ``shards`` selects a subset with
-    directory-level partition pruning (the scan never opens other
-    shards' files)."""
-    df = spark.read.parquet(path)
+    """Read an exported shard set (format from the manifest; JSONL reads
+    re-apply the manifest schema so dtypes round-trip); ``shards``
+    selects a subset with directory-level partition pruning (the scan
+    never opens other shards' files)."""
+    m = read_manifest(path)
+    if m.get("fmt", "parquet") == "jsonl":
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"]).add("shard", "integer")
+        df = spark.read.schema(schema).json(path)
+    else:
+        df = spark.read.parquet(path)
     if shards is not None:
         df = df.filter(F.col("shard").isin([int(s) for s in shards]))
     return df

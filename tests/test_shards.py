@@ -82,3 +82,25 @@ def test_bad_args(docs, tmp_path):
         write_training_shards(docs, str(tmp_path / "x"), "doc_id", 0)
     with pytest.raises(Exception):
         write_training_shards(docs, str(tmp_path / "y"), "nope", 2)
+
+
+def test_jsonl_format_roundtrip_and_verify(docs, tmp_path, spark):
+    import glob as _glob
+    import os as _os
+
+    path = str(tmp_path / "jsonl_shards")
+    m = write_training_shards(
+        docs.select("doc_id", "text", "n_tokens"), path, "doc_id", 3,
+        token_col="n_tokens", fmt="jsonl",
+    )
+    assert m["fmt"] == "jsonl"
+    files = _glob.glob(_os.path.join(path, "shard=*", "*.json.gz"))
+    assert len(files) == len(m["shards"])  # gzipped jsonl, one per shard
+    back = read_training_shards(spark, path)
+    assert back.count() == m["total_rows"]
+    assert dict(back.select("doc_id", "n_tokens").dtypes)["n_tokens"] == "int"
+    rep = verify_shards(spark, path)
+    assert rep.filter(~F.col("ok")).count() == 0
+
+    with pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "z"), "doc_id", 2, fmt="csv")
