@@ -134,4 +134,102 @@ def bm25_topk(
     )
 
 
-__all__ = ["bm25_topk"]
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch form of :func:`bm25_topk`: top-``k`` documents for EVERY
+    query in a query table ``(qid, terms array<string>)`` — the shape a
+    real retrieval workload has (thousands of queries against one
+    corpus), where per-query single scans would rescan the corpus per
+    query.
+
+    Returns ``(qid, id, rank, bm25, n_matched)`` with rank 1..k inside
+    each query, ordered ``bm25 DESC, id ASC``.
+
+    Plan shape: the corpus tokenizes ONCE; the exploded query-term table
+    (tiny by definition) broadcasts onto the token stream, so only
+    matching tokens survive into the (doc, qid, term) aggregate; per-term
+    document frequencies and the one-row corpus stats broadcast back;
+    scoring joins tf with per-doc lengths on the doc key (both sides
+    already doc-keyed); the final top-k is one window over qid — every
+    shuffle is keyed, nothing quadratic, the corpus crosses the wire once
+    as matched (doc, qid, term) counts.
+
+    Same cross-engine arithmetic contract as :func:`bm25_topk` (log-free
+    odds-ratio IDF, pinned IEEE order, per-term fixed point).
+    """
+    from pyspark.sql import Window
+
+    check_col([id_col, text_col], docs)
+    check_col([qid_col, terms_col], queries)
+
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.col(terms_col)).alias("term"),
+    ).distinct()
+
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy(id_col, "qid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        tf.select(id_col, "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    tfd = F.col("tf").cast("double")
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    term_fp = _fp(idf * ((tfd * F.lit(k1 + 1.0)) / (tfd + F.lit(k1) * norm)))
+
+    per_doc = scored.groupBy("qid", id_col).agg(
+        F.sum(term_fp).alias("__fp"),
+        F.count(F.lit(1)).cast("int").alias("n_matched"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_doc.select(
+            "qid",
+            id_col,
+            (F.col("__fp").cast("double") / F.lit(float(2**FP_BITS))).alias(
+                "bm25"
+            ),
+            "n_matched",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "rank", "bm25", "n_matched")
+    )
+
+
+__all__ = ["bm25_topk", "bm25_topk_multi"]

@@ -4986,6 +4986,80 @@ LIMIT 50
 """
 
 
+def txt_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: top-5 documents for each of three queries in ONE
+    corpus pass (``bm25_topk_multi``) — the corpus tokenizes once, the
+    exploded query-term table broadcasts onto the token stream, and only
+    matching (doc, qid, term) counts cross the wire.  Same bit-exact
+    arithmetic contract as ``txt_bm25_topk``."""
+    from ..operators.retrieval import bm25_topk_multi
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            ("q_engine", ["spark", "vector", "fast"]),
+            ("q_storage", ["parquet", "table"]),
+            ("q_join", ["join", "merge", "key"]),
+        ],
+        "qid string, terms array<string>",
+    )
+    return bm25_topk_multi(docs, queries, k=5)
+
+
+TXT_BM25_MULTI_SQL = """
+WITH q(qid, term) AS (
+  VALUES ('q_engine', 'spark'), ('q_engine', 'vector'),
+         ('q_engine', 'fast'),
+         ('q_storage', 'parquet'), ('q_storage', 'table'),
+         ('q_join', 'join'), ('q_join', 'merge'), ('q_join', 'key')),
+toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''),
+dl AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+  FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS MATERIALIZED (
+  SELECT t.doc_id, q.qid, q.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN q ON t.term = q.term
+  GROUP BY t.doc_id, q.qid, q.term),
+dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.qid, tf.doc_id,
+         CAST(SUM(CAST(FLOOR(
+           (((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+             / (CAST(d.df AS DOUBLE) + 0.5))
+            * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                      / (CAST(s.sum_dl AS DOUBLE)
+                         / CAST(s.n_docs AS DOUBLE)))))))
+           * 1048576.0) AS BIGINT)) AS BIGINT) AS fp,
+         CAST(COUNT(*) AS INTEGER) AS n_matched
+  FROM tf
+  JOIN dl l ON l.doc_id = tf.doc_id
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id)
+SELECT qid, doc_id, rank, bm25, n_matched FROM (
+  SELECT qid, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(fp AS DOUBLE) / 1048576.0 DESC, doc_id ASC)
+           AS INTEGER) AS rank,
+         CAST(fp AS DOUBLE) / 1048576.0 AS bm25,
+         n_matched
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5088,6 +5162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "samp_dsir_select": samp_dsir_select,
     "mm_bmp_codec_features": mm_bmp_codec_features,
     "mm_wav_codec_features": mm_wav_codec_features,
+    "txt_bm25_multiquery": txt_bm25_multiquery,
 }
 
 ORACLES: dict[str, str] = {
@@ -5235,4 +5310,6 @@ ORACLES: dict[str, str] = {
     "mm_bmp_codec_features": MM_IMAGE_FEATURES_SQL,
     # real WAV round trip; int64 cells, /2^4 exact, correctly-rounded sqrt
     "mm_wav_codec_features": MM_WAV_FEATURES_SQL,
+    # VALUES query table; same pinned-order IDF/fixed-point as bm25
+    "txt_bm25_multiquery": TXT_BM25_MULTI_SQL,
 }

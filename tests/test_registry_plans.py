@@ -87,6 +87,9 @@ ALLOW = {
     # survive the distributed TakeOrdered (operators/dsir.py); the
     # bucket-model join is a broadcast equi join
     "samp_dsir_select": {"single-partition-exchange"},
+    # the nested loop joins the broadcast 1-ROW corpus-stats aggregate
+    # (N, Σdl) onto the matched tf frame (operators/retrieval.py)
+    "txt_bm25_multiquery": {"nested-loop-join"},
 }
 
 

@@ -85,3 +85,41 @@ def test_bm25_input_validation(spark, docs_df):
         bm25_topk(docs_df, [])
     with pytest.raises(ValueError):
         bm25_topk(docs_df, ["a", "a"])
+
+
+def test_multi_matches_single_per_query(spark, docs_df):
+    from dataslicer_spark.operators.retrieval import bm25_topk_multi
+
+    queries = spark.createDataFrame(
+        [("q0", ["spark", "vector", "fast"]), ("q1", ["spark"]),
+         ("q2", ["vector", "slow"])],
+        "qid string, terms array<string>",
+    )
+    multi = bm25_topk_multi(docs_df, queries, k=10).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, terms in (("q0", ["spark", "vector", "fast"]),
+                       ("q1", ["spark"]), ("q2", ["vector", "slow"])):
+        single = bm25_topk(docs_df, terms, k=10).collect()
+        got = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [(r.doc_id, r.rank, r.n_matched) for r in got] == [
+            (r.doc_id, r.rank, r.n_matched) for r in single
+        ]
+        for g, s in zip(got, single):
+            assert g.bm25 == pytest.approx(s.bm25, abs=1e-12)
+
+
+def test_multi_k_bounds_each_query(spark, docs_df):
+    from dataslicer_spark.operators.retrieval import bm25_topk_multi
+
+    queries = spark.createDataFrame(
+        [("a", ["spark", "fast"]), ("b", ["vector"])],
+        "qid string, terms array<string>",
+    )
+    rows = bm25_topk_multi(docs_df, queries, k=2).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+               for v in per_q.values())
