@@ -232,4 +232,61 @@ def bm25_topk_multi(
     )
 
 
-__all__ = ["bm25_topk", "bm25_topk_multi"]
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 10,
+    scale: int = 1 << 40,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): combine N
+    ranked lists into one by ``score(d) = Σ_lists 1/(k_rrf + rank_d)``
+    — the standard hybrid-retrieval combiner (BM25 ∪ dense ANN), robust
+    to incomparable score scales because only RANKS enter.
+
+    Integer form for cross-engine exactness: each list contributes
+    ``scale div (k_rrf + rank)`` (BIGINT division), summed exactly —
+    order-independent and monotone in the true RRF score (ranks are
+    small; at the default scale two ranks collide only beyond ~10⁶).
+
+    Returns ``(id, rrf, n_lists, rank)`` — top-``k`` by
+    ``rrf DESC, id ASC``.  Map-only per list + one id-keyed aggregate +
+    a distributed TakeOrdered: each input is already a top-k (bounded),
+    so every stage is candidate-sized, never corpus-sized.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = []
+    for r in rankings:
+        check_col([id_col, rank_col], r)
+        parts.append(
+            r.select(
+                F.col(id_col),
+                F.expr(
+                    f"cast({int(scale)} as bigint) div "
+                    f"(cast({int(k_rrf)} as bigint) + cast({rank_col} as bigint))"
+                ).alias("__s"),
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    out = (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("__s").alias("rrf"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rrf", "n_lists", "rank"
+    )
+
+
+__all__ = ["bm25_topk", "bm25_topk_multi", "rrf_fuse"]

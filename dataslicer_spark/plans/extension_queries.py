@@ -5060,6 +5060,114 @@ WHERE rank <= 5
 """
 
 
+def txt_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) ∪ exact-cosine top-20
+    (dense, query = vector 0) fused with Reciprocal Rank Fusion into one
+    top-10 (``operators/retrieval.rrf_fuse``; vec_id ≡ doc_id in the
+    synthetic corpus).  Both input rankings are already value-hash
+    oracled queries; the fusion adds only integer rank arithmetic, so
+    the combined pipeline stays bit-exact in DuckDB."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "vector", "fast"], k=20).select(
+        "doc_id", "rank"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(emb, q, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], "doc_id", k=10)
+
+
+TXT_HYBRID_RRF_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''),
+per_doc AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS dl,
+         CAST(COUNT(*) FILTER (WHERE term = 'spark') AS BIGINT) AS tf_0,
+         CAST(COUNT(*) FILTER (WHERE term = 'vector') AS BIGINT) AS tf_1,
+         CAST(COUNT(*) FILTER (WHERE term = 'fast') AS BIGINT) AS tf_2
+  FROM toks GROUP BY doc_id),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(COUNT(*) FILTER (WHERE tf_0 > 0) AS BIGINT) AS df_0,
+         CAST(COUNT(*) FILTER (WHERE tf_1 > 0) AS BIGINT) AS df_1,
+         CAST(COUNT(*) FILTER (WHERE tf_2 > 0) AS BIGINT) AS df_2
+  FROM per_doc),
+lex_scored AS (
+  SELECT p.doc_id,
+         CAST(FLOOR(((CAST(s.n_docs - s.df_0 AS DOUBLE) + 0.5)
+                      / (CAST(s.df_0 AS DOUBLE) + 0.5))
+           * ((CAST(p.tf_0 AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(p.tf_0 AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE)
+                        / CAST(s.n_docs AS DOUBLE))))))
+           * 1048576.0) AS BIGINT)
+         + CAST(FLOOR(((CAST(s.n_docs - s.df_1 AS DOUBLE) + 0.5)
+                      / (CAST(s.df_1 AS DOUBLE) + 0.5))
+           * ((CAST(p.tf_1 AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(p.tf_1 AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE)
+                        / CAST(s.n_docs AS DOUBLE))))))
+           * 1048576.0) AS BIGINT)
+         + CAST(FLOOR(((CAST(s.n_docs - s.df_2 AS DOUBLE) + 0.5)
+                      / (CAST(s.df_2 AS DOUBLE) + 0.5))
+           * ((CAST(p.tf_2 AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(p.tf_2 AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE)
+                        / CAST(s.n_docs AS DOUBLE))))))
+           * 1048576.0) AS BIGINT) AS fp,
+         (CASE WHEN p.tf_0 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN p.tf_1 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN p.tf_2 > 0 THEN 1 ELSE 0 END) AS n_matched
+  FROM per_doc p CROSS JOIN st s),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY CAST(fp AS DOUBLE) / 1048576.0 DESC,
+                              doc_id ASC) AS rank
+    FROM lex_scored WHERE n_matched > 0)
+  WHERE rank <= 20),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY ({_sql_fp_dot('c.embedding', 'q.embedding')})
+               / (sqrt({_sql_fp_dot('c.embedding', 'c.embedding')})
+                  * sqrt({_sql_fp_dot('q.embedding', 'q.embedding')})) DESC,
+               c.vec_id ASC) AS rank
+    FROM embeddings c
+    JOIN (SELECT * FROM embeddings WHERE vec_id = 0) q
+      ON c.vec_id <> q.vec_id)
+  WHERE rank <= 20),
+fused AS (
+  SELECT doc_id,
+         CAST(SUM(1099511627776 // (60 + rank)) AS BIGINT) AS rrf,
+         CAST(COUNT(*) AS INTEGER) AS n_lists
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+  GROUP BY doc_id)
+SELECT doc_id, rrf, n_lists,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5163,6 +5271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_bmp_codec_features": mm_bmp_codec_features,
     "mm_wav_codec_features": mm_wav_codec_features,
     "txt_bm25_multiquery": txt_bm25_multiquery,
+    "txt_hybrid_rrf": txt_hybrid_rrf,
 }
 
 ORACLES: dict[str, str] = {
@@ -5312,4 +5421,6 @@ ORACLES: dict[str, str] = {
     "mm_wav_codec_features": MM_WAV_FEATURES_SQL,
     # VALUES query table; same pinned-order IDF/fixed-point as bm25
     "txt_bm25_multiquery": TXT_BM25_MULTI_SQL,
+    # fusion is pure integer rank arithmetic over two oracled rankings
+    "txt_hybrid_rrf": TXT_HYBRID_RRF_SQL,
 }

@@ -90,6 +90,10 @@ ALLOW = {
     # the nested loop joins the broadcast 1-ROW corpus-stats aggregate
     # (N, Σdl) onto the matched tf frame (operators/retrieval.py)
     "txt_bm25_multiquery": {"nested-loop-join"},
+    # composes bm25 (1-row stats broadcast) and cosine_topk (query side
+    # broadcast BY DESIGN); the single partitions are the ≤k rank
+    # windows over the two TakeOrdered survivor sets + the fused top-10
+    "txt_hybrid_rrf": {"nested-loop-join", "single-partition-exchange"},
 }
 
 

@@ -123,3 +123,28 @@ def test_multi_k_bounds_each_query(spark, docs_df):
         per_q.setdefault(r.qid, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
                for v in per_q.values())
+
+
+def test_rrf_fuse_brute_parity(spark):
+    from dataslicer_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (9, 3)], "doc_id long, rank int"
+    )
+    rows = rrf_fuse([a, b], "doc_id", k=10).collect()
+    S = 1 << 40
+
+    def s(r):
+        return S // (60 + r)
+
+    want = {1: (s(1) + s(2), 2), 2: (s(2), 1), 3: (s(3) + s(1), 2),
+            9: (s(3), 1)}
+    got = {r.doc_id: (r.rrf, r.n_lists) for r in rows}
+    assert got == want
+    order = [r.doc_id for r in sorted(rows, key=lambda r: r.rank)]
+    assert order == sorted(want, key=lambda d: (-want[d][0], d))
+    with pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
