@@ -275,6 +275,33 @@ class SlicerFrame:
         reps, stats = exact_dedup(self.df, id_col, text_col)
         return self._wrap(reps), self._wrap(stats)
 
+    def search(
+        self,
+        terms: list[str],
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 10,
+    ) -> "SlicerFrame":
+        """BM25 keyword top-k over a text column
+        (operators/retrieval.py) — the corpus-audit question 'what did
+        we keep about X?' as one call."""
+        from .operators.retrieval import bm25_topk
+
+        return self._wrap(bm25_topk(self.df, terms, id_col, text_col, k))
+
+    def to_training_shards(
+        self,
+        path: str,
+        id_col: str,
+        n_shards: int,
+        **kw,
+    ) -> dict:
+        """Deterministic sharded export + manifest (sources/shards.py);
+        returns the manifest dict."""
+        from .sources.shards import write_training_shards
+
+        return write_training_shards(self.df, path, id_col, n_shards, **kw)
+
     # -- diagnostic plot sinks (reference dataset_base.py:72-96,
     # objtable.py:334-346) ---------------------------------------------------
     def sample_pandas(self, cols=None, max_rows: int = 100_000):

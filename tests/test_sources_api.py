@@ -383,3 +383,20 @@ def test_slicer_frame_unloaded_raises(spark):
     ds = SlicerDataset(spark, "empty")
     with pytest.raises(RuntimeError, match="load"):
         ds.select_objects("x > 1")
+
+
+def test_slicerframe_search_and_shards(spark, tmp_path):
+    from dataslicer_spark.api import SlicerFrame
+
+    sf = SlicerFrame(
+        spark.createDataFrame(
+            [(1, "spark fast spark"), (2, "slow table"), (3, "spark")],
+            "doc_id long, text string",
+        )
+    )
+    hits = sf.search(["spark"], k=2)
+    rows = hits.df.collect()
+    # doc 3 ("spark", dl=1) outranks doc 1 (dl=3): length normalization
+    assert [r.doc_id for r in rows] == [3, 1] and len(rows) == 2
+    m = sf.to_training_shards(str(tmp_path / "sh"), "doc_id", 2)
+    assert m["total_rows"] == 3
