@@ -89,9 +89,20 @@ def dsir_select(
         )
     )
 
-    model = grams.groupBy("__bucket").agg(
-        F.count(F.lit(1)).alias("__cnt_r"),
-        F.count(F.when(F.col("__is_t"), 1)).alias("__cnt_t"),
+    # one (doc, bucket) aggregate feeds BOTH the bucket model and the
+    # document scores — the two consumers share the identical exploded
+    # subtree + exchange, so Spark's ReuseExchange tokenizes the corpus
+    # ONCE (vs once per consumer when each reads the raw gram stream);
+    # the wire carries (doc, bucket, tf) integer cells, never grams
+    tfagg = grams.groupBy(id_col, *carry, "__is_t", "__bucket").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+
+    model = tfagg.groupBy("__bucket").agg(
+        F.sum("__tf").alias("__cnt_r"),
+        F.sum(F.when(F.col("__is_t"), F.col("__tf")).otherwise(0)).alias(
+            "__cnt_t"
+        ),
     )
     weights = model.select(
         "__bucket",
@@ -101,9 +112,9 @@ def dsir_select(
     )
 
     scored = (
-        grams.join(F.broadcast(weights), "__bucket")
+        tfagg.join(F.broadcast(weights), "__bucket")
         .groupBy(id_col, *carry)
-        .agg(F.sum("__s_b").alias("importance"))
+        .agg(F.sum(F.col("__tf") * F.col("__s_b")).alias("importance"))
     )
     out = scored.orderBy(
         F.col("importance").desc(), F.col(id_col).asc()
