@@ -2911,14 +2911,28 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cluster", "d2")
 
 
-def _sql_kmeans_chain(k: int, n_iter: int, fp_bits: int, dim: int) -> str:
+def _sql_kmeans_chain(
+    k: int,
+    n_iter: int,
+    fp_bits: int,
+    dim: int,
+    xv_sql: str | None = None,
+    ids_from: str = "embeddings WHERE embedding IS NOT NULL",
+) -> str:
     """CTE chain (no leading WITH) replaying operators/kmeans.py exactly,
     ending in ``fin(vec_id, cluster, d2)`` — the assignment against the
     post-``n_iter``-update centroids.  Empty clusters keep their previous
-    centroid via the UNION ALL branch, mirroring kmeans_fit."""
+    centroid via the UNION ALL branch, mirroring kmeans_fit.
+
+    ``xv_sql`` overrides the feature CTE (must be a full ``xv AS ...``
+    producing ``(vec_id, dim INTEGER, val BIGINT)`` DENSE in dim);
+    ``ids_from`` is the seeds' FROM clause (a relation with ``vec_id``).
+    Defaults replay the embeddings table."""
     scale = repr(float(1 << fp_bits))
     ctes = [
-        f"""xv AS MATERIALIZED (
+        xv_sql
+        if xv_sql is not None
+        else f"""xv AS MATERIALIZED (
   SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
                     * CAST({scale} AS DOUBLE)) AS BIGINT) AS val
@@ -2929,7 +2943,7 @@ def _sql_kmeans_chain(k: int, n_iter: int, fp_bits: int, dim: int) -> str:
          CAST(ROW_NUMBER() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
            AS cluster
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM {ids_from}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {k})""",
         """cent0 AS MATERIALIZED (
@@ -5168,6 +5182,73 @@ LIMIT 10
 """
 
 
+def txt_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document topic clustering, auditable end to end: hashed token
+    counts (md5 mod 8 slots, dense integer vectors — the hashing-trick
+    featurization) → fixed-point k-means (k=4, 3 Lloyd iterations) →
+    per-doc cluster assignment with cluster sizes.  Because both stages
+    are integer-exact, the ENTIRE pipeline — featurization + the full
+    clustering trajectory — replays bit for bit in DuckDB: a topic
+    model an external engine can verify."""
+    from ..operators.kmeans import kmeans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % 8
+    )
+    per = toks.withColumn("__slot", slot).groupBy("doc_id").agg(
+        *[
+            F.count(F.when(F.col("__slot") == i, 1)).alias(f"c{i}")
+            for i in range(8)
+        ]
+    )
+    feat = per.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[F.col(f"c{i}").cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    out = kmeans(feat, "vec_id", "embedding", k=4, n_iter=3)
+    sizes = out.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return out.join(F.broadcast(sizes), "cluster").select(
+        F.col("vec_id").alias("doc_id"), "cluster", "d2", "cluster_size"
+    )
+
+
+_TOPIC_XV = """xv AS MATERIALIZED (
+  SELECT d.vec_id, CAST(t.i AS INTEGER) AS dim,
+         CAST(COALESCE(c.cnt, 0) * 1048576 AS BIGINT) AS val
+  FROM (SELECT DISTINCT doc_id AS vec_id FROM ttoks) d
+  CROSS JOIN range(0, 8) t(i)
+  LEFT JOIN (
+    SELECT doc_id AS vec_id,
+           ('0x' || substr(md5(term), 1, 8))::BIGINT % 8 AS dim,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ttoks GROUP BY 1, 2) c
+    ON c.vec_id = d.vec_id AND c.dim = t.i)"""
+
+TXT_TOPIC_SQL = f"""
+WITH ttoks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''),
+{_sql_kmeans_chain(k=4, n_iter=3, fp_bits=20, dim=8, xv_sql=_TOPIC_XV,
+                   ids_from="(SELECT DISTINCT doc_id AS vec_id FROM ttoks) u")},
+sizes AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM fin GROUP BY cluster)
+SELECT f.vec_id AS doc_id, f.cluster, f.d2, s.cluster_size
+FROM fin f JOIN sizes s USING (cluster)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5272,6 +5353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_wav_codec_features": mm_wav_codec_features,
     "txt_bm25_multiquery": txt_bm25_multiquery,
     "txt_hybrid_rrf": txt_hybrid_rrf,
+    "txt_topic_clusters": txt_topic_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -5423,4 +5505,6 @@ ORACLES: dict[str, str] = {
     "txt_bm25_multiquery": TXT_BM25_MULTI_SQL,
     # fusion is pure integer rank arithmetic over two oracled rankings
     "txt_hybrid_rrf": TXT_HYBRID_RRF_SQL,
+    # hashing-trick features + full integer k-means trajectory as CTEs
+    "txt_topic_clusters": TXT_TOPIC_SQL,
 }
