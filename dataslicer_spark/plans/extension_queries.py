@@ -5249,6 +5249,92 @@ FROM fin f JOIN sizes s USING (cluster)
 """
 
 
+def txt_topic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name the topics: for each ``txt_topic_clusters`` cluster, the
+    top-3 salient terms by the ln-free integer salience
+    ``tf_cluster · (N_docs div df_term)`` (the ``txt_salient_terms``
+    device at cluster grain) — cluster-profile reporting composed from
+    two already-oracled stages, still bit-exact end to end."""
+    from ..operators.kmeans import kmeans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % 8
+    )
+    per = toks.withColumn("__slot", slot).groupBy("doc_id").agg(
+        *[
+            F.count(F.when(F.col("__slot") == i, 1)).alias(f"c{i}")
+            for i in range(8)
+        ]
+    )
+    feat = per.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[F.col(f"c{i}").cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    assign = kmeans(feat, "vec_id", "embedding", k=4, n_iter=3).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    n_docs = docs.count()
+    tf_c = (
+        toks.join(assign, "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = (
+        toks.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf_c.join(df_, "term").withColumn(
+        "salience",
+        F.col("tf")
+        * F.expr(f"cast({int(n_docs)} as bigint) div df"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("salience").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("cluster", "rank", "term", "tf", "df", "salience")
+    )
+
+
+TXT_TOPIC_PROFILE_SQL = f"""
+WITH ttoks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''),
+{_sql_kmeans_chain(k=4, n_iter=3, fp_bits=20, dim=8, xv_sql=_TOPIC_XV,
+                   ids_from="(SELECT DISTINCT doc_id AS vec_id FROM ttoks) u")},
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM documents WHERE text IS NOT NULL),
+tfc AS MATERIALIZED (
+  SELECT f.cluster, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ttoks t JOIN fin f ON f.vec_id = t.doc_id
+  GROUP BY f.cluster, t.term),
+dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM ttoks GROUP BY term)
+SELECT cluster, rank, term, tf, df, salience FROM (
+  SELECT c.cluster, c.term, c.tf, d.df,
+         c.tf * (nn.n // d.df) AS salience,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.cluster
+           ORDER BY c.tf * (nn.n // d.df) DESC, c.term ASC) AS INTEGER)
+           AS rank
+  FROM tfc c JOIN dfreq d USING (term) CROSS JOIN nn)
+WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5354,6 +5440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_bm25_multiquery": txt_bm25_multiquery,
     "txt_hybrid_rrf": txt_hybrid_rrf,
     "txt_topic_clusters": txt_topic_clusters,
+    "txt_topic_profile": txt_topic_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -5507,4 +5594,6 @@ ORACLES: dict[str, str] = {
     "txt_hybrid_rrf": TXT_HYBRID_RRF_SQL,
     # hashing-trick features + full integer k-means trajectory as CTEs
     "txt_topic_clusters": TXT_TOPIC_SQL,
+    # cluster-grain salient terms over the same replayed trajectory
+    "txt_topic_profile": TXT_TOPIC_PROFILE_SQL,
 }
