@@ -183,14 +183,23 @@ def _write_diff(
     for name, t in timings.items():
         if t <= 0 and prev.get(name, -1) > 0:
             baseline[name] = prev[name]
+    # the artifact must be self-describing: a retained previous timing
+    # for a crashed query is indistinguishable from a fresh measurement
+    # unless the failure is recorded alongside it
+    failed_names = sorted(n for n, t in timings.items() if t <= 0)
     with open(local_path, "w") as f:
         json.dump(
-            {"sf": sf, "queries": baseline, "runs": run_vectors or {}},
+            {
+                "sf": sf,
+                "queries": baseline,
+                "runs": run_vectors or {},
+                "failed": failed_names,
+            },
             f, indent=1, sort_keys=True,
         )
     if not prev:
         return
-    failed = sorted(n for n, t in timings.items() if t <= 0)
+    failed = failed_names
     lines = [
         "# BENCH diff — current run vs previous BENCH_LOCAL.json",
         "",

@@ -105,10 +105,13 @@ def dedup_against_minhash_index(
 
     With ``append_survivors`` (default) the survivors' signatures and
     band keys are appended to the index, so consecutive calls implement
-    the incremental-ingestion loop; pass False for a dry-run check.
-    Everything before the final parquet append is lazy-plus-one-action;
-    the stored band table is scanned once, map-side hash-joined against
-    the broadcast batch keys.
+    the incremental-ingestion loop; pass False for a dry-run check
+    (dry-runs return fully lazy plans).  Appending calls materialize
+    (checkpoint) the returned frames BEFORE the append — they must not
+    remain lazy reads of index paths the append just grew, or a
+    post-return evaluation would see the batch in the index and
+    self-match every document.  The stored band table is scanned once,
+    map-side hash-joined against the broadcast batch keys.
 
     ``release_cache`` — for callers that invoke this in a loop (the
     streaming form runs it every micro-batch): eagerly materializes the
@@ -255,13 +258,16 @@ def dedup_against_minhash_index(
         dropped.withColumnRenamed("dropped_id", id_col), id_col, "left_anti"
     )
 
-    if release_cache:
+    if append_survivors or release_cache:
         # materialize (checkpoint) both results BEFORE touching the index
-        # dirs: the append's refreshByPath invalidates any CACHE whose
-        # plan reads the index paths, so a mere persist would silently
-        # recompute post-append with a re-listed index containing the
-        # batch itself — every document would self-match and be dropped.
-        # Checkpointing severs the lineage from those paths entirely.
+        # dirs: the returned frames are otherwise lazy plans that READ
+        # the very paths the append below writes to — a post-return
+        # evaluation could re-list the index with the batch already in
+        # it, so every document would self-match and be dropped.
+        # Checkpointing severs the lineage from those paths entirely
+        # (not just under release_cache — ANY appending call needs it;
+        # release_cache additionally relies on it so the returned frames
+        # survive the unpersist of the internal caches below).
         survivors, est = materialize(survivors), materialize(est)
     if append_survivors:
         surv_ids = survivors.select(F.col(id_col).alias("id"))
@@ -287,9 +293,24 @@ def compact_minhash_index(
     tables to ~``target_mb`` files with the crash-safe two-rename swap
     of ``sources/lake.compact_lake`` (the band table is additionally
     clustered by ``(band, bucket)`` so a probe's broadcast-join scan
-    reads co-located buckets).  Returns {table: n_files_after}."""
+    reads co-located buckets).  Returns {table: n_files_after}.
+
+    Local-filesystem only: the swap uses POSIX renames, which do not
+    exist on object stores — an ``s3://``/``hdfs://`` index would have
+    silently computed ``total=0`` and then failed at ``os.rename`` after
+    writing the tmp table, so non-local paths are rejected up front
+    (compact such an index with the catalog/lake tooling of the
+    deployment instead)."""
     import math
     import shutil
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            "compact_minhash_index only supports local filesystem paths "
+            f"(POSIX-rename swap); got scheme {scheme!r} in {path!r}"
+        )
 
     out: dict[str, int] = {}
     for table, order_cols in ((_SIGS, ["id"]), (_BANDS, ["band", "bucket"])):

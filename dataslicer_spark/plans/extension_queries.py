@@ -492,6 +492,10 @@ def dd_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so the output is engine-independent (= exact cross-pair set
     minus LSH misses; at r=2, b=32, t=0.8 the per-pair miss probability
     is < 1e-14) and the DuckDB oracle computes it directly."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ..operators.dedup_index import (
@@ -507,7 +511,15 @@ def dd_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
         ).alias("text"),
     )
-    path = tempfile.mkdtemp(prefix="dslicer_mhidx_")
+    # deterministic per-(process, sf_dir) path, overwritten on every
+    # invocation and removed at interpreter exit: bench reps and
+    # correctness runs reuse ONE directory instead of leaking a full
+    # signature+band index per rep (mkdtemp leaked ~8 copies/bench)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"dslicer_mhidx_{os.getpid()}_{tag}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     build_minhash_index(docs, path, "doc_id", num_perm=64, bands=32)
     _surv, matches = dedup_against_minhash_index(
         batch, path, "doc_id", threshold=0.8,

@@ -109,10 +109,26 @@ def write_training_shards(
     else:
         writer.option("compression", "gzip").json(path)
 
+    # derive the manifest from the data ACTUALLY WRITTEN, not by
+    # re-evaluating `sharded`: if the input plan has nondeterministic
+    # lineage (sampling, rand-derived columns), a second evaluation can
+    # produce different rows and the manifest would disagree with the
+    # files — verify_shards would later report phantom corruption.  The
+    # re-read also certifies the files are readable end-to-end.
+    spark = df.sparkSession
+    if fmt == "parquet":
+        written = spark.read.parquet(path)
+    else:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(df.schema.jsonValue()).add(
+            "shard", "integer"
+        )
+        written = spark.read.schema(schema).json(path)
     aggs = _manifest_aggs(id_col, token_col)
     per_shard = {
         int(r["shard"]): {k: int(r[k]) for k in r.asDict() if k != "shard"}
-        for r in sharded.groupBy("shard").agg(*aggs).collect()
+        for r in written.groupBy("shard").agg(*aggs).collect()
     }
     manifest = {
         "n_shards": n_shards,

@@ -168,3 +168,48 @@ def test_compact_index_reduces_files_preserves_probes(spark, docs, tmp_path):
     )
     assert {(r.new_id, r.index_id) for r in m_after.collect()} == want
     assert want  # the probe actually matched something
+
+
+def test_returned_frames_survive_later_appends(spark, docs, tmp_path):
+    """Regression (round-7 advice): with append_survivors=True the
+    returned survivors/matches must be materialized BEFORE the index
+    append — a lazy plan would re-list the index paths on evaluation,
+    see the batch's own signatures already appended, and self-match
+    every document away."""
+    path = str(tmp_path / "mhidx6")
+    build_minhash_index(docs.limit(0), path, "doc_id")
+    batch1 = docs.limit(25)
+
+    # expected result from a dry-run against the still-empty index
+    # (within-batch near-dups may legitimately drop a few rows)
+    want_surv = {
+        r.doc_id
+        for r in dedup_against_minhash_index(
+            batch1, path, "doc_id", threshold=0.5, append_survivors=False
+        )[0].select("doc_id").collect()
+    }
+    assert want_surv  # sanity: the batch is not empty
+
+    surv1, matches1 = dedup_against_minhash_index(
+        batch1, path, "doc_id", threshold=0.5
+    )  # defaults: append_survivors=True, release_cache=False
+
+    # mutate the index again before evaluating batch 1's results
+    batch2 = docs.subtract(batch1).limit(10)
+    dedup_against_minhash_index(batch2, path, "doc_id", threshold=0.5)
+
+    # batch 1 was all-new vs an empty index: no index match may appear,
+    # and survivors must equal the dry-run set, stably across repeated
+    # evaluation — a lazy plan re-listing the appended index would
+    # self-match everything away
+    assert matches1.count() == 0
+    got = {r.doc_id for r in surv1.select("doc_id").collect()}
+    assert got == want_surv
+    assert surv1.count() == len(want_surv)
+
+
+def test_compact_rejects_non_local_path(spark):
+    from dataslicer_spark.operators.dedup_index import compact_minhash_index
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        compact_minhash_index(spark, "s3://bucket/index")

@@ -104,3 +104,21 @@ def test_jsonl_format_roundtrip_and_verify(docs, tmp_path, spark):
 
     with pytest.raises(ValueError):
         write_training_shards(docs, str(tmp_path / "z"), "doc_id", 2, fmt="csv")
+
+
+def test_manifest_matches_files_under_nondeterministic_lineage(
+    docs, tmp_path, spark
+):
+    """Regression (round-7 advice): the manifest is derived from the
+    files actually written, not a re-evaluation of the input plan — a
+    nondeterministic input (here a fractional sample without a fixed
+    materialization) must still yield a manifest that verify_shards
+    accepts."""
+    path = str(tmp_path / "shards_nondet")
+    nondet = docs.sample(0.5)  # re-evaluation can select different rows
+    write_training_shards(nondet, path, "doc_id", n_shards=4)
+    res = verify_shards(spark, path)
+    assert res.filter(~F.col("ok")).count() == 0
+    m = read_manifest(path)
+    written_rows = read_training_shards(spark, path).count()
+    assert m["total_rows"] == written_rows
