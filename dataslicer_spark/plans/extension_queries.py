@@ -5194,6 +5194,124 @@ LIMIT 10
 """
 
 
+#: 12-token boilerplate planted into every 7th document — the synthetic
+#: corpus is i.i.d. word salad with no natural verbatim repeats, so the
+#: ExactSubstr query injects the duplication mode it exists to remove
+#: (same planted-mutation device as the dd_* family).
+_SPAN_BOILER = (
+    "terms of service apply all rights reserved "
+    "do not redistribute this content"
+)
+
+
+def txt_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring dedup (operators/span_dedup.py — the
+    ExactSubstr pass of Lee et al. 2022, arXiv:2107.06499): every
+    repeated k=8-token passage is located via windowed md5 fingerprints
+    + a global first-occurrence rank, merged into maximal spans per
+    document, and scrubbed keeping exactly one corpus-wide copy.
+
+    Output per doc: span stats (count, tokens covered, fraction) from
+    the stats path AND the md5 of the scrubbed text from the removal
+    path — the oracle replays both, so the two independent pipelines
+    cross-certify.  Docs ``doc_id % 7 == 0`` carry the planted
+    boilerplate prefix; the smallest such doc_id keeps it, every other
+    copy must be detected and removed."""
+    from ..operators.span_dedup import (
+        remove_duplicated_spans,
+        span_dedup_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stats = span_dedup_stats(corpus, "doc_id", k=8)
+    clean = remove_duplicated_spans(corpus, "doc_id", k=8).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("clean_fp"),
+    )
+    return stats.join(clean, "doc_id").select(
+        "doc_id", "n_tokens", "dup_spans", "dup_tokens", "dup_frac",
+        "clean_fp",
+    )
+
+
+TXT_SPAN_DEDUP_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN '{_SPAN_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM base WHERE trim(text) <> ''),
+wins AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+         md5(array_to_string(t[u.i + 1 : u.i + 8], ' ')) AS fp
+  FROM toks, UNNEST(range(0, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+  FROM wins),
+dup AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM ranked WHERE rk > 1),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM dup),
+isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+spans AS MATERIALIZED (
+  SELECT doc_id, island, MIN(s) AS span_start, MAX(e) AS span_end
+  FROM isl2 GROUP BY 1, 2),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY 1),
+kept AS (
+  SELECT k.doc_id, u.i AS pos, t[u.i + 1] AS tok
+  FROM toks k, UNNEST(range(0, len(t))) AS u(i)
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id
+                      AND u.i BETWEEN s.span_start AND s.span_end)),
+clean AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+  FROM kept GROUP BY doc_id),
+ntok AS (
+  SELECT b.doc_id,
+         CASE WHEN trim(b.text) = '' THEN 0 ELSE len(t.t) END AS n_tokens
+  FROM base b LEFT JOIN toks t USING (doc_id))
+SELECT n.doc_id,
+       CAST(n.n_tokens AS INTEGER) AS n_tokens,
+       COALESCE(p.dup_spans, 0) AS dup_spans,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN n.n_tokens > 0
+            THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                   / CAST(n.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS dup_frac,
+       COALESCE(c.clean_fp, md5('')) AS clean_fp
+FROM ntok n
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+"""
+
+
 def txt_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document topic clustering, auditable end to end: hashed token
     counts (md5 mod 8 slots, dense integer vectors — the hashing-trick
@@ -5453,6 +5571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_hybrid_rrf": txt_hybrid_rrf,
     "txt_topic_clusters": txt_topic_clusters,
     "txt_topic_profile": txt_topic_profile,
+    "txt_span_dedup": txt_span_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -5608,4 +5727,5 @@ ORACLES: dict[str, str] = {
     "txt_topic_clusters": TXT_TOPIC_SQL,
     # cluster-grain salient terms over the same replayed trajectory
     "txt_topic_profile": TXT_TOPIC_PROFILE_SQL,
+    "txt_span_dedup": TXT_SPAN_DEDUP_SQL,
 }

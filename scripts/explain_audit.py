@@ -145,6 +145,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "single-partition global sort",
      ["TakeOrderedAndProject", "HashAggregate"],
      ["Python", "SortMergeJoin"]),
+    ("txt_span_dedup", "ExactSubstr span dedup: fingerprint rank + "
+     "island merge are windows; only (fp, id, pos) triples shuffle; "
+     "scrub re-joins spans on the doc key — no Python, no cartesian",
+     ["Window", "row_number"],
+     ["Python", "CartesianProduct", "NestedLoop"]),
 ]
 
 
