@@ -3219,6 +3219,71 @@ GROUP BY l_returnflag
 """
 
 
+def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-to-fact join via bucketed storage
+    (sources/bucketed.py): orders and lineitem are written as
+    catalog-managed tables hash-bucketed on the order key, then joined
+    with ZERO Exchange operators — bucket b only ever meets bucket b,
+    so the repeated-join shuffle is paid once at write time (the 100 TB
+    layout for orders⋈lineitem-every-query workloads).  The plan audit
+    asserts no Exchange and no broadcast; the result — and the DuckDB
+    oracle — is exactly the plain join's aggregate, independent of the
+    physical layout."""
+    import atexit
+    import os as _os
+
+    from ..sources.bucketed import bucketed_join, write_bucketed
+    from .star_queries import dsum
+
+    tag = _os.getpid()
+    t_ord, t_li = f"j11_orders_b{tag}", f"j11_lineitem_b{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders")
+        .withColumnRenamed("o_orderkey", "okey")
+        .select("okey", "o_orderpriority"),
+        t_ord, ["okey"], 8,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "okey")
+        .select("okey", "l_extendedprice", "l_quantity"),
+        t_li, ["okey"], 8,
+    )
+
+    def _drop(names=(t_ord, t_li)):
+        from pyspark.sql import SparkSession as _S
+
+        s = _S.getActiveSession()
+        if s is not None:
+            for n in names:
+                try:
+                    s.sql(f"DROP TABLE IF EXISTS {n}")
+                except Exception:
+                    pass
+
+    atexit.register(_drop)
+    return (
+        bucketed_join(spark, t_ord, t_li, ["okey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("okey").alias("n_orders"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+J11_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1048576.0) AS BIGINT))
+            AS DOUBLE) / 1048576.0 AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 _BPE_MERGES = 4
 _BPE_MAX_CHARS = 256
 
@@ -5534,6 +5599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semantic_dedup": emb_semantic_dedup,
     "txt_quality_classifier": txt_quality_classifier,
     "j10_bloom_join": j10_bloom_join,
+    "j11_bucketed_join": j11_bucketed_join,
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
@@ -5655,6 +5721,7 @@ ORACLES: dict[str, str] = {
     "txt_quality_classifier": TXT_QUALITY_CLASSIFIER_SQL,
     # bloom false positives are cleaned by the join → plain-join oracle
     "j10_bloom_join": J10_BLOOM_JOIN_SQL,
+    "j11_bucketed_join": J11_BUCKETED_JOIN_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4
     "txt_bpe_tokenize": TXT_BPE_SQL,
     # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)

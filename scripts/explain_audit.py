@@ -150,6 +150,13 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "scrub re-joins spans on the doc key — no Python, no cartesian",
      ["Window", "row_number"],
      ["Python", "CartesianProduct", "NestedLoop"]),
+    ("j11_bucketed_join", "bucketed fact-to-fact join: SMJ reads the "
+     "bucketed scans directly (SelectedBucketsCount in both scans; the "
+     "only Exchange is the final aggregate's) — no broadcast, no "
+     "cartesian; tests/test_bucketed.py asserts the bare join plan has "
+     "ZERO Exchange operators",
+     ["SortMergeJoin", "SelectedBucketsCount"],
+     ["BroadcastExchange", "CartesianProduct", "NestedLoop"]),
 ]
 
 
