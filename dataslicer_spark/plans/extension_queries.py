@@ -3219,6 +3219,60 @@ GROUP BY l_returnflag
 """
 
 
+def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion end to end (sources/warc.py): the documents table
+    is exported as 4 gzipped WARC shards (JVM-rendered records, text
+    writer) and re-ingested through the binaryFile + Content-Length
+    parser; output proves byte-exact payload round-trip (md5 + octet
+    length per doc) against the DuckDB oracle reading the original
+    parquet.
+    One scan task per shard — the Common Crawl ingestion shape."""
+    import atexit
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = _os.path.join(
+        tempfile.gettempdir(), f"dslicer_warc_{_os.getpid()}_{tag}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    write_warc(
+        docs.select(
+            F.concat(
+                F.lit("http://corpus.local/doc/"), F.col("doc_id")
+            ).alias("uri"),
+            "text",
+        ),
+        path, "uri", "text", n_shards=4,
+    )
+    return (
+        read_warc(spark, path)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content_length").alias("n_bytes"),
+            F.md5("payload").alias("payload_fp"),
+        )
+    )
+
+
+SRC_WARC_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_fp
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exchange-free fact-to-fact join via bucketed storage
     (sources/bucketed.py): orders and lineitem are written as
@@ -5600,6 +5654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_quality_classifier": txt_quality_classifier,
     "j10_bloom_join": j10_bloom_join,
     "j11_bucketed_join": j11_bucketed_join,
+    "src_warc_roundtrip": src_warc_roundtrip,
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
@@ -5722,6 +5777,7 @@ ORACLES: dict[str, str] = {
     # bloom false positives are cleaned by the join → plain-join oracle
     "j10_bloom_join": J10_BLOOM_JOIN_SQL,
     "j11_bucketed_join": J11_BUCKETED_JOIN_SQL,
+    "src_warc_roundtrip": SRC_WARC_ROUNDTRIP_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4
     "txt_bpe_tokenize": TXT_BPE_SQL,
     # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)
