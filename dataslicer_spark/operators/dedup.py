@@ -188,9 +188,19 @@ def minhash_signatures(
             start = end
         return pd.Series(out)
 
-    return df.select(
-        F.col(id_col).alias("id"), sig_udf(base).alias("signature")
-    ).filter(F.col("signature").isNotNull())
+    # Null-skip BEFORE the UDF, on the JVM-evaluable shingle array — not
+    # after on the UDF output: a post-UDF isNotNull collapses into a
+    # Filter whose predicate contains the PythonUDF, and when the input
+    # expression is itself a deep lambda tree (e.g. the span-dedup scrub
+    # feeding straight into this), Spark fails to extract the UDF from
+    # the predicate and dies with INTERNAL_ERROR "Cannot evaluate
+    # expression: sig_udf(...)" at runtime.  For non-empty input the
+    # kernel never returns null, so the pre-filter is equivalent.
+    return (
+        df.select(F.col(id_col).alias("id"), base.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select("id", sig_udf(F.col("__sh")).alias("signature"))
+    )
 
 
 def band_buckets(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
