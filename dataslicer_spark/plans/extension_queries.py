@@ -3219,6 +3219,61 @@ GROUP BY l_returnflag
 """
 
 
+def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (functions/normalize.py): docs
+    ``doc_id % 3 == 0`` get a planted DEcomposed prefix (``e`` +
+    combining acute, NFD form of ``café résumé``) plus a control char
+    and doubled spaces; the pipeline NFC-normalizes, strips controls,
+    and collapses whitespace.  The oracle replays it with DuckDB's
+    ``nfc_normalize`` — byte-level agreement between two independent
+    Unicode implementations, certified per doc by md5."""
+    from ..functions.normalize import clean_text
+
+    # 'cafe' + combining-acute, twice-spaced, with a BEL control char
+    dirty = "café  résumé\x07"
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(dirty + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = clean_text(corpus, "text", form="NFC")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_fp"),
+        F.length("text").alias("n_chars"),
+        "was_changed",
+    )
+
+
+TXT_NORMALIZE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'cafe' || chr(769) || '  re' || chr(769) || 'sume'
+                   || chr(769) || chr(7) || ' ' || text
+              ELSE text END AS text
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(text),
+                          '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]',
+                          '', 'g'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM base)
+SELECT doc_id,
+       md5(clean) AS clean_fp,
+       CAST(length(clean) AS INTEGER) AS n_chars,
+       clean IS DISTINCT FROM text AS was_changed
+FROM cleaned
+"""
+
+
 def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion end to end (sources/warc.py): the documents table
     is exported as 4 gzipped WARC shards (JVM-rendered records, text
@@ -5655,6 +5710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j10_bloom_join": j10_bloom_join,
     "j11_bucketed_join": j11_bucketed_join,
     "src_warc_roundtrip": src_warc_roundtrip,
+    "txt_normalize": txt_normalize,
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
@@ -5778,6 +5834,7 @@ ORACLES: dict[str, str] = {
     "j10_bloom_join": J10_BLOOM_JOIN_SQL,
     "j11_bucketed_join": J11_BUCKETED_JOIN_SQL,
     "src_warc_roundtrip": SRC_WARC_ROUNDTRIP_SQL,
+    "txt_normalize": TXT_NORMALIZE_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4
     "txt_bpe_tokenize": TXT_BPE_SQL,
     # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)

@@ -451,6 +451,20 @@ def main() -> None:
 
     run("dsir_select", dsir_fn(docs1), dsir_fn(docs4))
 
+    # round-7: ExactSubstr span dedup — windows grow linearly with
+    # tokens; the fingerprint rank is a uniform-key shuffle of (fp, id,
+    # pos) triples, so 4× docs ⇒ ~4× rows through both windows (the
+    # shifted copies ARE corpus-wide duplicates, so the 4× probe also
+    # carries a maximal duplicate load — the worst case, not the average)
+    from dataslicer_spark.operators.span_dedup import remove_duplicated_spans
+
+    def span_fn(docs):
+        return lambda: remove_duplicated_spans(
+            docs, "doc_id", k=8
+        ).write.format("noop").mode("overwrite").save()
+
+    run("span_dedup_scrub", span_fn(docs1), span_fn(docs4))
+
 
 if __name__ == "__main__":
     main()
