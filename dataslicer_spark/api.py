@@ -302,6 +302,46 @@ class SlicerFrame:
 
         return write_training_shards(self.df, path, id_col, n_shards, **kw)
 
+    def clean_text(self, text_col: str = "text", **kw) -> "SlicerFrame":
+        """Unicode canonicalization + control/whitespace cleanup
+        (functions/normalize.py); adds ``was_changed``."""
+        from .functions.normalize import clean_text
+
+        return self._wrap(clean_text(self.df, text_col, **kw))
+
+    def dedup_spans(
+        self, id_col: str, text_col: str = "text", k: int = 50
+    ) -> "SlicerFrame":
+        """ExactSubstr scrub (operators/span_dedup.py): remove every
+        repeated ≥k-token passage corpus-wide, keeping one copy; adds
+        ``n_removed_tokens``."""
+        from .operators.span_dedup import remove_duplicated_spans
+
+        return self._wrap(
+            remove_duplicated_spans(self.df, id_col, text_col, k)
+        )
+
+    def to_warc(
+        self, path: str, uri_col: str, payload_col: str, **kw
+    ) -> None:
+        """WARC shard export (sources/warc.py)."""
+        from .sources.warc import write_warc
+
+        write_warc(self.df, path, uri_col, payload_col, **kw)
+
+    def to_bucketed_table(
+        self,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        **kw,
+    ) -> None:
+        """Catalog-managed bucketed table (sources/bucketed.py) — pay
+        the join shuffle once at write time."""
+        from .sources.bucketed import write_bucketed
+
+        write_bucketed(self.df, table, bucket_cols, n_buckets, **kw)
+
     # -- diagnostic plot sinks (reference dataset_base.py:72-96,
     # objtable.py:334-346) ---------------------------------------------------
     def sample_pandas(self, cols=None, max_rows: int = 100_000):

@@ -400,3 +400,52 @@ def test_slicerframe_search_and_shards(spark, tmp_path):
     assert [r.doc_id for r in rows] == [3, 1] and len(rows) == 2
     m = sf.to_training_shards(str(tmp_path / "sh"), "doc_id", 2)
     assert m["total_rows"] == 3
+
+
+def test_slicerframe_round7_verbs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    sf = SlicerFrame(
+        spark.createDataFrame(
+            [
+                (1, "b0 b1 b2 b3 b4 tail one"),
+                (2, "b0 b1 b2 b3 b4 tail two"),
+                (3, "café  x\x07y"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    # clean_text: NFC + control strip + whitespace collapse
+    cleaned = sf.clean_text()
+    row = {r.doc_id: (r.text, r.was_changed) for r in cleaned.df.collect()}
+    assert row[3] == ("café xy", True)
+    assert row[1][1] is False
+
+    # dedup_spans: shared 5-token prefix removed from the later doc
+    scrubbed = sf.dedup_spans("doc_id", k=5)
+    got = {r.doc_id: r.text for r in scrubbed.df.collect()}
+    assert got[1].startswith("b0") and got[2] == "two"
+
+    # to_warc round trip through the reader
+    from dataslicer_spark.sources.warc import read_warc
+
+    wpath = str(tmp_path / "w")
+    sf.df.sparkSession  # noqa: B018 — session alive
+    SlicerFrame(
+        sf.df.select(
+            F.concat(F.lit("http://x/"), F.col("doc_id")).alias("u"), "text"
+        )
+    ).to_warc(wpath, "u", "text")
+    assert (
+        read_warc(spark, wpath).filter(F.col("warc_type") == "response").count()
+        == 3
+    )
+
+    # to_bucketed_table writes a catalog table with bucket metadata
+    from dataslicer_spark.sources.bucketed import bucket_spec
+
+    sf.to_bucketed_table("api_bucketed_t", ["doc_id"], 2)
+    try:
+        assert bucket_spec(spark, "api_bucketed_t") == (["doc_id"], 2)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS api_bucketed_t")
