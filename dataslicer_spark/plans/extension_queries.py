@@ -3219,6 +3219,129 @@ GROUP BY l_returnflag
 """
 
 
+def txt_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain blocklist
+    (functions/urls.py): synthetic crawl URLs derived from doc_id
+    (mixed-case hosts, default ports, utm/fbclid tracking params,
+    fragments, co.uk/com.au multi-label suffixes) are normalized,
+    domain-extracted, and flagged against a blocklist — every step a
+    JVM expression with an exact DuckDB twin."""
+    from ..functions.urls import normalize_url, registrable_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = (
+        F.when(d % 5 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 5 == 1, F.lit("News.Example.co.uk"))
+        .when(d % 5 == 2, F.lit("cdn.Spam-Site.com"))
+        .when(d % 5 == 3, F.lit("Shop.Example.com.au"))
+        .otherwise(F.lit("blog.example.org"))
+    )
+    port = F.when(
+        d % 3 == 0,
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    q = (
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), d))
+        .when(d % 4 == 1, F.concat(F.lit("?id="), d))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 6 == 0, F.lit("#top")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), host, port, F.lit("/p/"), d, q, frag
+    )
+    tagged = docs.select(
+        "doc_id",
+        normalize_url(url).alias("url_norm"),
+        registrable_domain(url).alias("domain"),
+    )
+    return tagged.withColumn(
+        "blocked",
+        F.coalesce(F.col("domain").isin("spam-site.com"), F.lit(False)),
+    )
+
+
+TXT_URL_FILTER_SQL = r"""
+WITH built AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://'
+         || (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM'
+                             WHEN 1 THEN 'News.Example.co.uk'
+                             WHEN 2 THEN 'cdn.Spam-Site.com'
+                             WHEN 3 THEN 'Shop.Example.com.au'
+                             ELSE 'blog.example.org' END)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+                  ELSE '' END)
+         || '/p/' || doc_id
+         || (CASE doc_id % 4
+               WHEN 0 THEN '?utm_source=feed&id=' || doc_id
+               WHEN 1 THEN '?id=' || doc_id ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents),
+defrag AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM built),
+parts AS (
+  SELECT doc_id, u,
+         regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1)
+           AS prefix
+  FROM defrag),
+lowp AS (
+  SELECT doc_id, u, lower(prefix) AS low,
+         substr(u, length(prefix) + 1) AS rest
+  FROM parts),
+noport AS (
+  SELECT doc_id, rest,
+         CASE WHEN low LIKE 'http://%' AND low LIKE '%:80'
+                THEN substr(low, 1, length(low) - 3)
+              WHEN low LIKE 'https://%' AND low LIKE '%:443'
+                THEN substr(low, 1, length(low) - 4)
+              ELSE low END AS low
+  FROM lowp),
+tails AS (
+  SELECT doc_id, low,
+         regexp_replace(rest, '\?.*$', '') AS path,
+         CASE WHEN contains(rest, '?')
+              THEN array_to_string(list_filter(
+                     string_split(regexp_replace(rest, '^[^?]*\?', ''), '&'),
+                     p -> NOT (starts_with(p, 'utm_')
+                               OR starts_with(p, 'fbclid')
+                               OR starts_with(p, 'gclid')
+                               OR starts_with(p, 'mc_cid')
+                               OR starts_with(p, 'mc_eid'))), '&')
+              ELSE '' END AS clean_q
+  FROM noport),
+norm AS (
+  SELECT doc_id,
+         low || (CASE WHEN clean_q = '' THEN path
+                      ELSE path || '?' || clean_q END) AS url_norm,
+         nullif(regexp_replace(regexp_replace(regexp_replace(low,
+                  '^[a-z][a-z0-9+.\-]*://', ''), '^[^@]*@', ''),
+                  ':\d+$', ''), '') AS host
+  FROM tails),
+dom AS (
+  SELECT doc_id, url_norm,
+         CASE WHEN host IS NULL THEN NULL
+              ELSE nullif(CASE WHEN regexp_extract(host,
+                       '([^.]+\.[^.]+)$', 1) IN
+                       ('co.uk','org.uk','ac.uk','gov.uk','me.uk',
+                        'com.au','net.au','org.au','co.jp','ne.jp',
+                        'or.jp','com.br','net.br','org.br','co.in',
+                        'co.nz','co.za','com.cn','com.mx','com.tr')
+                     AND regexp_extract(host,
+                       '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+                   THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+                   ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END, '')
+              END AS domain
+  FROM norm)
+SELECT doc_id, url_norm, domain,
+       COALESCE(domain = 'spam-site.com', FALSE) AS blocked
+FROM dom
+"""
+
+
 def txt_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization (functions/normalize.py): docs
     ``doc_id % 3 == 0`` get a planted DEcomposed prefix (``e`` +
@@ -5711,6 +5834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j11_bucketed_join": j11_bucketed_join,
     "src_warc_roundtrip": src_warc_roundtrip,
     "txt_normalize": txt_normalize,
+    "txt_url_filter": txt_url_filter,
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
@@ -5835,6 +5959,7 @@ ORACLES: dict[str, str] = {
     "j11_bucketed_join": J11_BUCKETED_JOIN_SQL,
     "src_warc_roundtrip": SRC_WARC_ROUNDTRIP_SQL,
     "txt_normalize": TXT_NORMALIZE_SQL,
+    "txt_url_filter": TXT_URL_FILTER_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4
     "txt_bpe_tokenize": TXT_BPE_SQL,
     # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)
