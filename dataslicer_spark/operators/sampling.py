@@ -448,3 +448,45 @@ def mixture_resample(
         .filter(h < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group quota: keep at most ``cap`` rows per group — the
+    crawl-curation "per-site cap" that stops a handful of giant domains
+    from dominating the corpus (every web corpus paper applies one).
+
+    Which rows survive an over-quota group is decided by the content
+    hash ``md5(salt‖id)`` (ties broken by id), NOT by arrival order: the
+    kept set is deterministic in the data — stable across runs,
+    partitionings, and engines — and changing ``salt`` re-draws it.
+
+    Scale: one shuffle on the group key into a ``row_number`` window.
+    A pathologically hot group (the skew case the cap exists for) is
+    bounded work per partition — the window ranks it in one task but
+    emits at most ``cap`` rows; for hot-key robustness at extreme scale
+    combine with a pre-aggregation count filter so only over-quota
+    groups pay the full sort (not done here: the plain window is one
+    stage and AQE splits skewed partitions).
+    """
+    check_col([group_col, id_col], df)
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -3219,6 +3219,31 @@ GROUP BY l_returnflag
 """
 
 
+def samp_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site cap (operators/sampling.quota_sample): at most 40 docs
+    per source, survivors chosen by content hash md5('q7'‖doc_id) with
+    id tiebreak — deterministic in the data, so the DuckDB oracle
+    replays the exact kept set (one window per engine)."""
+    from ..operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quota_sample(docs, "source", "doc_id", cap=40, salt="q7")
+
+
+SAMP_DOMAIN_QUOTA_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('q7' || CAST(doc_id AS VARCHAR)),
+                     1, 8))::BIGINT ASC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 40
+"""
+
+
 def txt_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + registrable-domain blocklist
     (functions/urls.py): synthetic crawl URLs derived from doc_id
@@ -5835,6 +5860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_warc_roundtrip": src_warc_roundtrip,
     "txt_normalize": txt_normalize,
     "txt_url_filter": txt_url_filter,
+    "samp_domain_quota": samp_domain_quota,
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
@@ -5960,6 +5986,7 @@ ORACLES: dict[str, str] = {
     "src_warc_roundtrip": SRC_WARC_ROUNDTRIP_SQL,
     "txt_normalize": TXT_NORMALIZE_SQL,
     "txt_url_filter": TXT_URL_FILTER_SQL,
+    "samp_domain_quota": SAMP_DOMAIN_QUOTA_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4
     "txt_bpe_tokenize": TXT_BPE_SQL,
     # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)

@@ -1,0 +1,62 @@
+
+
+def test_quota_sample_caps_and_determinism(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.operators.sampling import quota_sample
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "source")
+    out = quota_sample(docs, "source", "doc_id", cap=30, salt="s")
+    per = {r.source: r.n for r in out.groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    pre = {r.source: r.n for r in docs.groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    for s, n in per.items():
+        assert n == min(30, pre[s])
+    # deterministic under repartitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in quota_sample(
+            docs.repartition(7), "source", "doc_id", cap=30, salt="s"
+        ).collect()
+    }
+    assert a == b
+    # different salt re-draws (overwhelmingly likely to differ) —
+    # only observable if some group actually exceeded the cap
+    if any(n > 30 for n in pre.values()):
+        c = {
+            r.doc_id
+            for r in quota_sample(
+                docs, "source", "doc_id", cap=30, salt="other"
+            ).collect()
+        }
+        assert a != c
+    else:  # tiny fixture: force an over-quota group with cap=2
+        one = docs.limit(20).withColumn("source", F.lit("g"))
+        x = {r.doc_id for r in quota_sample(one, "source", "doc_id", cap=2, salt="s").collect()}
+        y = {r.doc_id for r in quota_sample(one, "source", "doc_id", cap=2, salt="t").collect()}
+        assert len(x) == 2 and len(y) == 2 and x != y
+
+
+def test_quota_sample_under_quota_group_untouched(spark):
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(5)], "doc_id int, source string"
+    )
+    from dataslicer_spark.operators.sampling import quota_sample
+
+    assert quota_sample(df, "source", "doc_id", cap=10).count() == 5
+
+
+def test_quota_sample_bad_cap(spark):
+    from dataslicer_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame([(1, "g")], "doc_id int, source string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quota_sample(df, "source", "doc_id", cap=0)
