@@ -30,22 +30,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return star_queries.flagship(spark, "/root/testdata/sf0.001")
 
 
-def _witnessed_keys() -> set[str]:
-    """Query names already recorded in a committed driver CORRECTNESS
-    artifact.  The driver only records the first 50 registry entries per
-    round, so we rotate: keys never yet witnessed go to the front of the
-    registry until every query has appeared in a driver artifact."""
+def _witnessed_rounds() -> dict[str, int]:
+    """Map query name -> latest round whose committed driver CORRECTNESS
+    artifact records it.  The driver only records the first 50 registry
+    entries per round, so we rotate: keys never yet witnessed go to the
+    front of the registry, and already-witnessed keys are ordered
+    least-recently-witnessed first so the window sweeps the whole
+    registry over successive rounds instead of re-checking the same
+    early entries forever."""
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                seen |= set(json.load(fh))
+                for key in json.load(fh):
+                    last[key] = max(last.get(key, 0), rnd)
         except Exception:
             continue
-    return seen
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -61,10 +68,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **star_queries.QUERIES,
         **extension_queries.QUERIES,
     }
-    witnessed = _witnessed_keys()
+    witnessed = _witnessed_rounds()
     astro = [k for k in astro_pipeline.QUERIES if k in full]
     fresh = [k for k in full if k not in witnessed and k not in astro]
-    rest = [k for k in full if k in witnessed and k not in astro]
+    rest = sorted(
+        (k for k in full if k in witnessed and k not in astro),
+        key=lambda k: witnessed[k],
+    )
     return {k: full[k] for k in (*astro, *fresh, *rest)}
 
 
