@@ -449,3 +449,68 @@ def trigram_lm_scores(
         )
         .withColumn("score", F.expr("sum_c3 div n_tri"))
     )
+
+
+def paragraph_quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    para_tokens: int = 20,
+    min_distinct_ratio: float = 0.6,
+    min_para_tokens: int = 3,
+    out_col: str = "filtered_text",
+) -> DataFrame:
+    """Paragraph-granular quality filtering, the CCNet shape: score each
+    paragraph of a document independently, drop the bad ones, and
+    reassemble the document from the survivors — a document with one
+    boilerplate block keeps its good prose instead of being kept or
+    killed whole.
+
+    "Paragraphs" are consecutive ``para_tokens``-token windows (the test
+    corpus has no newline structure; on real crawls split on blank
+    lines first and feed the pieces through the same scoring).  A
+    paragraph survives if it has ≥ ``min_para_tokens`` tokens AND its
+    distinct-token ratio ≥ ``min_distinct_ratio`` (the repetition
+    heuristic: boilerplate and keyword-stuffing collapse the ratio; a
+    perplexity score slots into the same predicate where an LM is
+    available — cf. ``trigram_lm``).
+
+    The whole operator is array higher-order functions on the token
+    array — ``sequence`` → ``transform``/``slice`` → ``filter`` →
+    ``flatten`` → ``array_join`` — a map-only plan: NO explode, NO
+    groupBy-reassembly shuffle, no Python.  Per-row cost is linear in
+    document length; the plan composes with any downstream partitioning.
+
+    Output: input columns + ``n_paras``, ``n_kept_paras``,
+    ``n_kept_tokens``, and ``out_col`` (kept paragraphs joined by one
+    space; empty string when nothing survives).
+    """
+    check_col([id_col, text_col], df)
+    if para_tokens < 1 or min_para_tokens < 1:
+        raise ValueError("para_tokens and min_para_tokens must be >= 1")
+    toks = tokens_ws(F.col(text_col))
+    n = F.size(toks)
+    n_paras = F.ceil(n / F.lit(para_tokens)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_paras, F.lit(1)) - 1),
+        lambda i: F.slice(toks, i * para_tokens + 1, para_tokens),
+    )
+    # empty doc: sequence(0,0) yields one empty slice; filter drops it
+    good = F.filter(
+        paras,
+        lambda p: (F.size(p) >= min_para_tokens)
+        & (
+            F.size(F.array_distinct(p)).cast("double")
+            / F.size(p).cast("double")
+            >= F.lit(float(min_distinct_ratio))
+        ),
+    )
+    return (
+        df.withColumn("__paras", paras)
+        .withColumn("__good", good)
+        .withColumn("n_paras", F.when(n == 0, F.lit(0)).otherwise(n_paras))
+        .withColumn("n_kept_paras", F.size("__good"))
+        .withColumn("n_kept_tokens", F.size(F.flatten("__good")))
+        .withColumn(out_col, F.array_join(F.flatten("__good"), " "))
+        .drop("__paras", "__good")
+    )

@@ -232,6 +232,61 @@ def bm25_topk_multi(
     )
 
 
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase retrieval over a positional inverted index: find
+    documents containing the consecutive token sequence ``phrase`` and
+    return (id, n_matches, first_pos) — the capability BM25's
+    bag-of-words scoring cannot express ("table part" as a unit, not
+    two independent terms).
+
+    Plan shape: the corpus explodes to (doc, pos, term) postings ONLY
+    for terms that appear in the phrase — the ``isin`` prefilter runs
+    before the shuffle, so the postings that move are the phrase terms'
+    postings, not the corpus's.  The positional index then self-joins
+    ``len(phrase)-1`` times on ``(doc, pos+i)`` — each join key carries
+    the offset so consecutive positions meet — and the surviving
+    first-term positions aggregate per document.  At scale this is the
+    standard positional-index query: postings lists shuffle on the
+    (doc) key once, the joins are co-partitioned, and document bodies
+    never move.
+
+    Tokenization matches :func:`bm25_topk` (whitespace split), so one
+    index serves both.
+    """
+    check_col([id_col, text_col], docs)
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    postings = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+        .filter(F.col("term").isin(*set(phrase)))
+    )
+    first = (
+        postings.filter(F.col("term") == phrase[0])
+        .select("id", F.col("pos").alias("p0"))
+    )
+    cur = first
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == term).select(
+            "id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["id", "p0"])
+    return cur.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p0").alias("first_pos"),
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str,

@@ -490,3 +490,92 @@ def quota_sample(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: walk the
+    corpus in (score desc, id asc) order and keep every document while
+    the running token total stays ≤ ``budget`` — the "take the best N
+    billion tokens" step every pretraining data recipe ends with.
+
+    Semantics are EXACTLY the single global window
+    ``sum(tokens) over (order by score desc, id) <= budget`` — but that
+    window is a single-partition global sort, the one shape that cannot
+    scale.  A two-level plan produces the identical rows:
+
+    1. bucket documents by score range (boundaries from
+       ``approxQuantile`` on the driver — ≤ ``n_buckets`` values);
+    2. aggregate per-bucket token sums (tiny: ``n_buckets`` rows),
+       prefix-sum them in one driver pass, and drop every bucket whose
+       prefix already exceeds the budget — those rows never shuffle;
+    3. each surviving bucket gets its exact prefix offset via a
+       broadcast join, and the running total is a window PARTITIONED BY
+       BUCKET (parallel, ~1/``n_buckets`` of the corpus per partition)
+       + the offset — no global sort anywhere.
+
+    Rows whose scores tie always land in the same bucket (assignment is
+    a pure function of the score value), so bucket-prefix order refines
+    the (score desc, id) row order exactly and the kept set is
+    deterministic in the data.  Returns the kept rows plus
+    ``cum_tokens`` (running total including the row).  NULL score or
+    token rows are dropped (unrankable).
+    """
+    check_col([score_col, token_col, id_col], df)
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(token_col).isNotNull()
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(base.stat.approxQuantile(score_col, probs, 0.001)))
+    # bucket 0 = best scores; score > bounds[i] ⇒ bucket ≤ i
+    bucket = F.lit(len(bounds))
+    for i, b in enumerate(bounds):
+        bucket = F.when(
+            F.col(score_col) > F.lit(b), F.lit(len(bounds) - 1 - i)
+        ).otherwise(bucket)
+    bucketed = base.withColumn("__bk", bucket)
+    per = {
+        int(r["__bk"]): int(r["toks"])
+        for r in bucketed.groupBy("__bk")
+        .agg(F.sum(token_col).alias("toks"))
+        .collect()
+    }
+    offsets: list[tuple[int, int]] = []
+    running = 0
+    for bk in sorted(per):
+        if running > budget:
+            break  # this and all later buckets start past the budget
+        offsets.append((bk, running))
+        running += per[bk]
+    if not offsets:
+        return (
+            bucketed.withColumn("cum_tokens", F.lit(None).cast("long"))
+            .limit(0)
+            .drop("__bk")
+        )
+    offs = df.sparkSession.createDataFrame(
+        offsets, "__bk int, __off bigint"
+    )
+    w = Window.partitionBy("__bk").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        bucketed.join(F.broadcast(offs), "__bk")
+        .withColumn(
+            "cum_tokens",
+            F.sum(token_col).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + F.col("__off"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__bk", "__off")
+    )

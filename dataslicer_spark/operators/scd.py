@@ -66,4 +66,52 @@ def scd2_current(history: DataFrame) -> DataFrame:
     return history.filter(F.col("valid_to").isNull()).drop("valid_to")
 
 
-__all__ = ["scd2_history", "scd2_current"]
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """CDC MERGE: apply an insert/update/delete change log onto a
+    snapshot and return the new snapshot — the Debezium/``MERGE INTO``
+    pattern on plain parquet.
+
+    Per key, only the LATEST change (max ``seq_col``; (key, seq) must be
+    unique) decides the outcome: op ``'D'`` deletes the key, anything
+    else upserts the change's ``attr_cols`` (insert if the key is new,
+    overwrite if it exists).  Keys never mentioned in the log pass
+    through untouched.  Equivalent to the SQL
+    ``FULL OUTER JOIN (latest change per key)`` with
+    coalesce-by-precedence — which is exactly the shape built here.
+
+    Scale: the latest-change reduction is one shuffle on the key with
+    map-side partial aggregation (``max_by`` struct per key, not a
+    window sort), and the merge join shuffles both sides on the same
+    key — with snapshot and log bucketed on the key
+    (``sources/bucketed.py``) the whole MERGE is exchange-free.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    check_col(keys + [seq_col, op_col] + attrs, changes)
+    check_col(keys + attrs, snapshot)
+    payload = F.struct(F.col(op_col).alias("__op"), *[F.col(a) for a in attrs])
+    latest = changes.groupBy(*keys).agg(
+        F.max_by(payload, F.col(seq_col)).alias("__c")
+    )
+    merged = snapshot.alias("s").join(
+        latest.alias("c"), on=keys, how="full_outer"
+    )
+    has_change = F.col("c.__c").isNotNull()
+    deleted = has_change & (F.col("c.__c.__op") == F.lit("D"))
+    out_attrs = [
+        F.when(has_change, F.col(f"c.__c.{a}"))
+        .otherwise(F.col(f"s.{a}"))
+        .alias(a)
+        for a in attrs
+    ]
+    return merged.filter(~deleted).select(*keys, *out_attrs)
+
+
+__all__ = ["scd2_history", "scd2_current", "apply_changelog"]

@@ -605,10 +605,121 @@ def quantize_embeddings(
     )
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    query_label: str = "label",
+    batched: bool = True,
+    max_labels: int = 256,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    (anchor), the top-k most-cosine-similar corpus rows whose label
+    DIFFERS from the anchor's — the near-misses a contrastive or
+    reranker objective learns the most from (easy negatives are random
+    rows; hard ones are these).
+
+    Output: (query_id, rank, vec_id, cosine, neg_label), deterministic
+    ties (cosine desc, corpus id asc) on the fixed-point cosine of
+    :func:`~..operators.dedup.fp_dot` — engine-reproducible, so a SQL
+    oracle can replay it exactly.
+
+    Two physical plans, identical results:
+
+    - ``batched=True`` (default): one :func:`cosine_topk_batched` call
+      per distinct query label, corpus pre-filtered to the other
+      labels — the map-side partial top-k kernel, so each corpus
+      partition emits ≤ |queries|·k candidate rows and the corpus never
+      shuffles.  Costs one corpus scan per distinct query label; the
+      label set is collected driver-side and bounded by ``max_labels``
+      (contrastive label spaces are small by construction — raise the
+      bound consciously if yours is not).
+    - ``batched=False``: the whole-stage-codegen HOF plan — broadcast
+      queries, label-mismatch filter BEFORE scoring, fixed-point
+      cosine, ranking window.  Simpler plan, but the window shuffles
+      |corpus|·|queries| scored pairs; the baseline the kernel is
+      verified against.
+    """
+    check_col([corpus_id, corpus_vec, corpus_label], corpus)
+    check_col([query_id, query_vec, query_label], queries)
+    if batched:
+        labels = [
+            r[0]
+            for r in queries.select(query_label).distinct().collect()
+        ]
+        if len(labels) > max_labels:
+            raise ValueError(
+                f"{len(labels)} distinct query labels exceeds "
+                f"max_labels={max_labels}"
+            )
+        parts = []
+        for lab in labels:
+            sub_q = queries.filter(F.col(query_label) == F.lit(lab)).select(
+                query_id, query_vec
+            )
+            sub_c = corpus.filter(
+                ~F.col(corpus_label).eqNullSafe(F.lit(lab))
+            )
+            parts.append(
+                cosine_topk_batched(
+                    sub_c,
+                    sub_q,
+                    k=k,
+                    corpus_id=corpus_id,
+                    corpus_vec=corpus_vec,
+                    query_id=query_id,
+                    query_vec=query_vec,
+                    include_self=True,  # labels differ ⇒ never self
+                    carry_cols=(corpus_label,),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumnRenamed(corpus_label, "neg_label")
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_label).alias("neg_label"),
+        F.col(corpus_vec).alias("__cv"),
+        F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_label).alias("__ql"),
+        F.col(query_vec).alias("__qv"),
+        F.sqrt(fp_dot(F.col(query_vec), F.col(query_vec))).alias("__qn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(~F.col("neg_label").eqNullSafe(F.col("__ql")))
+        .withColumn(
+            "cosine",
+            F.try_divide(
+                fp_dot(F.col("__cv"), F.col("__qv")),
+                F.col("__cn") * F.col("__qn"),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine", "neg_label")
+    )
+
+
 __all__ = [
     "add_hyperplane_bucket",
     "cosine_topk",
     "cosine_topk_batched",
+    "hard_negative_mining",
     "hyperplane_lsh_topk",
     "build_ivf_index",
     "save_ivf_index",

@@ -5788,6 +5788,203 @@ WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# round-7 additions: budgeted selection, hard negatives, phrase retrieval,
+# CDC merge, paragraph-granular quality filtering
+# ---------------------------------------------------------------------------
+
+def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/sampling.
+    token_budget_select): rank documents by distinct-token ratio and
+    keep the best ones until 8000 whitespace tokens are spent.  The
+    Spark plan is the bucketed two-level prefix sum (no global sort);
+    the oracle is the defining global window — identical kept rows."""
+    from ..operators.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    scored = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.size(tk).alias("n_tok"),
+        (
+            F.size(F.array_distinct(tk)).cast("double")
+            / F.size(tk).cast("double")
+        ).alias("score"),
+    )
+    return token_budget_select(
+        scored, "score", "n_tok", "doc_id", budget=8000, n_buckets=32
+    ).select("doc_id", "score", "n_tok", "cum_tokens")
+
+
+SAMP_TOKEN_BUDGET_SQL = r"""
+SELECT doc_id, score, n_tok, cum_tokens FROM (
+  SELECT doc_id, score, n_tok,
+         SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM (
+    SELECT doc_id, len(tk) AS n_tok,
+           CAST(len(list_distinct(tk)) AS DOUBLE)
+             / CAST(len(tk) AS DOUBLE) AS score
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents WHERE trim(text) <> '')))
+WHERE cum_tokens <= 8000
+"""
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negative_mining):
+    top-5 most-similar different-label vectors per anchor, via the
+    Arrow-batched map-side-partial-top-k kernel (one call per query
+    label over the label-complement corpus)."""
+    from ..operators.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_mining(emb, queries, k=5, batched=True)
+
+
+EMB_HARD_NEGATIVES_SQL = f"""
+SELECT query_id, rank, vec_id, cosine, neg_label FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label AS neg_label,
+         ({_sql_fp_dot('c.embedding', 'q.embedding')})
+           / (sqrt({_sql_fp_dot('c.embedding', 'c.embedding')})
+              * sqrt({_sql_fp_dot('q.embedding', 'q.embedding')})) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ({_sql_fp_dot('c.embedding', 'q.embedding')})
+             / (sqrt({_sql_fp_dot('c.embedding', 'c.embedding')})
+                * sqrt({_sql_fp_dot('q.embedding', 'q.embedding')})) DESC,
+             c.vec_id ASC) AS INTEGER) AS rank
+  FROM embeddings c
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+    ON c.label <> q.label)
+WHERE rank <= 5
+"""
+
+
+def txt_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase retrieval (operators/retrieval.
+    phrase_search): documents containing the consecutive phrase
+    "table part", with match count and first position."""
+    from ..operators.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    return phrase_search(docs, ["table", "part"]).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+TXT_PHRASE_SEARCH_SQL = r"""
+WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents WHERE trim(text) <> ''),
+idx AS (SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS term
+        FROM tk, UNNEST(range(1, len(t) + 1)) AS u(i))
+SELECT a.doc_id AS doc_id, COUNT(*) AS n_matches,
+       CAST(MIN(a.pos) - 1 AS INT) AS first_pos
+FROM idx a JOIN idx b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'table' AND b.term = 'part'
+GROUP BY 1
+"""
+
+
+def lk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/scd.apply_changelog): the customer table
+    as the snapshot, the events table as the change log (event_id is
+    globally unique → a total per-key sequence): per user, the latest
+    event decides — 'error' deletes the account row, anything else
+    upserts its value; user_ids outside the customer range exercise the
+    pure-insert path, customers with no events pass through untouched.
+    Latest-wins per key via max_by — no window sort."""
+    from ..operators.scd import apply_changelog
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("val"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value").alias("val"),
+    )
+    return apply_changelog(snap, changes, ["k"], "seq", "op", ["val"])
+
+
+LK_CDC_APPLY_SQL = r"""
+WITH changes AS (
+  SELECT user_id AS k, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value AS val
+  FROM events),
+latest AS (
+  SELECT k, op, val FROM (
+    SELECT k, op, val,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM changes)
+  WHERE rn = 1),
+snap AS (SELECT c_custkey AS k, c_acctbal AS val FROM customer)
+SELECT COALESCE(s.k, c.k) AS k,
+       CASE WHEN c.k IS NOT NULL THEN c.val ELSE s.val END AS val
+FROM snap s FULL OUTER JOIN latest c ON s.k = c.k
+WHERE NOT (c.k IS NOT NULL AND c.op = 'D')
+"""
+
+
+def txt_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped paragraph-granular quality filter (functions/text.
+    paragraph_quality_filter): 20-token paragraphs, distinct-ratio
+    >= 0.72 survives, documents reassembled from survivors — all array
+    HOFs, a map-only plan with no explode/regroup shuffle."""
+    from ..functions.text import paragraph_quality_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_quality_filter(
+        docs,
+        "doc_id",
+        para_tokens=20,
+        min_distinct_ratio=0.72,
+        min_para_tokens=3,
+    ).select(
+        "doc_id", "n_paras", "n_kept_paras", "n_kept_tokens",
+        "filtered_text",
+    )
+
+
+TXT_PARAGRAPH_FILTER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents),
+p AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CAST(ceil(len(tk) / 20.0) AS INT) AS np
+  FROM t),
+g AS (
+  SELECT doc_id, n, np,
+         list_filter(
+           list_transform(range(CAST(greatest(np, 1) AS BIGINT)),
+                          i -> tk[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)]),
+           q -> len(q) >= 3 AND
+                CAST(len(list_distinct(q)) AS DOUBLE)
+                  / CAST(len(q) AS DOUBLE) >= 0.72) AS good
+  FROM p)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 0 ELSE np END AS n_paras,
+       CAST(len(good) AS INT) AS n_kept_paras,
+       CAST(len(flatten(good)) AS INT) AS n_kept_tokens,
+       COALESCE(array_to_string(flatten(good), ' '), '') AS filtered_text
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5861,6 +6058,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_normalize": txt_normalize,
     "txt_url_filter": txt_url_filter,
     "samp_domain_quota": samp_domain_quota,
+    "samp_token_budget": samp_token_budget,
+    "emb_hard_negatives": emb_hard_negatives,
+    "txt_phrase_search": txt_phrase_search,
+    "lk_cdc_apply": lk_cdc_apply,
+    "txt_paragraph_filter": txt_paragraph_filter,
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
@@ -5987,6 +6189,11 @@ ORACLES: dict[str, str] = {
     "txt_normalize": TXT_NORMALIZE_SQL,
     "txt_url_filter": TXT_URL_FILTER_SQL,
     "samp_domain_quota": SAMP_DOMAIN_QUOTA_SQL,
+    "samp_token_budget": SAMP_TOKEN_BUDGET_SQL,
+    "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
+    "txt_phrase_search": TXT_PHRASE_SEARCH_SQL,
+    "lk_cdc_apply": LK_CDC_APPLY_SQL,
+    "txt_paragraph_filter": TXT_PARAGRAPH_FILTER_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4
     "txt_bpe_tokenize": TXT_BPE_SQL,
     # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)
