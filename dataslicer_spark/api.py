@@ -342,6 +342,79 @@ class SlicerFrame:
 
         write_bucketed(self.df, table, bucket_cols, n_buckets, **kw)
 
+    def cap_per_group(
+        self, group_col: str, id_col: str, cap: int, salt: str = ""
+    ) -> "SlicerFrame":
+        """Per-group quota (operators/sampling.quota_sample): at most
+        ``cap`` rows per group, survivors hash-deterministic."""
+        from .operators.sampling import quota_sample
+
+        return self._wrap(
+            quota_sample(self.df, group_col, id_col, cap, salt)
+        )
+
+    def select_token_budget(
+        self, score_col: str, token_col: str, id_col: str, budget: int, **kw
+    ) -> "SlicerFrame":
+        """Quality-ranked selection under a token budget
+        (operators/sampling.token_budget_select); adds ``cum_tokens``."""
+        from .operators.sampling import token_budget_select
+
+        return self._wrap(
+            token_budget_select(
+                self.df, score_col, token_col, id_col, budget, **kw
+            )
+        )
+
+    def search_phrase(
+        self,
+        phrase: list[str],
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "SlicerFrame":
+        """Exact consecutive-phrase retrieval over a positional index
+        (operators/retrieval.phrase_search)."""
+        from .operators.retrieval import phrase_search
+
+        return self._wrap(
+            phrase_search(self.df, phrase, id_col, text_col)
+        )
+
+    def apply_changelog(
+        self, changes, key_cols, seq_col: str, op_col: str, attr_cols
+    ) -> "SlicerFrame":
+        """CDC MERGE (operators/scd.apply_changelog): latest change per
+        key wins — D deletes, others upsert."""
+        from .operators.scd import apply_changelog
+
+        c = changes.df if isinstance(changes, SlicerFrame) else changes
+        return self._wrap(
+            apply_changelog(
+                self.df, c, key_cols, seq_col, op_col, attr_cols
+            )
+        )
+
+    def filter_paragraphs(
+        self, id_col: str, text_col: str = "text", **kw
+    ) -> "SlicerFrame":
+        """CCNet-shaped paragraph-granular quality filter
+        (functions/text.paragraph_quality_filter)."""
+        from .functions.text import paragraph_quality_filter
+
+        return self._wrap(
+            paragraph_quality_filter(self.df, id_col, text_col, **kw)
+        )
+
+    def mine_hard_negatives(
+        self, queries, k: int = 10, **kw
+    ) -> "SlicerFrame":
+        """Hard-negative mining for contrastive training
+        (operators/similarity.hard_negative_mining)."""
+        from .operators.similarity import hard_negative_mining
+
+        q = queries.df if isinstance(queries, SlicerFrame) else queries
+        return self._wrap(hard_negative_mining(self.df, q, k, **kw))
+
     # -- diagnostic plot sinks (reference dataset_base.py:72-96,
     # objtable.py:334-346) ---------------------------------------------------
     def sample_pandas(self, cols=None, max_rows: int = 100_000):

@@ -157,6 +157,27 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "ZERO Exchange operators",
      ["SortMergeJoin", "SelectedBucketsCount"],
      ["BroadcastExchange", "CartesianProduct", "NestedLoop"]),
+    ("txt_paragraph_filter", "paragraph filter is array HOFs — map-only "
+     "plan, no explode, no regroup shuffle, no Python",
+     [], ["Exchange", "Generate", "Python", "Join"]),
+    ("samp_domain_quota", "per-group quota is ONE group-keyed window — "
+     "no join, no global sort",
+     ["Window", "row_number"], ["Join", "CartesianProduct"]),
+    ("samp_token_budget", "token-budget selection: per-bucket windows + "
+     "broadcast offset join — no single-partition global window",
+     ["Window", "BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("emb_hard_negatives", "hard-negative mining runs the map-side "
+     "partial top-k kernel — corpus never shuffles, no join",
+     ["MapInPandas"], ["CartesianProduct", "NestedLoop", "SortMergeJoin",
+                       "BroadcastHashJoin"]),
+    ("txt_phrase_search", "phrase search prefilters postings before the "
+     "shuffle and equi-joins on (doc, pos) — no cartesian, no Python",
+     ["HashJoin"], ["CartesianProduct", "NestedLoop", "Python"]),
+    ("lk_cdc_apply", "CDC merge: latest-wins is a partial+final "
+     "max_by aggregate (map-side combine, no window sort); one "
+     "full-outer merge join",
+     ["partial_max_by", "FullOuter"],
+     ["Window", "CartesianProduct"]),
 ]
 
 
