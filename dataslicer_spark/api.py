@@ -415,6 +415,24 @@ class SlicerFrame:
         q = queries.df if isinstance(queries, SlicerFrame) else queries
         return self._wrap(hard_negative_mining(self.df, q, k, **kw))
 
+    def mix_epochs(
+        self,
+        source_col: str,
+        token_col: str,
+        id_col: str,
+        targets: dict,
+        **kw,
+    ) -> "SlicerFrame":
+        """Token-budget mixture with epoch upsampling
+        (operators/sampling.epoch_mixture); adds ``epoch``."""
+        from .operators.sampling import epoch_mixture
+
+        return self._wrap(
+            epoch_mixture(
+                self.df, source_col, token_col, id_col, targets, **kw
+            )
+        )
+
     # -- diagnostic plot sinks (reference dataset_base.py:72-96,
     # objtable.py:334-346) ---------------------------------------------------
     def sample_pandas(self, cols=None, max_rows: int = 100_000):

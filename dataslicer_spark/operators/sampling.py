@@ -579,3 +579,86 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= budget)
         .drop("__bk", "__off")
     )
+
+
+def epoch_mixture(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    max_epochs: float = 4.0,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Token-budget mixture with EPOCH UPSAMPLING — the pretraining
+    recipe step :func:`mixture_resample` cannot express: scarce
+    high-quality sources are repeated (up to ``max_epochs`` passes)
+    while abundant ones are thinned, so each source lands on its stated
+    token budget.
+
+    Per source ``s``: ``rate_s = min(max_epochs, budget_s / tokens_s)``.
+    Every row is emitted ``floor(rate_s)`` times, plus one more copy iff
+    ``uint32(md5(salt‖id)) < floor(frac(rate_s)·2³²)`` — expected output
+    tokens ≈ ``min(budget_s, max_epochs·tokens_s)``, each copy tagged
+    with an ``epoch_col`` index (0-based) so a trainer can schedule
+    passes.  Deterministic in the data (hash thinning, no RNG) and
+    replayable in ANSI SQL.  Sources absent from ``targets`` are
+    dropped; a target source absent from the data raises, exactly as in
+    :func:`mixture_resample`.
+
+    Scale: one aggregation scan collapses to a row per target source
+    (driver-side threshold arithmetic in the same IEEE order as the SQL
+    twin), then a broadcast-join + ``explode(sequence(...))`` map step
+    — the corpus shuffles nowhere, and the explode factor is bounded by
+    ``ceil(max_epochs)``.
+    """
+    import math
+
+    check_col([source_col, token_col, id_col], df)
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    spark = df.sparkSession
+    toks = {
+        r[0]: int(r[1])
+        for r in df.filter(F.col(source_col).isin(list(targets)))
+        .groupBy(source_col)
+        .agg(F.sum(token_col).alias("__t"))
+        .collect()
+    }
+    missing = sorted(set(targets) - set(toks))
+    if missing:
+        raise ValueError(
+            f"epoch_mixture: target sources absent from the data: "
+            f"{missing} — the requested mixture is unsatisfiable"
+        )
+    rows = []
+    for s, t_s in toks.items():
+        # IEEE order mirrored by the SQL twin: budget/tokens, min, floor
+        rate = min(float(max_epochs), float(targets[s]) / float(t_s))
+        n_full = int(math.floor(rate))
+        thr = int(math.floor((rate - math.floor(rate)) * 4294967296.0))
+        rows.append((s, n_full, thr))
+    src_type = df.schema[source_col].dataType.simpleString()
+    plan = spark.createDataFrame(
+        rows, f"{source_col} {src_type}, __nf int, __thr long"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    n = F.col("__nf") + (h < F.col("__thr")).cast("int")
+    return (
+        df.join(F.broadcast(plan), source_col, "inner")
+        .withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__nf", "__thr", "__n")
+    )

@@ -5984,6 +5984,55 @@ FROM g
 """
 
 
+def samp_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-upsampled token mixture (operators/sampling.epoch_mixture):
+    four sources with token budgets spanning every path — epoch-capped
+    upsample (src0), fractional upsample (src1), heavy thin (src2),
+    near-parity (src3); all other sources dropped."""
+    from ..operators.sampling import epoch_mixture
+
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", "source", F.size(tk).alias("n_tok"))
+    )
+    targets = {"src0": 40000.0, "src1": 2500.0, "src2": 600.0,
+               "src3": 1300.0}
+    return epoch_mixture(
+        docs, "source", "n_tok", "doc_id", targets,
+        max_epochs=2.5, salt="em7",
+    ).select("doc_id", "source", "n_tok", "epoch")
+
+
+SAMP_EPOCH_MIXTURE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents WHERE trim(text) <> ''),
+t(source, b) AS (VALUES ('src0', 40000.0), ('src1', 2500.0),
+                        ('src2', 600.0), ('src3', 1300.0)),
+rates AS (
+  SELECT s.source,
+         least(2.5, CAST(t.b AS DOUBLE) / CAST(s.toks AS DOUBLE)) AS rate
+  FROM (SELECT source, SUM(n_tok) AS toks FROM d GROUP BY 1) s
+  JOIN t USING (source)),
+thr AS (
+  SELECT source, CAST(floor(rate) AS INT) AS n_full,
+         CAST(floor((rate - floor(rate)) * 4294967296.0) AS BIGINT) AS thr
+  FROM rates),
+cop AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         n_full + CASE WHEN ('0x' || substr(md5('em7' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+                  THEN 1 ELSE 0 END AS n
+  FROM d JOIN thr USING (source))
+SELECT doc_id, source, n_tok, CAST(i AS INT) AS epoch
+FROM cop, UNNEST(range(n)) AS u(i)
+WHERE n > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6059,6 +6108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_url_filter": txt_url_filter,
     "samp_domain_quota": samp_domain_quota,
     "samp_token_budget": samp_token_budget,
+    "samp_epoch_mixture": samp_epoch_mixture,
     "emb_hard_negatives": emb_hard_negatives,
     "txt_phrase_search": txt_phrase_search,
     "lk_cdc_apply": lk_cdc_apply,
@@ -6190,6 +6240,7 @@ ORACLES: dict[str, str] = {
     "txt_url_filter": TXT_URL_FILTER_SQL,
     "samp_domain_quota": SAMP_DOMAIN_QUOTA_SQL,
     "samp_token_budget": SAMP_TOKEN_BUDGET_SQL,
+    "samp_epoch_mixture": SAMP_EPOCH_MIXTURE_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "txt_phrase_search": TXT_PHRASE_SEARCH_SQL,
     "lk_cdc_apply": LK_CDC_APPLY_SQL,

@@ -173,6 +173,9 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("txt_phrase_search", "phrase search prefilters postings before the "
      "shuffle and equi-joins on (doc, pos) — no cartesian, no Python",
      ["HashJoin"], ["CartesianProduct", "NestedLoop", "Python"]),
+    ("samp_epoch_mixture", "epoch mixture: per-source plan broadcast "
+     "back; copies via bounded explode — corpus never shuffles",
+     ["BroadcastHashJoin", "Generate"], ["SortMergeJoin", "Python"]),
     ("lk_cdc_apply", "CDC merge: latest-wins is a partial+final "
      "max_by aggregate (map-side combine, no window sort); one "
      "full-outer merge join",

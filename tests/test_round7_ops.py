@@ -199,3 +199,54 @@ def test_paragraph_filter_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     with pytest.raises(ValueError):
         paragraph_quality_filter(df, "doc_id", para_tokens=0)
+
+
+# ---------------------------------------------------------- epoch mixture
+
+def test_epoch_mixture_rates_and_epochs(spark):
+    rows = [(i, "a" if i < 100 else "b", 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, source string, tok int")
+    # a: 1000 tokens, budget 2500 -> rate 2.5 (cap 3.0): 2 full + half
+    # b: 1000 tokens, budget 400 -> rate 0.4: hash-thinned, epoch 0 only
+    out = hard = None
+    from dataslicer_spark.operators.sampling import epoch_mixture
+
+    out = epoch_mixture(
+        df, "source", "tok", "id", {"a": 2500.0, "b": 400.0},
+        max_epochs=3.0, salt="s",
+    )
+    pdf = out.toPandas()
+    a = pdf[pdf.source == "a"]
+    b = pdf[pdf.source == "b"]
+    # every 'a' row appears at least twice (epochs 0,1), some thrice
+    per_a = a.groupby("id").size()
+    assert per_a.min() == 2 and per_a.max() == 3
+    assert set(a.epoch) == {0, 1, 2}
+    # expected 'a' copies = 250; binomial(100, .5) noise around 250
+    assert 220 <= len(a) <= 280
+    # 'b' rows appear at most once, ~40%
+    assert b.groupby("id").size().max() == 1
+    assert set(b.epoch) == {0}
+    assert 20 <= len(b) <= 60
+    # deterministic under repartitioning
+    again = epoch_mixture(
+        df.repartition(7), "source", "tok", "id",
+        {"a": 2500.0, "b": 400.0}, max_epochs=3.0, salt="s",
+    ).toPandas()
+    assert sorted(map(tuple, pdf[["id", "epoch"]].values.tolist())) == \
+        sorted(map(tuple, again[["id", "epoch"]].values.tolist()))
+
+
+def test_epoch_mixture_epoch_cap_and_validation(spark):
+    df = spark.createDataFrame([(1, "a", 10)], "id int, source string, tok int")
+    from dataslicer_spark.operators.sampling import epoch_mixture
+
+    # budget far above max_epochs*tokens: rate pinned at the cap
+    out = epoch_mixture(df, "source", "tok", "id", {"a": 1e9}, max_epochs=2.0)
+    assert sorted(r.epoch for r in out.collect()) == [0, 1]
+    with pytest.raises(ValueError, match="absent"):
+        epoch_mixture(df, "source", "tok", "id", {"zzz": 10.0})
+    with pytest.raises(ValueError):
+        epoch_mixture(df, "source", "tok", "id", {})
+    with pytest.raises(ValueError):
+        epoch_mixture(df, "source", "tok", "id", {"a": 1.0}, max_epochs=0)
