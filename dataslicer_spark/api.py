@@ -415,6 +415,16 @@ class SlicerFrame:
         q = queries.df if isinstance(queries, SlicerFrame) else queries
         return self._wrap(hard_negative_mining(self.df, q, k, **kw))
 
+    def to_bm25_index(
+        self, path: str, id_col: str = "doc_id",
+        text_col: str = "text", **kw,
+    ) -> None:
+        """Persist a BM25 inverted index (operators/retrieval_index.py)
+        — later searches never re-tokenize the corpus."""
+        from .operators.retrieval_index import build_bm25_index
+
+        build_bm25_index(self.df, path, id_col, text_col, **kw)
+
     def mix_epochs(
         self,
         source_col: str,

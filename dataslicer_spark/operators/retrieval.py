@@ -83,11 +83,26 @@ def bm25_topk(
     per_doc = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dl"), *tf_cells
     )
+    return score_bm25_cells(per_doc, len(query_terms), id_col, k, k1, b)
 
+
+def score_bm25_cells(
+    per_doc: DataFrame,
+    n_terms: int,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Score + rank a ``(id, dl, tf_0..tf_{n-1})`` frame with the
+    log-free fixed-point BM25 recipe — shared verbatim by the one-shot
+    :func:`bm25_topk` and the persistent-index probe
+    (``retrieval_index.search_bm25_index``), so both paths are
+    bit-identical by construction."""
     # corpus stats: one row (N, Σdl, df per term)
     df_cells = [
         F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
-        for i in range(len(query_terms))
+        for i in range(n_terms)
     ]
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -100,7 +115,7 @@ def bm25_topk(
     norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
 
     term_fps: list[Column] = []
-    for i in range(len(query_terms)):
+    for i in range(n_terms):
         tf = F.col(f"tf_{i}").cast("double")
         idf = (
             (F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)
@@ -112,7 +127,7 @@ def bm25_topk(
     for t in term_fps[1:]:
         total = total + t
     n_matched = None
-    for i in range(len(query_terms)):
+    for i in range(n_terms):
         m = F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)
         n_matched = m if n_matched is None else n_matched + m
 

@@ -1,0 +1,179 @@
+"""Persistent BM25 inverted index — build once, search every query
+WITHOUT re-tokenizing the corpus.
+
+The one-shot :func:`~.retrieval.bm25_topk` tokenizes the whole corpus
+per query — right for ad-hoc audits, wrong for a query workload.  This
+module persists exactly the two artifacts BM25 needs (the retrieval
+analog of ``dedup_index.py``'s signature/band tables):
+
+- ``postings``: one ``(term, id, tf)`` row per distinct (doc, term) —
+  range-partitioned and sorted BY TERM at write time, so a probe's
+  ``term IN (...)`` filter prunes parquet row groups by min/max stats
+  and the scan reads ~only the query terms' postings, not the corpus;
+- ``doclens``: one ``(id, dl)`` row per document — the N/Σdl corpus
+  statistics come from this id-sized table, never from text.
+
+A probe is then: scan the pruned postings → pivot the |Q| tf cells per
+doc (conditional-sum aggregate, integer partials) → join onto doclens →
+the SHARED fixed-point scoring kernel (:func:`~.retrieval.
+score_bm25_cells`) — bit-identical to ``bm25_topk`` on the same corpus
+by construction, which is what the oracle asserts.
+
+Appending a batch appends its postings and doclens (parquet append, no
+rewrite); corpus statistics are derived on probe from the stored
+tables, so they are correct immediately after any append.  Compact with
+``sources/lake.compact_lake`` when small files accumulate.
+
+Scale: the index build is one explode + one (id, term) aggregate; the
+probe moves postings for |Q| terms plus the id-sized doclens table;
+document text is read once at build time and never again.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..utils import check_col
+from .retrieval import score_bm25_cells
+
+_POSTINGS, _DOCLENS, _META = "postings", "doclens", "meta"
+
+
+def _tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens — identical to bm25_topk's tokenization."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def _tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    # doclens folds out of the postings aggregate (dl = Σ tf per id) —
+    # the token stream is scanned once, not once per table
+    postings = df.groupBy("term", "id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doclens = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    return postings, doclens
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = 8,
+) -> None:
+    """Create the index at ``path`` from the corpus (may be empty)."""
+    check_col([id_col, text_col], docs)
+    toks = _tokenize(docs, id_col, text_col)
+    postings, _ = _tables(toks)
+    # term-clustered layout: range partition + in-file sort puts each
+    # term's postings in contiguous row groups ⇒ min/max stats prune
+    # probe scans down to the query terms
+    (
+        postings.repartitionByRange(n_partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, _POSTINGS))
+    )
+    spark = docs.sparkSession
+    # doclens from the postings JUST WRITTEN (dl = Σ tf per id): the
+    # text is exploded once; this pass reads compact integer parquet
+    (
+        spark.read.parquet(os.path.join(path, _POSTINGS))
+        .groupBy("id")
+        .agg(F.sum("tf").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, _DOCLENS))
+    )
+    spark.createDataFrame(
+        [("id_col", id_col), ("text_col", text_col), ("tokenizer", "ws")],
+        "key string, value string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, _META)
+    )
+
+
+def append_to_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a document batch (ids must be new — appending an existing
+    id would double-count its postings; dedup upstream, e.g. with the
+    MinHash index loop)."""
+    check_col([id_col, text_col], new_docs)
+    toks = _tokenize(new_docs, id_col, text_col)
+    postings, doclens = _tables(toks)
+    # one explode for both tables: cache the batch's postings (batch-
+    # sized), append them, fold doclens out of the cached frame
+    postings = postings.persist()
+    postings.write.mode("append").parquet(os.path.join(path, _POSTINGS))
+    doclens.write.mode("append").parquet(os.path.join(path, _DOCLENS))
+    postings.unpersist()
+
+
+def search_bm25_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` over the indexed corpus — same output contract (and
+    bit-identical scores) as running ``bm25_topk`` on the full corpus.
+
+    Plan: pruned postings scan (``term IN`` pushdown) → per-doc tf
+    cells → join onto doclens (docs matching no term still count in the
+    N/Σdl statistics via the left join) → shared scoring kernel.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    meta = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(os.path.join(path, _META)).collect()
+    }
+    id_col = meta.get("id_col", "doc_id")
+    postings = spark.read.parquet(os.path.join(path, _POSTINGS))
+    doclens = spark.read.parquet(os.path.join(path, _DOCLENS))
+    tf_cells = [
+        F.sum(F.when(F.col("term") == F.lit(t), F.col("tf"))).alias(
+            f"tf_{i}"
+        )
+        for i, t in enumerate(query_terms)
+    ]
+    hits = (
+        postings.filter(F.col("term").isin(*set(query_terms)))
+        .groupBy("id")
+        .agg(*tf_cells)
+    )
+    per_doc = doclens.join(hits, "id", "left").na.fill(
+        {f"tf_{i}": 0 for i in range(len(query_terms))}
+    )
+    return score_bm25_cells(
+        per_doc.withColumnRenamed("id", id_col),
+        len(query_terms),
+        id_col,
+        k,
+        k1,
+        b,
+    )
+
+
+__all__ = [
+    "build_bm25_index",
+    "append_to_bm25_index",
+    "search_bm25_index",
+]

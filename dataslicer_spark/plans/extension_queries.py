@@ -5818,8 +5818,9 @@ def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMP_TOKEN_BUDGET_SQL = r"""
 SELECT doc_id, score, n_tok, cum_tokens FROM (
   SELECT doc_id, score, n_tok,
-         SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
-                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
   FROM (
     SELECT doc_id, len(tk) AS n_tok,
            CAST(len(list_distinct(tk)) AS DOUBLE)
@@ -6033,6 +6034,105 @@ WHERE n > 0
 """
 
 
+def txt_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent BM25 inverted index (operators/retrieval_index.py):
+    build the postings/doclens tables in two append batches (exercising
+    the incremental path), then probe — the pruned-postings scan +
+    shared fixed-point scoring kernel must reproduce the one-shot
+    ``bm25_topk`` bit for bit, so the oracle is the SAME SQL as
+    ``txt_bm25_topk``'s with this query's terms."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval_index import (
+        append_to_bm25_index,
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"dslicer_bm25idx_{os.getpid()}_{tag}"
+    )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    import atexit
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    build_bm25_index(first, path, "doc_id", "text")
+    append_to_bm25_index(rest, path, "doc_id", "text")
+    return search_bm25_index(
+        spark, path, ["merge", "join", "scan"], k=10
+    )
+
+
+TXT_BM25_INDEX_SEARCH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+    FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         COUNT(*) FILTER (term = 'merge') AS tf0,
+         COUNT(*) FILTER (term = 'join')  AS tf1,
+         COUNT(*) FILTER (term = 'scan')  AS tf2
+  FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         COUNT(*) FILTER (tf0 > 0) AS df0,
+         COUNT(*) FILTER (tf1 > 0) AS df1,
+         COUNT(*) FILTER (tf2 > 0) AS df2
+  FROM per_doc),
+scored AS (
+  SELECT p.doc_id,
+         (CAST(
+            FLOOR(((CAST(s.n_docs - s.df0 AS DOUBLE) + 0.5)
+                   / (CAST(s.df0 AS DOUBLE) + 0.5))
+                  * ((CAST(p.tf0 AS DOUBLE) * 2.2)
+                     / (CAST(p.tf0 AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                           / (CAST(s.sum_dl AS DOUBLE)
+                              / CAST(s.n_docs AS DOUBLE))))))
+                  * 1048576.0) AS BIGINT)
+          + CAST(
+            FLOOR(((CAST(s.n_docs - s.df1 AS DOUBLE) + 0.5)
+                   / (CAST(s.df1 AS DOUBLE) + 0.5))
+                  * ((CAST(p.tf1 AS DOUBLE) * 2.2)
+                     / (CAST(p.tf1 AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                           / (CAST(s.sum_dl AS DOUBLE)
+                              / CAST(s.n_docs AS DOUBLE))))))
+                  * 1048576.0) AS BIGINT)
+          + CAST(
+            FLOOR(((CAST(s.n_docs - s.df2 AS DOUBLE) + 0.5)
+                   / (CAST(s.df2 AS DOUBLE) + 0.5))
+                  * ((CAST(p.tf2 AS DOUBLE) * 2.2)
+                     / (CAST(p.tf2 AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE)
+                           / (CAST(s.sum_dl AS DOUBLE)
+                              / CAST(s.n_docs AS DOUBLE))))))
+                  * 1048576.0) AS BIGINT)) / 1048576.0 AS bm25,
+         CAST((CASE WHEN p.tf0 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN p.tf1 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN p.tf2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_matched
+  FROM per_doc p CROSS JOIN stats s)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+         AS rank,
+       bm25, n_matched
+FROM scored
+WHERE n_matched > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6111,6 +6211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "samp_epoch_mixture": samp_epoch_mixture,
     "emb_hard_negatives": emb_hard_negatives,
     "txt_phrase_search": txt_phrase_search,
+    "txt_bm25_index_search": txt_bm25_index_search,
     "lk_cdc_apply": lk_cdc_apply,
     "txt_paragraph_filter": txt_paragraph_filter,
     "txt_bpe_tokenize": txt_bpe_tokenize,
@@ -6243,6 +6344,7 @@ ORACLES: dict[str, str] = {
     "samp_epoch_mixture": SAMP_EPOCH_MIXTURE_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "txt_phrase_search": TXT_PHRASE_SEARCH_SQL,
+    "txt_bm25_index_search": TXT_BM25_INDEX_SEARCH_SQL,
     "lk_cdc_apply": LK_CDC_APPLY_SQL,
     "txt_paragraph_filter": TXT_PARAGRAPH_FILTER_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4

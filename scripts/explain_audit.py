@@ -173,6 +173,10 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("txt_phrase_search", "phrase search prefilters postings before the "
      "shuffle and equi-joins on (doc, pos) — no cartesian, no Python",
      ["HashJoin"], ["CartesianProduct", "NestedLoop", "Python"]),
+    ("txt_bm25_index_search", "BM25 index probe: the term IN filter is "
+     "pushed into the postings parquet scan (row-group pruning via the "
+     "term-sorted layout); no Python, no cartesian",
+     ["In(term"], ["Python", "CartesianProduct", "SortMergeJoin"]),
     ("samp_epoch_mixture", "epoch mixture: per-source plan broadcast "
      "back; copies via bounded explode — corpus never shuffles",
      ["BroadcastHashJoin", "Generate"], ["SortMergeJoin", "Python"]),
