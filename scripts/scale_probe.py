@@ -465,6 +465,64 @@ def main() -> None:
 
     run("span_dedup_scrub", span_fn(docs1), span_fn(docs4))
 
+    # round-7 kernels ------------------------------------------------
+
+    # token-budget selection: the bucketed prefix-sum plan — 4× corpus
+    # ⇒ 4× bucket aggregation work; the budget is scaled with the data
+    # so the kept set (and the per-bucket windows) also grow 4× — the
+    # honest worst case for the two-level plan
+    from dataslicer_spark.operators.sampling import (
+        epoch_mixture, token_budget_select,
+    )
+
+    def budget_fn(docs, budget):
+        tk = F.split(F.trim(F.col("text")), r"\s+")
+        scored = docs.filter(F.trim(F.col("text")) != "").select(
+            "doc_id", F.size(tk).alias("n_tok"),
+            (F.size(F.array_distinct(tk)).cast("double")
+             / F.size(tk).cast("double")).alias("score"),
+        )
+        return lambda: token_budget_select(
+            scored, "score", "n_tok", "doc_id", budget, n_buckets=32
+        ).write.format("noop").mode("overwrite").save()
+
+    run("token_budget_select", budget_fn(docs1, 80_000),
+        budget_fn(docs4, 320_000))
+
+    # paragraph filter: pure array HOFs — map-only, must scale ~linear
+    from dataslicer_spark.functions.text import paragraph_quality_filter
+
+    def para_fn(docs):
+        return lambda: paragraph_quality_filter(
+            docs, "doc_id", para_tokens=20, min_distinct_ratio=0.72
+        ).write.format("noop").mode("overwrite").save()
+
+    run("paragraph_filter", para_fn(docs1), para_fn(docs4))
+
+    # phrase search: postings for the two phrase terms only — the isin
+    # prefilter keeps the shuffle proportional to term frequency
+    from dataslicer_spark.operators.retrieval import phrase_search
+
+    def phrase_fn(docs):
+        return lambda: phrase_search(
+            docs, ["table", "part"]
+        ).write.format("noop").mode("overwrite").save()
+
+    run("phrase_search", phrase_fn(docs1), phrase_fn(docs4))
+
+    # epoch mixture: stats scan + broadcast plan + bounded explode
+    def epoch_fn(docs, scale):
+        targets = {f"src{j}": 30_000.0 * scale for j in range(4)}
+        tk = F.split(F.trim(F.col("text")), r"\s+")
+        base = docs.filter(F.trim(F.col("text")) != "").select(
+            "doc_id", "source", F.size(tk).alias("n_tok")
+        )
+        return lambda: epoch_mixture(
+            base, "source", "n_tok", "doc_id", targets, max_epochs=2.5
+        ).write.format("noop").mode("overwrite").save()
+
+    run("epoch_mixture", epoch_fn(docs1, 1), epoch_fn(docs4, 4))
+
 
 if __name__ == "__main__":
     main()
