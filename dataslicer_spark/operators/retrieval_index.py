@@ -42,24 +42,44 @@ from .retrieval import score_bm25_cells
 _POSTINGS, _DOCLENS, _META = "postings", "doclens", "meta"
 
 
-def _tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Whitespace tokens — identical to bm25_topk's tokenization."""
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
+def _tokenize(
+    docs: DataFrame, id_col: str, text_col: str, positions: bool = False
+) -> DataFrame:
+    """Whitespace tokens — identical to bm25_topk's tokenization.
+    ``positions=True`` adds the 0-based token offset (phrase probes)."""
+    base = docs.filter(F.col(text_col).isNotNull())
+    if positions:
+        out = base.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+    else:
+        out = base.select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
         )
-        .filter(F.col("term") != "")
-    )
+    return out.filter(F.col("term") != "")
 
 
-def _tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _tables(
+    df: DataFrame, positions: bool = False
+) -> tuple[DataFrame, DataFrame]:
     # doclens folds out of the postings aggregate (dl = Σ tf per id) —
-    # the token stream is scanned once, not once per table
-    postings = df.groupBy("term", "id").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    # the token stream is scanned once, not once per table.  NOTE: with
+    # positions on, dl counts via tf (number of occurrences), identical
+    # to the positionless layout — empty-token filtering happens in
+    # _tokenize either way.
+    if positions:
+        postings = df.groupBy("term", "id").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    else:
+        postings = df.groupBy("term", "id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     doclens = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
     return postings, doclens
 
@@ -70,11 +90,18 @@ def build_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_partitions: int = 8,
+    store_positions: bool = False,
 ) -> None:
-    """Create the index at ``path`` from the corpus (may be empty)."""
+    """Create the index at ``path`` from the corpus (may be empty).
+
+    ``store_positions=True`` adds a sorted 0-based position array per
+    posting, enabling :func:`search_phrase_index` (phrase queries
+    without a corpus scan) at ~token-count storage instead of
+    distinct-term count; BM25 probes are unaffected either way —
+    parquet column pruning skips the array."""
     check_col([id_col, text_col], docs)
-    toks = _tokenize(docs, id_col, text_col)
-    postings, _ = _tables(toks)
+    toks = _tokenize(docs, id_col, text_col, store_positions)
+    postings, _ = _tables(toks, store_positions)
     # term-clustered layout: range partition + in-file sort puts each
     # term's postings in contiguous row groups ⇒ min/max stats prune
     # probe scans down to the query terms
@@ -95,7 +122,8 @@ def build_bm25_index(
         .parquet(os.path.join(path, _DOCLENS))
     )
     spark.createDataFrame(
-        [("id_col", id_col), ("text_col", text_col), ("tokenizer", "ws")],
+        [("id_col", id_col), ("text_col", text_col), ("tokenizer", "ws"),
+         ("positions", "1" if store_positions else "0")],
         "key string, value string",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, _META)
@@ -112,8 +140,14 @@ def append_to_bm25_index(
     id would double-count its postings; dedup upstream, e.g. with the
     MinHash index loop)."""
     check_col([id_col, text_col], new_docs)
-    toks = _tokenize(new_docs, id_col, text_col)
-    postings, doclens = _tables(toks)
+    spark = new_docs.sparkSession
+    meta = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(os.path.join(path, _META)).collect()
+    }
+    with_pos = meta.get("positions", "0") == "1"
+    toks = _tokenize(new_docs, id_col, text_col, with_pos)
+    postings, doclens = _tables(toks, with_pos)
     # one explode for both tables: cache the batch's postings (batch-
     # sized), append them, fold doclens out of the cached frame
     postings = postings.persist()
@@ -172,8 +206,53 @@ def search_bm25_index(
     )
 
 
+def search_phrase_index(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact consecutive-phrase retrieval over the stored positional
+    postings — same output contract as :func:`~.retrieval.
+    phrase_search` on the full corpus ((id, n_matches, first_pos)),
+    without re-tokenizing it: the probe reads the phrase terms'
+    postings (term IN pushdown + row-group pruning), explodes their
+    position arrays, and runs the same co-partitioned (doc, pos+i)
+    join chain.  Requires ``store_positions=True`` at build time."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    meta = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(os.path.join(path, _META)).collect()
+    }
+    if meta.get("positions", "0") != "1":
+        raise ValueError(
+            "index was built without store_positions=True — phrase "
+            "probes need positional postings"
+        )
+    postings = spark.read.parquet(os.path.join(path, _POSTINGS))
+    hits = (
+        postings.filter(F.col("term").isin(*set(phrase)))
+        .select("id", "term", F.explode("positions").alias("pos"))
+    )
+    first = (
+        hits.filter(F.col("term") == phrase[0])
+        .select("id", F.col("pos").alias("p0"))
+    )
+    cur = first
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = hits.filter(F.col("term") == term).select(
+            "id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["id", "p0"])
+    return cur.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p0").alias("first_pos"),
+    )
+
+
 __all__ = [
     "build_bm25_index",
     "append_to_bm25_index",
     "search_bm25_index",
+    "search_phrase_index",
 ]

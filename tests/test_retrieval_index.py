@@ -82,3 +82,44 @@ def test_index_doclens_counts_unmatched_docs(spark, tmp_path):
         tuple(r) for r in search_bm25_index(spark, path, ["q"], k=5).collect()
     ]
     assert via_index == one_shot and len(via_index) == 1
+
+
+def test_positional_index_phrase_parity_and_gate(spark, docs, tmp_path):
+    from dataslicer_spark.operators.retrieval import phrase_search
+    from dataslicer_spark.operators.retrieval_index import (
+        search_phrase_index,
+    )
+
+    pos_path = str(tmp_path / "pos")
+    build_bm25_index(
+        docs.filter("doc_id < 250"), pos_path, store_positions=True
+    )
+    # append inherits the positional layout from meta
+    append_to_bm25_index(docs.filter("doc_id >= 250"), pos_path)
+    a = sorted(
+        tuple(r)
+        for r in search_phrase_index(
+            spark, pos_path, ["table", "part"]
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in phrase_search(
+            docs.filter("trim(text) <> ''"), ["table", "part"]
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    # BM25 probe unaffected by the positional layout
+    one = [tuple(r) for r in bm25_topk(docs, ["spark", "fast"], k=5).collect()]
+    via = [
+        tuple(r)
+        for r in search_bm25_index(spark, pos_path, ["spark", "fast"], k=5).collect()
+    ]
+    assert one == via
+
+    flat_path = str(tmp_path / "flat")
+    build_bm25_index(docs, flat_path)  # no positions
+    with pytest.raises(ValueError, match="store_positions"):
+        search_phrase_index(spark, flat_path, ["table"])
+    with pytest.raises(ValueError):
+        search_phrase_index(spark, pos_path, [])
