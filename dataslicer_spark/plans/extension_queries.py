@@ -6133,6 +6133,93 @@ LIMIT 10
 """
 
 
+def txt_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency spectrum — the integer-safe Zipf profile: terms
+    bucketed by floor(log2(term count)) (via binary-string length, no
+    transcendental log), per-bucket term and token totals, and the
+    cumulative share of the corpus covered by terms at least that
+    frequent.  A pretraining-corpus health check: a natural-language
+    corpus shows the Zipf staircase (each lower-frequency bucket holds
+    ~2× the terms for ~equal token mass); boilerplate-heavy or
+    deduplication-broken corpora bend it.
+
+    Scale: ONE (term) hash aggregate over the token stream (map-side
+    partials), then everything operates on the ≤64-row bucket table —
+    the cumulative window costs nothing and no global term ranking is
+    ever computed."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    # bigram stream: richer spectrum than the tiny unigram vocab
+    toks = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(
+                F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(tk, i),
+                            F.element_at(tk, i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("term")
+        )
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = (
+        F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1
+    ).alias("freq_bucket")
+    spectrum = counts.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy(F.col("freq_bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = toks.count()  # one scalar; avoids a second stats join
+    return (
+        spectrum.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w)
+        )
+        .withColumn(
+            "coverage",
+            F.col("cum_tokens").cast("double") / F.lit(float(total)),
+        )
+        .select("freq_bucket", "n_terms", "n_tokens", "cum_tokens",
+                "coverage")
+    )
+
+
+TXT_FREQ_SPECTRUM_SQL = r"""
+WITH tk AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+toks AS (
+  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS term
+  FROM tk, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+spectrum AS (
+  SELECT CAST(length(printf('%b', cnt)) - 1 AS INT) AS freq_bucket,
+         COUNT(*) AS n_terms,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens
+  FROM counts GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks)
+SELECT freq_bucket, n_terms, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY freq_bucket DESC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY freq_bucket DESC
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / tot.total AS coverage
+FROM spectrum CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6212,6 +6299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_hard_negatives": emb_hard_negatives,
     "txt_phrase_search": txt_phrase_search,
     "txt_bm25_index_search": txt_bm25_index_search,
+    "txt_freq_spectrum": txt_freq_spectrum,
     "lk_cdc_apply": lk_cdc_apply,
     "txt_paragraph_filter": txt_paragraph_filter,
     "txt_bpe_tokenize": txt_bpe_tokenize,
@@ -6345,6 +6433,7 @@ ORACLES: dict[str, str] = {
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "txt_phrase_search": TXT_PHRASE_SEARCH_SQL,
     "txt_bm25_index_search": TXT_BM25_INDEX_SEARCH_SQL,
+    "txt_freq_spectrum": TXT_FREQ_SPECTRUM_SQL,
     "lk_cdc_apply": LK_CDC_APPLY_SQL,
     "txt_paragraph_filter": TXT_PARAGRAPH_FILTER_SQL,
     # BPE training trajectory (pair counts → argmax merge → replace) ×4
