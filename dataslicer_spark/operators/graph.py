@@ -402,6 +402,104 @@ def bfs_hops(
     return dist
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    max_rounds: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted single-source (multi-source) shortest paths — ``(node,
+    dist)`` for every node whose shortest path from ``sources`` uses at
+    most ``max_rounds`` edges; the Bellman-Ford frontier ("delta")
+    formulation of :func:`bfs_hops`.
+
+    Per round: relax only FROM nodes improved last round (one hash join
+    frontier⋈edges keyed by the edge source), take the per-node min of
+    the candidate distances (map-side-combined aggregate), and keep
+    candidates that beat the settled distance (one key join).  After k
+    rounds the settled table equals full Bellman-Ford's "shortest path
+    using ≤ k edges" — every prefix of an improving path itself
+    improves, so delta relaxation loses nothing — which is what the
+    fixed-round SQL twin replays; early exit on an empty frontier is
+    sound because the recurrence is monotone and stable thereafter.
+
+    Weights must be non-negative; use INTEGER weights when the result
+    feeds a cross-engine oracle (integer min/+ is exact everywhere).
+    Per-round ``localCheckpoint`` truncates the growing lineage; one
+    emptiness probe per round doubles as early exit.  Rounds bound the
+    EDGE COUNT of paths, not the node count — at 100 TB you cap the
+    search radius exactly as in :func:`bfs_hops`.
+    """
+    from ..utils import check_col
+
+    check_col([src, dst, weight_col], edges)
+    check_col([node_col], sources)
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(
+        F.col(src).isNotNull()
+        & F.col(dst).isNotNull()
+        & F.col(weight_col).isNotNull()
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "w",
+            )
+        )
+    e = e.localCheckpoint(eager=True)
+
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .filter(F.col(node_col).isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            e.join(
+                frontier.select(
+                    F.col("node").alias("src"),
+                    F.col("dist").alias("__d"),
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("__d") + F.col("w")).alias("__nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("__nd").alias("__nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(
+                F.col("dist").isNull() | (F.col("__nd") < F.col("dist"))
+            )
+            .select("node", F.col("__nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

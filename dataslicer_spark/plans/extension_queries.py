@@ -6220,6 +6220,66 @@ FROM spectrum CROSS JOIN tot
 """
 
 
+def gr_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/graph.sssp_weighted):
+    Bellman-Ford frontier over the part co-occurrence graph with
+    deterministic integer weights w = 1+(src+dst)%7, radius 3; output
+    is the distance histogram.  The oracle replays exactly 3 full BF
+    rounds as chained min-aggregate CTEs — the delta (frontier)
+    relaxation provably equals full BF at every round."""
+    from ..operators.graph import sssp_weighted
+
+    edges = _part_edges(spark, sf_dir).withColumn(
+        "w", F.lit(1) + (F.col("src") + F.col("dst")) % 7
+    )
+    sources = edges.agg(F.min("src").alias("node"))
+    d = sssp_weighted(edges, sources, max_rounds=3)
+    return d.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+GR_SSSP_SQL = """
+WITH hi AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0),
+li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN hi ON l.l_orderkey = hi.o_orderkey),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS (
+  SELECT u AS src, v AS dst, CAST(1 + (u + v) % 7 AS BIGINT) AS w FROM e0
+  UNION ALL
+  SELECT v AS src, u AS dst, CAST(1 + (u + v) % 7 AS BIGINT) AS w FROM e0),
+s AS (SELECT MIN(src) AS node FROM e),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s),
+d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d0.dist + e.w AS dist
+    FROM d0 JOIN e ON e.src = d0.node)
+  GROUP BY node),
+d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.dst AS node, d1.dist + e.w AS dist
+    FROM d1 JOIN e ON e.src = d1.node)
+  GROUP BY node),
+d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.dst AS node, d2.dist + e.w AS dist
+    FROM d2 JOIN e ON e.src = d2.node)
+  GROUP BY node)
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d3 GROUP BY dist
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6304,6 +6364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_paragraph_filter": txt_paragraph_filter,
     "txt_bpe_tokenize": txt_bpe_tokenize,
     "gr_pagerank": gr_pagerank,
+    "gr_sssp": gr_sssp,
     "txt_hashed_bow_classifier": txt_hashed_bow_classifier,
     "txt_ridge_regression": txt_ridge_regression,
     "mb_association_rules": mb_association_rules,
@@ -6440,6 +6501,7 @@ ORACLES: dict[str, str] = {
     "txt_bpe_tokenize": TXT_BPE_SQL,
     # 3 PageRank rounds as chained CTEs (integer fixed-point ranks)
     "gr_pagerank": GR_PAGERANK_SQL,
+    "gr_sssp": GR_SSSP_SQL,
     # hashed-BoW featurization + 8 perceptron epochs replayed
     "txt_hashed_bow_classifier": TXT_HASHED_BOW_SQL,
     # integer normal matrix + exact Cramer determinants + contractual

@@ -88,3 +88,96 @@ def test_resolve_duplicate_groups(spark):
     assert all(out[d].keep_id == 20 and out[d].n_members == 3 for d in (20, 21, 22))
     kept = {d for d, r in out.items() if r.is_kept}
     assert kept == {1, 10, 20}
+
+
+# ------------------------------------------------------------- sssp
+
+def test_sssp_weighted_hand_checked(spark):
+    from dataslicer_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5), (3, 4, 2), (9, 10, 1)],
+        "src int, dst int, w int",
+    )
+    srcs = spark.createDataFrame([(1,)], "node int")
+    d = {
+        r.node: r.dist
+        for r in sssp_weighted(edges, srcs, max_rounds=5).collect()
+    }
+    # 1->3 goes via 2 (cost 2), not the direct w=5 edge
+    assert d == {1: 0, 2: 1, 3: 2, 4: 4}
+
+
+def test_sssp_unit_weights_equal_bfs(spark):
+    import random
+
+    from dataslicer_spark.operators.graph import bfs_hops, sssp_weighted
+
+    random.seed(5)
+    E = [
+        (random.randint(0, 50), random.randint(0, 50), 1)
+        for _ in range(150)
+    ]
+    edges = spark.createDataFrame(E, "src int, dst int, w int")
+    srcs = spark.createDataFrame([(0,), (7,)], "node int")
+    a = {
+        (r.node, r.dist)
+        for r in sssp_weighted(edges, srcs, max_rounds=4).collect()
+    }
+    b = {
+        (r.node, r.dist)
+        for r in bfs_hops(edges.drop("w"), srcs, max_hops=4).collect()
+    }
+    assert a == b
+
+
+def test_sssp_brute_force_parity(spark):
+    """Radius-capped Dijkstra-by-hand on a random weighted graph."""
+    import random
+
+    from dataslicer_spark.operators.graph import sssp_weighted
+
+    random.seed(12)
+    E = [
+        (random.randint(0, 25), random.randint(0, 25),
+         random.randint(1, 9))
+        for _ in range(80)
+    ]
+    R = 4
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for u, v, w in E:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    # Bellman-Ford ≤R edges, reference implementation
+    INF = float("inf")
+    ref = {0: 0}
+    for _ in range(R):
+        nxt = dict(ref)
+        for u, du in ref.items():
+            for v, w in adj.get(u, []):
+                if du + w < nxt.get(v, INF):
+                    nxt[v] = du + w
+        ref = nxt
+    edges = spark.createDataFrame(E, "src int, dst int, w int")
+    srcs = spark.createDataFrame([(0,)], "node int")
+    got = {
+        r.node: r.dist
+        for r in sssp_weighted(edges, srcs, max_rounds=R).collect()
+    }
+    assert got == ref
+
+
+def test_sssp_directed_and_parallel_edges(spark):
+    from dataslicer_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (1, 2, 2), (2, 1, 1)], "src int, dst int, w int"
+    )
+    srcs = spark.createDataFrame([(1,)], "node int")
+    d = {
+        r.node: r.dist
+        for r in sssp_weighted(
+            edges, srcs, max_rounds=3, directed=True
+        ).collect()
+    }
+    assert d == {1: 0, 2: 2}  # parallel edge min wins; 2->1 ignored for 1
