@@ -115,4 +115,61 @@ def extcats_ps1cal_fetcher(
     return fetch
 
 
-__all__ = ["irsa_metadata_fetcher", "extcats_ps1cal_fetcher"]
+def load_irsa_meta(
+    df,
+    expid_col: str = "expid",
+    meta_cols: Sequence[str] | None = None,
+    kind: str = "sci",
+    rcid: int | None = None,
+    zquery=None,
+    how: str = "inner",
+):
+    """End-to-end ``load_IRSA_meta`` (metadata.py:17-86) on Spark:
+    distinct exposure ids → ONE archive query → broadcast join back."""
+    from .external import external_lookup_join
+
+    return external_lookup_join(
+        df,
+        expid_col,
+        irsa_metadata_fetcher(
+            kind=kind, rcid=rcid, meta_cols=meta_cols,
+            expid_col=expid_col, zquery=zquery,
+        ),
+        how=how,
+    )
+
+
+def match_ps1cal_fields(
+    df,
+    field_col: str = "fieldid",
+    rcids: Sequence[int] | None = None,
+    projection: dict | None = None,
+    src_coll=None,
+    how: str = "inner",
+):
+    """Field-level PS1 calibrator attach (PS1Cal_matching.py:73-97):
+    the catalog rows for the dataset's fields broadcast-join back; the
+    dataset names the key ``FIELDID`` while the catalog indexes
+    ``field`` (PS1Cal_matching.py:64,92), so the fetch is renamed to
+    ``field_col`` before the join.  Follow with
+    ``operators/spatial.crossmatch_nearest`` for the per-source sky
+    match the reference does with astropy."""
+    from .external import external_lookup_join
+
+    inner = extcats_ps1cal_fetcher(
+        rcids=rcids, projection=projection, src_coll=src_coll,
+        field_col="field",
+    )
+
+    def fetch(keys: list) -> pd.DataFrame:
+        return inner(keys).rename(columns={"field": field_col})
+
+    return external_lookup_join(df, field_col, fetch, how=how)
+
+
+__all__ = [
+    "irsa_metadata_fetcher",
+    "extcats_ps1cal_fetcher",
+    "load_irsa_meta",
+    "match_ps1cal_fields",
+]

@@ -112,3 +112,36 @@ def test_adapters_gate_on_missing_dependency():
         irsa_metadata_fetcher()([1])
     with pytest.raises(NotImplementedError, match="extcats"):
         extcats_ps1cal_fetcher()([101])
+
+
+def test_load_irsa_meta_end_to_end(spark):
+    zq = _RecordedZTFQuery()
+    from dataslicer_spark.sources.archives import load_irsa_meta
+
+    df = spark.createDataFrame(
+        [(10, 1), (20, 2), (21, 2), (30, 99)], "src int, expid int"
+    )
+    out = load_irsa_meta(df, "expid", meta_cols=["seeing"], zquery=zq)
+    rows = {r.src: r.seeing for r in out.collect()}
+    # inner join: expid 99 has no archive row; ONE fetch for the frame
+    assert rows == {10: pytest.approx(1.1), 20: pytest.approx(2.2),
+                    21: pytest.approx(2.2)}
+    assert len(zq.calls) == 1
+
+
+def test_match_ps1cal_fields_renames_and_broadcasts(spark):
+    coll = _RecordedMongoColl()
+    from dataslicer_spark.sources.archives import match_ps1cal_fields
+
+    df = spark.createDataFrame(
+        [(1, 101), (2, 101), (3, 999)], "src int, fieldid int"
+    )
+    out = match_ps1cal_fields(
+        df, "fieldid", rcids=[0], src_coll=coll
+    )
+    # catalog 'field' renamed to the dataset's 'fieldid'; rcid narrowed
+    got = {(r.src, r.ra) for r in out.collect()}
+    assert got == {(1, 0.0), (2, 0.0)}
+    assert coll.queries[-1]["rcid"] == {"$in": [0]}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
