@@ -6280,6 +6280,129 @@ SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d3 GROUP BY dist
 """
 
 
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 composed flagship: paragraph-granular cleaning → per-site
+    quota → token-budget selection → epoch-balanced mixture, end to end
+    on the documents table — every stage individually oracled
+    (txt_paragraph_filter, samp_domain_quota, samp_token_budget,
+    samp_epoch_mixture), and the composition carries a full value-hash
+    twin because each stage is deterministic in the data.
+
+    Plan shape: stage 1 is map-only array HOFs; stage 2 one group-keyed
+    window; stage 3 the bucketed prefix sum (driver sees ≤32 bucket
+    rows); stage 4 a stats scan + broadcast plan + bounded explode.
+    Nothing global-sorts and document text never shuffles after
+    stage 2's id-keyed window."""
+    from ..functions.text import paragraph_quality_filter
+    from ..operators.sampling import (
+        epoch_mixture,
+        quota_sample,
+        token_budget_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    cleaned = (
+        paragraph_quality_filter(
+            docs, "doc_id", para_tokens=20,
+            min_distinct_ratio=0.72, min_para_tokens=3,
+        )
+        .filter(F.col("n_kept_tokens") > 0)
+        .select(
+            "doc_id", "source",
+            F.col("filtered_text").alias("text"),
+            F.col("n_kept_tokens").alias("n_tok"),
+        )
+    )
+    capped = quota_sample(cleaned, "source", "doc_id", cap=30, salt="cur")
+    tk = F.split(F.col("text"), r"\s+")
+    scored = capped.withColumn(
+        "score",
+        F.size(F.array_distinct(tk)).cast("double")
+        / F.size(tk).cast("double"),
+    )
+    selected = token_budget_select(
+        scored, "score", "n_tok", "doc_id", budget=6000, n_buckets=32
+    )
+    targets = {f"src{j}": 1500.0 for j in range(4)}
+    mixed = epoch_mixture(
+        selected.select("doc_id", "source", "n_tok"),
+        "source", "n_tok", "doc_id", targets,
+        max_epochs=2.0, salt="cur",
+    )
+    return mixed.select("doc_id", "source", "n_tok", "epoch")
+
+
+LLM_CURATION_PIPELINE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents),
+p AS (
+  SELECT doc_id, source, tk, len(tk) AS n,
+         CAST(ceil(len(tk) / 20.0) AS INT) AS np
+  FROM t),
+cleaned AS (
+  SELECT doc_id, source, flatten(good) AS toks,
+         len(flatten(good)) AS n_tok
+  FROM (
+    SELECT doc_id, source,
+           list_filter(
+             list_transform(range(CAST(greatest(np, 1) AS BIGINT)),
+                            i -> tk[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)]),
+             q -> len(q) >= 3 AND
+                  CAST(len(list_distinct(q)) AS DOUBLE)
+                    / CAST(len(q) AS DOUBLE) >= 0.72) AS good
+    FROM p)
+  WHERE len(flatten(good)) > 0),
+capped AS (
+  SELECT doc_id, source, toks, n_tok FROM (
+    SELECT doc_id, source, toks, n_tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5('cur' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                      doc_id ASC) AS rk
+    FROM cleaned)
+  WHERE rk <= 30),
+scored AS (
+  SELECT doc_id, source, n_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS score
+  FROM capped),
+selected AS (
+  SELECT doc_id, source, n_tok FROM (
+    SELECT doc_id, source, n_tok,
+           CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+    FROM scored)
+  WHERE cum_tokens <= 6000),
+tgt(source, b) AS (VALUES ('src0', 1500.0), ('src1', 1500.0),
+                          ('src2', 1500.0), ('src3', 1500.0)),
+rates AS (
+  SELECT s.source,
+         least(2.0, CAST(tgt.b AS DOUBLE) / CAST(s.toks AS DOUBLE)) AS rate
+  FROM (SELECT source, SUM(n_tok) AS toks FROM selected GROUP BY 1) s
+  JOIN tgt USING (source)),
+thr AS (
+  SELECT source, CAST(floor(rate) AS INT) AS n_full,
+         CAST(floor((rate - floor(rate)) * 4294967296.0) AS BIGINT) AS thr
+  FROM rates),
+cop AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         n_full + CASE WHEN ('0x' || substr(md5('cur' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+                  THEN 1 ELSE 0 END AS nc
+  FROM selected d JOIN thr USING (source))
+SELECT doc_id, source, n_tok, CAST(i AS INT) AS epoch
+FROM cop, UNNEST(range(nc)) AS u(i)
+WHERE nc > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6339,6 +6462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn_classify": emb_knn_classify,
     "txt_materialize_packs": txt_materialize_packs,
     "llm_data_pipeline": llm_data_pipeline,
+    "llm_curation_pipeline": llm_curation_pipeline,
     "emb_pca_gram": emb_pca_gram,
     "samp_weighted": samp_weighted,
     "skw_salted_agg": skw_salted_agg,
@@ -6468,6 +6592,7 @@ ORACLES: dict[str, str] = {
     "txt_materialize_packs": TXT_MATERIALIZE_PACKS_SQL,
     # the full pipeline chain replayed as one CTE cascade
     "llm_data_pipeline": LLM_PIPELINE_SQL,
+    "llm_curation_pipeline": LLM_CURATION_PIPELINE_SQL,
     "emb_pca_gram": EMB_PCA_GRAM_SQL,
     "samp_weighted": SAMP_WEIGHTED_SQL,
     "skw_salted_agg": SKW_SALTED_AGG_SQL,

@@ -173,6 +173,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("txt_phrase_search", "phrase search prefilters postings before the "
      "shuffle and equi-joins on (doc, pos) — no cartesian, no Python",
      ["HashJoin"], ["CartesianProduct", "NestedLoop", "Python"]),
+    ("llm_curation_pipeline", "curation flagship: map-only paragraph "
+     "HOFs + keyed windows + broadcast plans + bounded explode — no "
+     "Python, no cartesian, no sort-merge join anywhere",
+     ["Window", "BroadcastHashJoin", "Generate"],
+     ["Python", "CartesianProduct", "SortMergeJoin"]),
     ("txt_bm25_index_search", "BM25 index probe: the term IN filter is "
      "pushed into the postings parquet scan (row-group pruning via the "
      "term-sorted layout); no Python, no cartesian",
