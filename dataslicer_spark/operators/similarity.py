@@ -384,20 +384,69 @@ def build_ivf_index(
     )
     M = np.array([list(r[0]) for r in sample], dtype=np.float64)
     centroids = _kmeans_numpy(M, n_lists, seed)
+    return centroids, assign_to_ivf_lists(
+        centroids, corpus, corpus_id, corpus_vec
+    )
+
+
+def assign_to_ivf_lists(
+    centroids: np.ndarray,
+    vectors: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest coarse centroid — the shared
+    quantization step of the initial build and every incremental append
+    (centroids ship inside an Arrow UDF closure; assignment is map-only).
+    Output columns: (vec_id, embedding, norm, list_id)."""
+    check_col([corpus_id, corpus_vec], vectors)
+    cents = centroids
 
     @pandas_udf("long")
     def nearest_list(vs: pd.Series) -> pd.Series:
         X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1))
 
-    assigned = corpus.select(
+    return vectors.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("embedding"),
         F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("norm"),
         nearest_list(F.col(corpus_vec)).alias("list_id"),
     )
-    return centroids, assigned
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incrementally add a vector batch to a persisted IVF index: load
+    the (small) centroid table, quantize the batch with the SAME
+    assignment kernel as the build, and parquet-append into the
+    ``list_id``-partitioned lists — searches see the new vectors
+    immediately, no rebuild, and partition pruning keeps working because
+    appends land in the existing list directories.
+
+    The quantizer is intentionally NOT retrained (the FAISS contract):
+    recall for the new vectors matches the build-time distribution; if
+    the data distribution drifts far enough that new vectors crowd few
+    lists, rebuild — compare per-list counts over time to detect this
+    (``spark.read.parquet(path + "/lists").groupBy("list_id").count()``).
+    """
+    spark = new_vectors.sparkSession
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.list_id,
+    )
+    centroids = np.array([list(r.centroid) for r in rows], dtype=np.float64)
+    assigned = assign_to_ivf_lists(
+        centroids, new_vectors, corpus_id, corpus_vec
+    )
+    assigned.write.partitionBy("list_id").mode("append").parquet(
+        f"{path}/lists"
+    )
 
 
 def save_ivf_index(centroids: np.ndarray, assigned: DataFrame, path: str) -> None:
@@ -722,6 +771,8 @@ __all__ = [
     "hard_negative_mining",
     "hyperplane_lsh_topk",
     "build_ivf_index",
+    "assign_to_ivf_lists",
+    "append_to_ivf_index",
     "save_ivf_index",
     "load_ivf_index",
     "ivf_search",

@@ -227,3 +227,54 @@ def test_pq_index_save_load_roundtrip(spark, tmp_path):
         map(tuple, pq_search(codes2, queries, cbs2, k=5).collect())
     )
     assert got == want
+
+
+# ----------------------------------------------------- IVF incremental
+
+def test_ivf_append_equals_full_build_search(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "embeddings.parquet")
+    )
+    first = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf")
+    # build on half; centroids train on that half only
+    cents, assigned = build_ivf_index(first, n_lists=8)
+    save_ivf_index(cents, assigned, path)
+    append_to_ivf_index(rest, path)
+
+    c2, lists = load_ivf_index(spark, path)
+    assert lists.count() == emb.count()
+    # searching with n_probe = n_lists is exact over the union corpus:
+    # must equal brute-force top-k on the full table
+    from dataslicer_spark.operators.similarity import cosine_topk
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_search(c2, lists, q, k=4, n_probe=8).collect()
+    }
+    b = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in cosine_topk(emb, q, k=4).collect()
+    }
+    assert a == b
+    # appended vectors landed in existing list dirs (partition layout)
+    import glob
+
+    dirs = {os.path.basename(p) for p in glob.glob(path + "/lists/list_id=*")}
+    assert dirs and all(d.startswith("list_id=") for d in dirs)
