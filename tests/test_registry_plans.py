@@ -83,6 +83,15 @@ ALLOW = {
     # aggregate's final stage and the rank window over the ≤k rows that
     # survive the distributed TakeOrdered (operators/retrieval.py)
     "txt_bm25_topk": {"nested-loop-join", "single-partition-exchange"},
+    # same scoring kernel as txt_bm25_topk behind the persistent index:
+    # the nested loop is the broadcast 1-ROW corpus-stats aggregate and
+    # the single partition is the ≤k rank window
+    "txt_bm25_index_search": {"nested-loop-join",
+                              "single-partition-exchange"},
+    # the cumulative-coverage window walks the ≤64-row FREQUENCY-BUCKET
+    # table (the term rows were aggregated away one stage earlier) and
+    # the total-token scalar is a 1-row aggregate
+    "txt_freq_spectrum": {"single-partition-exchange"},
     # the single partition is the rank window over the ≤k rows that
     # survive the distributed TakeOrdered (operators/dsir.py); the
     # bucket-model join is a broadcast equi join
