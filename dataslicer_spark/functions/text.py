@@ -488,7 +488,12 @@ def paragraph_quality_filter(
     check_col([id_col, text_col], df)
     if para_tokens < 1 or min_para_tokens < 1:
         raise ValueError("para_tokens and min_para_tokens must be >= 1")
-    toks = tokens_ws(F.col(text_col))
+    # materialize the token array into a column: referencing the raw
+    # split expression inside the slice lambda would re-tokenize the
+    # document once PER PARAGRAPH (the O(n²/para) trap measured on
+    # txt_freq_spectrum)
+    df = df.withColumn("__pqf_toks", tokens_ws(F.col(text_col)))
+    toks = F.col("__pqf_toks")
     n = F.size(toks)
     n_paras = F.ceil(n / F.lit(para_tokens)).cast("int")
     paras = F.transform(
@@ -512,5 +517,5 @@ def paragraph_quality_filter(
         .withColumn("n_kept_paras", F.size("__good"))
         .withColumn("n_kept_tokens", F.size(F.flatten("__good")))
         .withColumn(out_col, F.array_join(F.flatten("__good"), " "))
-        .drop("__paras", "__good")
+        .drop("__paras", "__good", "__pqf_toks")
     )

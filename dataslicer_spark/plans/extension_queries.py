@@ -6148,21 +6148,23 @@ def txt_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative window costs nothing and no global term ranking is
     ever computed."""
     docs = _t(spark, sf_dir, "documents")
-    tk = F.split(F.trim(F.col("text")), r"\s+")
-    # bigram stream: richer spectrum than the tiny unigram vocab
+    # bigram stream: richer spectrum than the tiny unigram vocab.
+    # The token array is MATERIALIZED into a column before the lambda —
+    # referencing the raw split() expression inside transform() would
+    # re-evaluate the split per element access (O(n²) per document,
+    # measured 10.2 s vs ~1 s at sf0.1)
+    tk = F.col("__tk")
     toks = (
         docs.filter(F.trim(F.col("text")) != "")
+        .withColumn("__tk", F.split(F.trim(F.col("text")), r"\s+"))
         .select(
             F.explode(
                 F.when(
                     F.size(tk) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(tk) - 1),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(tk, i),
-                            F.element_at(tk, i + 1),
-                        ),
+                    F.zip_with(
+                        F.slice(tk, 1, F.size(tk) - 1),
+                        F.slice(tk, 2, F.size(tk) - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
                     ),
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("term")
