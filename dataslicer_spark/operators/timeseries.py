@@ -405,6 +405,63 @@ def interpolate_linear(
     )
 
 
+def detect_event_pattern(
+    events: DataFrame,
+    ts_col: str,
+    by_cols,
+    type_col: str,
+    pattern: list[str],
+    within,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Complex-event-pattern detection (the MATCH_RECOGNIZE shape):
+    occurrences of ``pattern`` as CONSECUTIVE events in each key's
+    time-ordered stream, with the whole match spanning at most
+    ``within`` (same units as ``ts_col``).  Returns one row per match:
+    the key columns + ``match_ts`` (first event's ts) + ``span``.
+
+    "Consecutive" is the strict-contiguity CEP mode (no skipping —
+    debounce/filter upstream to drop noise events first); matches may
+    overlap (a stream A A B with pattern [A, B] yields one match at the
+    second A — strict contiguity — while A B A B yields two).
+
+    Plan: ONE key shuffle into a time-ordered window; the pattern
+    becomes ``len(pattern)−1`` ``lead()`` columns over that single
+    window (Catalyst evaluates all leads in one pass), then a row-local
+    predicate — no joins, no explosion, no Python.  At 100 TB this is
+    the same cost as any per-key window pass; pattern length adds
+    columns, not passes.  Ties in ``ts_col`` make "consecutive"
+    ambiguous — pass ``tiebreak_col`` (e.g. an event id) to pin the
+    order deterministically.
+    """
+    from ..utils import check_col
+
+    if len(pattern) < 1:
+        raise ValueError("pattern must have at least one step")
+    keys = list(by_cols)
+    check_col(keys + [ts_col, type_col], events)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cond = F.col(type_col) == pattern[0]
+    last_ts = F.col(ts_col)
+    for i, step in enumerate(pattern[1:], start=1):
+        cond = cond & (F.lead(type_col, i).over(w) == F.lit(step))
+        last_ts = F.lead(ts_col, i).over(w)
+    span = last_ts - F.col(ts_col)
+    return (
+        events.withColumn("__match", cond)
+        .withColumn("__span", span)
+        .filter(F.col("__match") & (F.col("__span") <= within))
+        .select(
+            *keys,
+            F.col(ts_col).alias("match_ts"),
+            F.col("__span").alias("span"),
+        )
+    )
+
+
 __all__ = [
     "rolling_window_stats",
     "funnel_conversion",
@@ -412,4 +469,5 @@ __all__ = [
     "sessionize",
     "debounce",
     "interpolate_linear",
+    "detect_event_pattern",
 ]

@@ -6405,6 +6405,50 @@ WHERE nc > 0
 """
 
 
+def ev_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict-contiguity pattern match (operators/timeseries.
+    detect_event_pattern): click → click → purchase runs within 24
+    hours per user, counted per user — one key shuffle, the pattern
+    is lead() columns over a single window."""
+    from ..operators.timeseries import detect_event_pattern
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        "event_type",
+    )
+    matches = detect_event_pattern(
+        ev, "ts_us", ["user_id"], "event_type",
+        ["click", "click", "purchase"],
+        within=86_400_000_000, tiebreak_col="event_id",
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("match_ts").alias("first_match_ts"),
+    )
+
+
+EV_PATTERN_DETECT_SQL = r"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+  FROM events),
+led AS (
+  SELECT user_id, ts_us, event_type,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2,
+         LEAD(ts_us, 2) OVER w AS ts2
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC))
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MIN(ts_us) AS first_match_ts
+FROM led
+WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts2 - ts_us <= 86400000000
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6450,6 +6494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_sessionize": ev_sessionize,
     "ev_json_extract": ev_json_extract,
     "ev_debounce": ev_debounce,
+    "ev_pattern_detect": ev_pattern_detect,
     "dd_fuzzy_names": dd_fuzzy_names,
     "dq_profile": dq_profile,
     "dq_constraints": dq_constraints,
@@ -6579,6 +6624,7 @@ ORACLES: dict[str, str] = {
     # anchor chasing replayed via recursive CTE (one next-anchor per key
     # per iteration) — exact twin of the sequential kernel
     "ev_debounce": EV_DEBOUNCE_SQL,
+    "ev_pattern_detect": EV_PATTERN_DETECT_SQL,
     "dd_fuzzy_names": DD_FUZZY_SQL,
     "dq_profile": DQ_PROFILE_SQL,
     "dq_constraints": DQ_CONSTRAINTS_SQL,

@@ -177,3 +177,56 @@ def test_asof_single_shuffle_plan(asof_data):
     # union + one window — no join operator, no cartesian/fanout
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # union inputs coalesce into the window shuffle
+
+
+# ---------------------------------------------------------------- CEP
+
+def test_detect_event_pattern_strict_contiguity(spark):
+    from dataslicer_spark.operators.timeseries import detect_event_pattern
+
+    rows = [
+        # user 1: A A B -> one match at ts 20 (strict contiguity)
+        (1, 10, "A", 1), (1, 20, "A", 2), (1, 30, "B", 3),
+        # user 2: A B A B -> two matches
+        (2, 10, "A", 4), (2, 20, "B", 5), (2, 30, "A", 6), (2, 40, "B", 7),
+        # user 3: A B but outside the window
+        (3, 10, "A", 8), (3, 200, "B", 9),
+    ]
+    ev = spark.createDataFrame(
+        rows, "u int, ts long, t string, eid int"
+    )
+    got = sorted(
+        (r.u, r.match_ts, r.span)
+        for r in detect_event_pattern(
+            ev, "ts", ["u"], "t", ["A", "B"], within=50,
+            tiebreak_col="eid",
+        ).collect()
+    )
+    assert got == [(1, 20, 10), (2, 10, 10), (2, 30, 10)]
+
+
+def test_detect_event_pattern_three_steps_and_validation(spark):
+    import pytest as _pytest
+
+    from dataslicer_spark.operators.timeseries import detect_event_pattern
+
+    ev = spark.createDataFrame(
+        [(1, 10, "A", 1), (1, 20, "A", 2), (1, 30, "B", 3),
+         (1, 40, "A", 4)],
+        "u int, ts long, t string, eid int",
+    )
+    got = [
+        (r.u, r.match_ts)
+        for r in detect_event_pattern(
+            ev, "ts", ["u"], "t", ["A", "A", "B"], within=100,
+            tiebreak_col="eid",
+        ).collect()
+    ]
+    assert got == [(1, 10)]
+    # single-step pattern degenerates to a type filter
+    one = detect_event_pattern(
+        ev, "ts", ["u"], "t", ["B"], within=10**9
+    ).count()
+    assert one == 1
+    with _pytest.raises(ValueError):
+        detect_event_pattern(ev, "ts", ["u"], "t", [], within=1)
