@@ -125,6 +125,88 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = 10_000,
+) -> DataFrame:
+    """Ordered document pairs where the SMALLER document's shingle set
+    is ≥ ``threshold`` contained in the other: ``containment(A→B) =
+    |A∩B| / |A|`` — the asymmetric twin of :func:`ngram_jaccard_pairs`
+    that Jaccard structurally misses: a tweet quoted inside an article
+    has tiny Jaccard (the union is article-sized) but containment ≈ 1.
+    The doc-inside-doc detector for quote/boilerplate/wrapper-page
+    dedup (Broder's containment, the ExactSubstr complement at
+    shingle granularity).
+
+    Output: one row per (inner_id, outer_id) with ``containment`` =
+    |inner ∩ outer| / |inner| where ``n_inner ≤ n_outer`` (ties: both
+    directions evaluated via the id order, inner = smaller id).  Same
+    inverted-index plan as Jaccard — distinct shingles → posting lists
+    → pair counts — so the same ``max_posting`` stop-shingle cap bounds
+    the join fanout; only the final arithmetic differs.
+    """
+    check_col([id_col, text_col], df)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inv = sh
+    if max_posting is not None:
+        posting = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        inv = sh.join(
+            posting.filter(F.col("__df") <= max_posting).select("s"),
+            "s",
+            "inner",
+        )
+    a = inv.select(F.col("id").alias("id_a"), "s")
+    b = inv.select(F.col("id").alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sized = common.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
+    )
+    inner_is_a = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    out = sized.select(
+        F.when(inner_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "inner_id"
+        ),
+        F.when(inner_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "outer_id"
+        ),
+        "n_common",
+        F.when(inner_is_a, F.col("n_a")).otherwise(F.col("n_b")).alias(
+            "n_inner"
+        ),
+        F.when(inner_is_a, F.col("n_b")).otherwise(F.col("n_a")).alias(
+            "n_outer"
+        ),
+    ).withColumn(
+        "containment",
+        F.col("n_common").cast("double") / F.col("n_inner").cast("double"),
+    ).filter(F.col("containment") >= threshold)
+    return out.select(
+        "inner_id", "outer_id", "n_common", "n_inner", "n_outer",
+        "containment",
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -6449,6 +6449,73 @@ GROUP BY user_id
 """
 
 
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.
+    containment_pairs): planted doc-in-doc corpus — each doc's 40%%
+    token prefix re-enters as a new document (id+200000); Jaccard vs
+    the original is small (union is original-sized) but containment of
+    the prefix is ≈1, which is exactly what this operator and no
+    symmetric measure detects."""
+    from ..operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    prefix = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                toks, 1,
+                F.greatest((F.size(toks) * 2) / F.lit(5), F.lit(4))
+                .cast("int"),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(prefix)
+    return containment_pairs(corpus, "doc_id", n=3, threshold=0.9)
+
+
+DD_CONTAINMENT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 200000,
+         t[1:CAST(greatest((len(t) * 2) // 5, 4) AS INT)] AS t
+  FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM corpus, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sized AS (
+  SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b),
+oriented AS (
+  SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              THEN id_a ELSE id_b END AS inner_id,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              THEN id_b ELSE id_a END AS outer_id,
+         n_common,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              THEN n_a ELSE n_b END AS n_inner,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              THEN n_b ELSE n_a END AS n_outer
+  FROM sized)
+SELECT inner_id, outer_id, n_common, n_inner, n_outer,
+       CAST(n_common AS DOUBLE) / CAST(n_inner AS DOUBLE) AS containment
+FROM oriented
+WHERE CAST(n_common AS DOUBLE) / CAST(n_inner AS DOUBLE) >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6462,6 +6529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_top_ngrams": txt_top_ngrams,
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_containment": dd_containment,
     "dd_resolve_groups": dd_resolve_groups,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_index_incremental": dd_index_incremental,
@@ -6583,6 +6651,7 @@ ORACLES: dict[str, str] = {
     "txt_top_ngrams": TXT_TOP_NGRAMS_SQL,
     "dd_exact": DD_EXACT_SQL,
     "dd_ngram_jaccard": DD_NGRAM_JACCARD_SQL,
+    "dd_containment": DD_CONTAINMENT_SQL,
     # recursive transitive-closure CTE = min-label propagation fixed point
     "dd_resolve_groups": DD_RESOLVE_SQL,
     # exact-verification output → engine-independent despite xxhash64

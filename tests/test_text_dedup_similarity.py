@@ -563,3 +563,42 @@ def test_hyperplane_lsh_auto_planes(spark, emb):
     out = hyperplane_lsh_topk(emb, queries, k=3, n_planes=None)
     assert out.count() <= 3 * queries.count()
     assert derive_n_planes(emb.count()) >= 4
+
+
+def test_containment_catches_doc_in_doc(spark):
+    from dataslicer_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = quote + (
+        " and then a very long discussion follows about many other "
+        "topics entirely unrelated to foxes covering weather sports "
+        "finance cooking travel history science art music in exhaustive "
+        "repetitive detail paragraph after paragraph"
+    )
+    df = spark.createDataFrame(
+        [(1, article), (2, quote), (3, "completely different text here "
+                                       "about nothing shared at all")],
+        "doc_id int, text string",
+    )
+    cont = containment_pairs(df, "doc_id", n=3, threshold=0.9)
+    rows = [(r.inner_id, r.outer_id, r.containment) for r in cont.collect()]
+    assert len(rows) == 1
+    inner, outer, c = rows[0]
+    assert (inner, outer) == (2, 1) and c == 1.0
+    # symmetric Jaccard misses the same pair at any useful threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", n=3, threshold=0.5)
+    assert jac.count() == 0
+
+
+def test_containment_tie_orientation_and_threshold(spark):
+    from dataslicer_spark.operators.dedup import containment_pairs
+
+    # equal-size shingle sets: inner = smaller id by the tie rule
+    df = spark.createDataFrame(
+        [(5, "a b c d e"), (9, "a b c d e")], "doc_id int, text string"
+    )
+    r = containment_pairs(df, "doc_id", threshold=0.99).collect()[0]
+    assert (r.inner_id, r.outer_id, r.containment) == (5, 9, 1.0)
