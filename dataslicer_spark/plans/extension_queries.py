@@ -6516,6 +6516,62 @@ WHERE CAST(n_common AS DOUBLE) / CAST(n_inner AS DOUBLE) >= 0.9
 """
 
 
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: for each (prev event type, next
+    event type) pair, the transition count and the row-normalized
+    probability — the first-order Markov summary powering journey
+    analysis and next-event prediction baselines.  ONE user-keyed lag
+    window + one (from, to) hash aggregate; the probability is a single
+    division against a broadcast per-from total."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .withColumn(
+            "p",
+            F.col("n").cast("double") / F.col("n_from").cast("double"),
+        )
+        .select("from_type", "to_type", "n", "n_from", "p")
+    )
+
+
+EV_MARKOV_SQL = r"""
+WITH led AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) ASC, event_id ASC) AS to_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM led WHERE to_type IS NOT NULL
+  GROUP BY 1, 2),
+totals AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+  FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n, t.n_from,
+       CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM pairs p JOIN totals t USING (from_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6563,6 +6619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_json_extract": ev_json_extract,
     "ev_debounce": ev_debounce,
     "ev_pattern_detect": ev_pattern_detect,
+    "ev_markov_transitions": ev_markov_transitions,
     "dd_fuzzy_names": dd_fuzzy_names,
     "dq_profile": dq_profile,
     "dq_constraints": dq_constraints,
@@ -6694,6 +6751,7 @@ ORACLES: dict[str, str] = {
     # per iteration) — exact twin of the sequential kernel
     "ev_debounce": EV_DEBOUNCE_SQL,
     "ev_pattern_detect": EV_PATTERN_DETECT_SQL,
+    "ev_markov_transitions": EV_MARKOV_SQL,
     "dd_fuzzy_names": DD_FUZZY_SQL,
     "dq_profile": DQ_PROFILE_SQL,
     "dq_constraints": DQ_CONSTRAINTS_SQL,
