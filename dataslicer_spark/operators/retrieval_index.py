@@ -250,9 +250,48 @@ def search_phrase_index(
     )
 
 
+def verify_bm25_index(spark: SparkSession, path: str) -> dict:
+    """Index integrity check (the trainer-handoff pattern of
+    ``sources/shards.verify_shards``): every doc's stored ``dl`` must
+    equal the sum of its posting tf's, and neither table may reference
+    ids the other lacks — the invariant a crash between the postings
+    and doclens appends would break.  Returns ``{"n_docs", "n_terms",
+    "n_mismatched", "n_orphan_postings", "n_orphan_doclens"}``; all-zero
+    tails mean consistent.  One aggregate over each id-keyed table —
+    runs at index (not corpus) cost, so it is cheap enough to run after
+    every append batch."""
+    postings = spark.read.parquet(os.path.join(path, _POSTINGS))
+    doclens = spark.read.parquet(os.path.join(path, _DOCLENS))
+    sums = postings.groupBy("id").agg(F.sum("tf").alias("__sum_tf"))
+    joined = doclens.join(sums, "id", "full_outer")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("dl").isNotNull()
+                & F.col("__sum_tf").isNotNull()
+                & (F.col("dl") != F.col("__sum_tf"))
+            ).cast("int")
+        ).alias("mismatched"),
+        F.sum(F.col("dl").isNull().cast("int")).alias("orphan_postings"),
+        F.sum(F.col("__sum_tf").isNull().cast("int")).alias(
+            "orphan_doclens"
+        ),
+    ).collect()[0]
+    n_terms = postings.select("term").distinct().count()
+    return {
+        "n_docs": int(agg["n"]),
+        "n_terms": int(n_terms),
+        "n_mismatched": int(agg["mismatched"] or 0),
+        "n_orphan_postings": int(agg["orphan_postings"] or 0),
+        "n_orphan_doclens": int(agg["orphan_doclens"] or 0),
+    }
+
+
 __all__ = [
     "build_bm25_index",
     "append_to_bm25_index",
     "search_bm25_index",
     "search_phrase_index",
+    "verify_bm25_index",
 ]

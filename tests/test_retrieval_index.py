@@ -123,3 +123,34 @@ def test_positional_index_phrase_parity_and_gate(spark, docs, tmp_path):
         search_phrase_index(spark, flat_path, ["table"])
     with pytest.raises(ValueError):
         search_phrase_index(spark, pos_path, [])
+
+
+def test_verify_bm25_index_consistent_and_tamper(spark, docs, tmp_path):
+    import glob
+    import os as _os
+
+    from dataslicer_spark.operators.retrieval_index import (
+        verify_bm25_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs.filter("doc_id < 300"), path)
+    append_to_bm25_index(docs.filter("doc_id >= 300"), path)
+    rep = verify_bm25_index(spark, path)
+    assert rep["n_docs"] == docs.filter("trim(text) <> ''").count()
+    assert rep["n_mismatched"] == 0
+    assert rep["n_orphan_postings"] == 0 and rep["n_orphan_doclens"] == 0
+    # simulate a crash between the two appends: postings land, doclens
+    # don't -> orphaned posting ids must be reported
+    extra = docs.filter("doc_id < 5").selectExpr(
+        "doc_id + 900000 as doc_id", "text"
+    )
+    from dataslicer_spark.operators.retrieval_index import (
+        _tables,
+        _tokenize,
+    )
+
+    posts, _ = _tables(_tokenize(extra, "doc_id", "text"))
+    posts.write.mode("append").parquet(_os.path.join(path, "postings"))
+    rep2 = verify_bm25_index(spark, path)
+    assert rep2["n_orphan_postings"] == 5 and rep2["n_mismatched"] == 0
