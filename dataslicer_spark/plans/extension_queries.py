@@ -6572,6 +6572,81 @@ FROM pairs p JOIN totals t USING (from_type)
 """
 
 
+def emb_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@5 of
+    exact top-k computed on the FIRST HALF of each embedding (dim 8→4)
+    against full-dimension exact top-k — the measurement behind
+    shipping truncated vectors (MRL, Kusupati et al. 2022): how much
+    neighborhood structure survives the cheaper representation.  Both
+    sides are exact fixed-point brute force, so the recall itself is
+    value-exact cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 4).alias("embedding")
+    )
+    q_full = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_half = half.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = cosine_topk(emb, q_full, k=5).select("query_id", "vec_id")
+    tr = cosine_topk(half, q_half, k=5).select(
+        "query_id", "vec_id", F.lit(1).alias("__h")
+    )
+    j = bf.join(tr, ["query_id", "vec_id"], "left")
+    hits = F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
+    return j.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_expected"),
+        hits.cast("long").alias("n_hits"),
+        F.try_divide(
+            hits.cast("double"), F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
+EMB_TRUNCATION_SQL = f"""
+WITH bf AS (
+SELECT query_id, vec_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ({_sql_fp_dot('c.embedding', 'q.embedding')})
+             / (sqrt({_sql_fp_dot('c.embedding', 'c.embedding')})
+                * sqrt({_sql_fp_dot('q.embedding', 'q.embedding')})) DESC,
+             c.vec_id ASC) AS rank
+  FROM embeddings c
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+    ON c.vec_id <> q.vec_id)
+WHERE rank <= 5
+), tr AS (
+SELECT query_id, vec_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ({_sql_fp_dot('c.embedding[1:4]', 'q.embedding[1:4]')})
+             / (sqrt({_sql_fp_dot('c.embedding[1:4]', 'c.embedding[1:4]')})
+                * sqrt({_sql_fp_dot('q.embedding[1:4]', 'q.embedding[1:4]')})) DESC,
+             c.vec_id ASC) AS rank
+  FROM embeddings c
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+    ON c.vec_id <> q.vec_id)
+WHERE rank <= 5
+)
+SELECT CAST(COUNT(DISTINCT b.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       END AS recall
+FROM bf b LEFT JOIN tr t
+  ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6687,6 +6762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr_communities": gr_communities,
     "a19_gini_diversity": a19_gini_diversity,
     "emb_recall_eval": emb_recall_eval,
+    "emb_truncation_eval": emb_truncation_eval,
     "ev_wow_change": ev_wow_change,
     "txt_bm25_topk": txt_bm25_topk,
     "samp_dsir_select": samp_dsir_select,
@@ -6851,6 +6927,7 @@ ORACLES: dict[str, str] = {
     "a19_gini_diversity": A19_GINI_SQL,
     # recall of two already-oracled queries; hit count + one division
     "emb_recall_eval": EMB_RECALL_SQL,
+    "emb_truncation_eval": EMB_TRUNCATION_SQL,
     # fixed-point weekly sums; lag deltas are single float ops
     "ev_wow_change": EV_WOW_SQL,
     # log-free odds-ratio IDF + pinned IEEE op order + fixed-point sum
