@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..utils import check_col
@@ -112,9 +112,47 @@ def constraint_report(
     return out
 
 
+def key_skew_report(
+    df: DataFrame,
+    key_cols,
+    top: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: the ``top`` heaviest values of a
+    prospective join/groupBy key with their row share — the number you
+    read BEFORE deciding on salting (``operators/skew.py``) or AQE skew
+    hints.  A key whose top value holds >1/parallelism of the rows will
+    straggle one task at shuffle time regardless of cluster size.
+
+    Output: (key, n, share, rank), heaviest first, deterministic ties
+    (n desc, key asc).  Plan: ONE hash aggregate on the key (map-side
+    partials), a 1-row broadcast total, distributed TakeOrdered — the
+    full key histogram never sorts globally and never reaches the
+    driver.
+    """
+    keys = list(key_cols)
+    check_col(keys, df)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias(
+            "key"
+        ),
+        "n",
+    )
+    total = df.count()
+    heavy = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top)
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        heavy.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "share", F.col("n").cast("double") / F.lit(float(total))
+        )
+        .select("rank", "key", "n", "share")
+    )
+
+
 __all__ = [
     "profile_table",
     "uniqueness_violations",
     "referential_orphans",
     "constraint_report",
+    "key_skew_report",
 ]

@@ -6647,6 +6647,31 @@ FROM bf b LEFT JOIN tr t
 """
 
 
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/quality.key_skew_report):
+    the 5 heaviest (user_id, event_type) composite keys of the events
+    table with their row share — one key aggregate + TakeOrdered, no
+    global sort, histogram never reaches the driver."""
+    from ..operators.quality import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id", "event_type"], top=5)
+
+
+DQ_SKEW_REPORT_SQL = r"""
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM events)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS INT) AS rank,
+       key, n, CAST(n AS DOUBLE) / tot.t AS share
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, key ASC
+LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6750,6 +6775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_running_distinct": ev_running_distinct,
     "ev_attribution": ev_attribution,
     "dq_drift": dq_drift,
+    "dq_skew_report": dq_skew_report,
     "ev_dwell_time": ev_dwell_time,
     "a16_spend_deciles": a16_spend_deciles,
     "txt_oov_rate": txt_oov_rate,
@@ -6903,6 +6929,7 @@ ORACLES: dict[str, str] = {
     "ev_attribution": EV_ATTRIBUTION_SQL,
     # cross-multiplied integer TVD; one division per group
     "dq_drift": DQ_DRIFT_SQL,
+    "dq_skew_report": DQ_SKEW_REPORT_SQL,
     # int64 µs gaps; mean = one division
     "ev_dwell_time": EV_DWELL_SQL,
     # rank-cut deciles (dense_ids ≡ DENSE_RANK), fixed-point spends

@@ -105,3 +105,15 @@ def test_fk_length_mismatch(dirty):
     child, parent, _ = dirty
     with pytest.raises(ValueError, match="equal length"):
         referential_orphans(child, parent, ["fk", "id"], ["pk"])
+
+
+def test_key_skew_report_shares_and_order(spark):
+    from dataslicer_spark.operators.quality import key_skew_report
+
+    rows = [(1, "a")] * 6 + [(2, "a")] * 3 + [(3, "b")] * 1
+    df = spark.createDataFrame(rows, "k int, g string")
+    out = key_skew_report(df, ["k", "g"], top=2).collect()
+    assert [(r.rank, r.key, r.n) for r in out] == [
+        (1, "1|a", 6), (2, "2|a", 3)
+    ]
+    assert out[0].share == 0.6
