@@ -173,6 +173,16 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("txt_phrase_search", "phrase search prefilters postings before the "
      "shuffle and equi-joins on (doc, pos) — no cartesian, no Python",
      ["HashJoin"], ["CartesianProduct", "NestedLoop", "Python"]),
+    ("ev_pattern_detect", "CEP pattern: leads over ONE time-ordered key "
+     "window — no joins, no Python",
+     ["Window"], ["Join", "CartesianProduct", "Python"]),
+    ("ev_markov_transitions", "transition matrix: one lag window + one "
+     "hash aggregate + broadcast totals — no sort-merge join",
+     ["Window", "HashAggregate", "BroadcastHashJoin"],
+     ["SortMergeJoin", "Python"]),
+    ("dd_containment", "containment: inverted-index equi joins only — "
+     "no cartesian, no Python",
+     ["HashJoin"], ["CartesianProduct", "NestedLoop", "Python"]),
     ("llm_curation_pipeline", "curation flagship: map-only paragraph "
      "HOFs + keyed windows + broadcast plans + bounded explode — no "
      "Python, no cartesian, no sort-merge join anywhere",

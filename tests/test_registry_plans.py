@@ -78,6 +78,11 @@ ALLOW = {
     # composes sim_topk_bruteforce (broadcast query side BY DESIGN) and
     # ends in a 1-row scalar aggregate
     "emb_recall_eval": {"nested-loop-join", "single-partition-exchange"},
+    # two exact brute-force sides (full-dim + truncated), each with the
+    # broadcast-query-side nested loop BY DESIGN, joined into a 1-row
+    # recall aggregate
+    "emb_truncation_eval": {"nested-loop-join",
+                            "single-partition-exchange"},
     # the nested loop joins the broadcast 1-ROW corpus-stats aggregate
     # (N, Σdl, per-term df); the single partitions are that scalar
     # aggregate's final stage and the rank window over the ≤k rows that
