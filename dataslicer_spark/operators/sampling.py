@@ -662,3 +662,101 @@ def epoch_mixture(
         )
         .drop("__nf", "__thr", "__n")
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    strata_cols,
+    value_col: str,
+    total_n: int,
+    key_col: str,
+    salt: str = "",
+    scale_bits: int = 20,
+    max_strata: int = 100_000,
+) -> DataFrame:
+    """Variance-optimal stratified sampling (Neyman 1934): split a total
+    budget of ``total_n`` rows across strata proportionally to
+    ``N_h·σ_h`` — strata that are big AND internally variable get more
+    samples, constant strata get almost none.  The estimator-variance-
+    minimizing allocation for a survey mean of ``value_col``, vs the
+    equal (``stratified_sample``) or proportional allocations.
+
+    Determinism/cross-engine contract: per-stratum variance comes from
+    EXACT integer moment cells (``floor(v·2^bits)`` int64 sums, squares
+    in decimal(38,0) — the a15_group_ols device), converted once to
+    doubles in a pinned order, so the per-stratum allocation
+    ``n_h = floor(total_n · N_h σ_h / Σ N_j σ_j)`` is bit-replayable in
+    SQL.  Floor allocations under-spend by < #strata rows (no
+    largest-remainder redistribution — deterministic and simple; raise
+    ``total_n`` if exact spend matters).  Row selection inside a
+    stratum is the ``md5(salt‖key)`` rank of :func:`stratified_sample`.
+
+    Scale: one moments aggregate (map-side partials) collapses to one
+    row per stratum, collected driver-side (bounded by ``max_strata``);
+    allocations broadcast back; one strata-keyed ranking window.  NULL
+    values are excluded from the moments AND from the sample
+    (unrankable for a value-targeted design).
+    """
+    keys = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    check_col(keys + [value_col, key_col], df)
+    if total_n < 0:
+        raise ValueError("total_n must be >= 0")
+    m = float(2**scale_bits)
+    base = df.filter(F.col(value_col).isNotNull())
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m)).cast("long")
+    cells = (
+        base.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(q).alias("__s1"),
+            F.sum(
+                (q.cast("decimal(38,0)") * q.cast("decimal(38,0)"))
+            ).alias("__s2"),
+        )
+        .collect()
+    )
+    if len(cells) > max_strata:
+        raise ValueError(
+            f"{len(cells)} strata exceeds max_strata={max_strata}"
+        )
+    import math
+
+    weights = []
+    for r in cells:
+        n_h = int(r["__n"])
+        s1 = int(r["__s1"])
+        s2 = int(r["__s2"])
+        # exact integer variance numerator/denominator, ONE double div
+        var_num = n_h * s2 - s1 * s1
+        var_den = n_h * n_h
+        sigma = math.sqrt(max(float(var_num) / float(var_den), 0.0)) / m
+        # re-quantize the weight so the TOTAL is an integer sum —
+        # order-insensitive, hence bit-replayable by a SQL SUM whose
+        # accumulation order is not controllable (a float Σ N_h·σ_h
+        # could round differently per order and flip a floor boundary)
+        w_q = int(math.floor(n_h * sigma * m))
+        weights.append((tuple(r[k] for k in keys), n_h, w_q))
+    w_total = sum(w_q for _, _, w_q in weights)
+    rows = []
+    for strat, n_h, w_q in weights:
+        alloc = 0 if w_total == 0 else (total_n * w_q) // w_total
+        rows.append((*strat, min(int(alloc), n_h)))
+    spark = df.sparkSession
+    key_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    alloc_df = spark.createDataFrame(rows, f"{key_schema}, __alloc int")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        base.join(F.broadcast(alloc_df), keys)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__alloc"))
+        .drop("__rk", "__alloc")
+    )

@@ -6672,6 +6672,61 @@ LIMIT 5
 """
 
 
+def samp_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sampling (operators/sampling.
+    neyman_stratified_sample): 120 documents across sources allocated
+    ∝ N_h·σ_h of n_chars — the allocation arithmetic is exact integer
+    cells + quantized integer weights, so the DuckDB twin replays the
+    whole design, survivors included."""
+    from ..operators.sampling import neyman_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return neyman_stratified_sample(
+        docs, "source", "n_chars", total_n=120, key_col="doc_id",
+        salt="ny",
+    )
+
+
+SAMP_NEYMAN_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         CAST(FLOOR(CAST(n_chars AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+  FROM documents WHERE n_chars IS NOT NULL),
+cells AS (
+  SELECT source, COUNT(*) AS n, SUM(q) AS s1,
+         SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS s2
+  FROM base GROUP BY 1),
+sig AS (
+  SELECT source, n,
+         CAST(FLOOR(
+           n * (sqrt(greatest(
+                 CAST(n * s2 - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+                      AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 0.0)) / 1048576.0)
+             * 1048576.0) AS HUGEINT) AS wq
+  FROM cells),
+tot AS (SELECT SUM(wq) AS w FROM sig),
+alloc AS (
+  SELECT source,
+         CAST(least(
+           CASE WHEN tot.w = 0 THEN 0
+                ELSE (120 * wq) // tot.w END,
+           n) AS INT) AS a
+  FROM sig CROSS JOIN tot)
+SELECT doc_id, source, n_chars FROM (
+  SELECT b.doc_id, b.source, b.n_chars, al.a,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.source
+           ORDER BY ('0x' || substr(md5('ny' ||
+                     CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                    b.doc_id ASC) AS rk
+  FROM base b JOIN alloc al USING (source))
+WHERE rk <= a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6752,6 +6807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "samp_domain_quota": samp_domain_quota,
     "samp_token_budget": samp_token_budget,
     "samp_epoch_mixture": samp_epoch_mixture,
+    "samp_neyman": samp_neyman,
     "emb_hard_negatives": emb_hard_negatives,
     "txt_phrase_search": txt_phrase_search,
     "txt_bm25_index_search": txt_bm25_index_search,
@@ -6893,6 +6949,7 @@ ORACLES: dict[str, str] = {
     "samp_domain_quota": SAMP_DOMAIN_QUOTA_SQL,
     "samp_token_budget": SAMP_TOKEN_BUDGET_SQL,
     "samp_epoch_mixture": SAMP_EPOCH_MIXTURE_SQL,
+    "samp_neyman": SAMP_NEYMAN_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "txt_phrase_search": TXT_PHRASE_SEARCH_SQL,
     "txt_bm25_index_search": TXT_BM25_INDEX_SEARCH_SQL,

@@ -523,6 +523,30 @@ def main() -> None:
 
     run("epoch_mixture", epoch_fn(docs1, 1), epoch_fn(docs4, 4))
 
+    # persistent BM25 index: build cost is the explode+aggregate+write
+    # (≈linear in tokens); probe cost is pruned-postings-scan-sized.
+    # Measured together (the registry query's shape).
+    import shutil
+    import tempfile
+
+    from dataslicer_spark.operators.retrieval_index import (
+        build_bm25_index, search_bm25_index,
+    )
+
+    def bmidx_fn(docs):
+        def go():
+            path = tempfile.mkdtemp(prefix="probe_bm25_")
+            try:
+                build_bm25_index(docs, path)
+                search_bm25_index(
+                    spark, path, ["merge", "join", "scan"], k=10
+                ).write.format("noop").mode("overwrite").save()
+            finally:
+                shutil.rmtree(path, ignore_errors=True)
+        return go
+
+    run("bm25_index_build_probe", bmidx_fn(docs1), bmidx_fn(docs4))
+
 
 if __name__ == "__main__":
     main()

@@ -60,3 +60,62 @@ def test_quota_sample_bad_cap(spark):
 
     with _pytest.raises(ValueError):
         quota_sample(df, "source", "doc_id", cap=0)
+
+
+def test_neyman_allocation_variance_proportional(spark):
+    import random
+
+    from dataslicer_spark.operators.sampling import (
+        neyman_stratified_sample,
+    )
+
+    random.seed(4)
+    rows = (
+        [(i, "a", random.gauss(0, 10)) for i in range(300)]
+        + [(i, "b", 5.0) for i in range(300, 600)]
+        + [(i, "c", random.gauss(0, 2)) for i in range(600, 900)]
+    )
+    df = spark.createDataFrame(rows, "id int, s string, v double")
+    out = neyman_stratified_sample(df, "s", "v", 100, "id", salt="x")
+    per = {
+        r.s: r.n
+        for r in out.groupBy("s").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # zero-variance stratum gets nothing; allocation tracks N_h*sigma_h
+    assert per.get("b", 0) == 0
+    assert per["a"] > per["c"] > 0
+    assert sum(per.values()) <= 100
+    # floor under-spend is bounded by the stratum count
+    assert sum(per.values()) >= 100 - 3
+    # deterministic under repartitioning
+    again = {
+        r.s: r.n
+        for r in neyman_stratified_sample(
+            df.repartition(7), "s", "v", 100, "id", salt="x"
+        ).groupBy("s").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per == again
+
+
+def test_neyman_edge_cases(spark):
+    from dataslicer_spark.operators.sampling import (
+        neyman_stratified_sample,
+    )
+
+    # all-constant corpus: W = 0 -> empty sample, not a crash
+    df = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(10)], "id int, s string, v double"
+    )
+    assert neyman_stratified_sample(df, "s", "v", 5, "id").count() == 0
+    # NULL values excluded from moments and sample
+    df2 = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 0.0), (3, "g", 100.0)],
+        "id int, s string, v double",
+    )
+    got = neyman_stratified_sample(df2, "s", "v", 2, "id").collect()
+    assert all(r.v is not None for r in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        neyman_stratified_sample(df, "s", "v", -1, "id")
