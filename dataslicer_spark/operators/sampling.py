@@ -760,3 +760,43 @@ def neyman_stratified_sample(
         .filter(F.col("__rk") <= F.col("__alloc"))
         .drop("__rk", "__alloc")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: Sequence[float] = (0.9, 0.05, 0.05),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across the
+    boundary: documents connected by a near-dup pair (from any miner in
+    ``operators/dedup.py``) are split as a UNIT — the whole duplicate
+    cluster hashes on its canonical representative, so a test document's
+    paraphrase can never sit in train.  Plain :func:`add_split` has
+    exactly this leak: two near-identical docs hash independently.
+
+    Composition: pairs → connected components
+    (:func:`~..operators.dedup.resolve_duplicate_groups`, O(log
+    diameter) label-propagation shuffles) → split key =
+    ``coalesce(component representative, own id)`` → the integer-
+    threshold md5 bucket of :func:`add_split`.  Every stage is
+    deterministic in the data and SQL-replayable, components included
+    (recursive-CTE oracle).  Cost beyond the pair mining: one id-keyed
+    left join against the component labels (pair-participant-sized,
+    usually ≪ corpus), then map-only hashing.
+    """
+    from .dedup import resolve_duplicate_groups
+
+    check_col([id_col], df)
+    labels = resolve_duplicate_groups(pairs).select(
+        F.col("doc_id").alias(id_col), "keep_id"
+    )
+    keyed = df.join(labels, id_col, "left").withColumn(
+        "__split_key", F.coalesce(F.col("keep_id"), F.col(id_col))
+    )
+    return add_split(
+        keyed, "__split_key", weights, names, salt, out_col
+    ).drop("__split_key", "keep_id")

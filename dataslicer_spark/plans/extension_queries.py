@@ -6727,6 +6727,88 @@ WHERE rk <= a
 """
 
 
+def samp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/sampling.
+    leakage_safe_split): near-dup clusters (ngram Jaccard ≥ 0.05 pairs →
+    connected components) split as units on their representative's
+    hash; summary = per-split doc counts + a leak counter that must be
+    ZERO (pairs whose two docs landed in different splits)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.05)
+    split = leakage_safe_split(
+        docs, "doc_id", pairs, weights=(0.8, 0.1, 0.1), salt="ls"
+    ).select("doc_id", "split")
+    leaks = (
+        pairs.select("id_a", "id_b")
+        .join(split.selectExpr("doc_id as id_a", "split as sa"), "id_a")
+        .join(split.selectExpr("doc_id as id_b", "split as sb"), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(leaks.withColumnRenamed("n", "n_leaks")))
+    )
+
+
+_LS_T1 = int(0.8 * (1 << 32))
+_LS_T2 = int(0.9 * (1 << 32))
+
+SAMP_LEAKAGE_SAFE_SPLIT_SQL = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+        >= 0.05),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+lab AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node),
+split AS (
+  SELECT d.doc_id,
+         CASE WHEN h < {_LS_T1} THEN 'train'
+              WHEN h < {_LS_T2} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5('ls' ||
+             CAST(COALESCE(l.rep, documents.doc_id) AS VARCHAR)),
+             1, 8))::BIGINT AS h
+    FROM documents LEFT JOIN lab l ON l.node = documents.doc_id) d
+  JOIN documents USING (doc_id)),
+leaks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaks
+  FROM pairs p
+  JOIN split a ON a.doc_id = p.id_a
+  JOIN split b ON b.doc_id = p.id_b
+  WHERE a.split <> b.split)
+SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs, leaks.n_leaks
+FROM split s CROSS JOIN leaks
+GROUP BY s.split, leaks.n_leaks
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6808,6 +6890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "samp_token_budget": samp_token_budget,
     "samp_epoch_mixture": samp_epoch_mixture,
     "samp_neyman": samp_neyman,
+    "samp_leakage_safe_split": samp_leakage_safe_split,
     "emb_hard_negatives": emb_hard_negatives,
     "txt_phrase_search": txt_phrase_search,
     "txt_bm25_index_search": txt_bm25_index_search,
@@ -6950,6 +7033,7 @@ ORACLES: dict[str, str] = {
     "samp_token_budget": SAMP_TOKEN_BUDGET_SQL,
     "samp_epoch_mixture": SAMP_EPOCH_MIXTURE_SQL,
     "samp_neyman": SAMP_NEYMAN_SQL,
+    "samp_leakage_safe_split": SAMP_LEAKAGE_SAFE_SPLIT_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "txt_phrase_search": TXT_PHRASE_SEARCH_SQL,
     "txt_bm25_index_search": TXT_BM25_INDEX_SEARCH_SQL,

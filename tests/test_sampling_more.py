@@ -119,3 +119,36 @@ def test_neyman_edge_cases(spark):
 
     with _pytest.raises(ValueError):
         neyman_stratified_sample(df, "s", "v", -1, "id")
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from dataslicer_spark.operators.sampling import (
+        add_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id int, text string"
+    )
+    # chain 0-1-2 one cluster; 10-11 another; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a int, id_b int"
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, weights=(0.5, 0.5), names=("a", "b"),
+        salt="t",
+    )
+    split = {r.doc_id: r.split for r in out.collect()}
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    # singletons match the plain add_split assignment (same salt)
+    plain = {
+        r.doc_id: r.split
+        for r in add_split(
+            docs, "doc_id", (0.5, 0.5), ("a", "b"), "t"
+        ).collect()
+    }
+    for i in (5, 50, 150):
+        assert split[i] == plain[i]
+    # every doc still assigned exactly once
+    assert len(split) == 200
