@@ -443,6 +443,30 @@ class SlicerFrame:
             )
         )
 
+    def sample_neyman(
+        self, strata_cols, value_col: str, total_n: int, key_col: str,
+        **kw,
+    ) -> "SlicerFrame":
+        """Variance-optimal stratified sample
+        (operators/sampling.neyman_stratified_sample)."""
+        from .operators.sampling import neyman_stratified_sample
+
+        return self._wrap(
+            neyman_stratified_sample(
+                self.df, strata_cols, value_col, total_n, key_col, **kw
+            )
+        )
+
+    def split_leak_safe(
+        self, id_col: str, pairs, **kw
+    ) -> "SlicerFrame":
+        """Near-dup-cluster-aware train/val/test split
+        (operators/sampling.leakage_safe_split)."""
+        from .operators.sampling import leakage_safe_split
+
+        p = pairs.df if isinstance(pairs, SlicerFrame) else pairs
+        return self._wrap(leakage_safe_split(self.df, id_col, p, **kw))
+
     # -- diagnostic plot sinks (reference dataset_base.py:72-96,
     # objtable.py:334-346) ---------------------------------------------------
     def sample_pandas(self, cols=None, max_rows: int = 100_000):
