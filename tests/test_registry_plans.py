@@ -108,6 +108,9 @@ ALLOW = {
     # broadcast BY DESIGN); the single partitions are the ≤k rank
     # windows over the two TakeOrdered survivor sets + the fused top-10
     "txt_hybrid_rrf": {"nested-loop-join", "single-partition-exchange"},
+    # the summary crossJoins the 1-ROW leak-counter aggregate onto the
+    # ≤|splits| per-split counts — both sides aggregate-sized
+    "samp_leakage_safe_split": {"nested-loop-join"},
 }
 
 
