@@ -427,8 +427,11 @@ def sssp_weighted(
     fixed-round SQL twin replays; early exit on an empty frontier is
     sound because the recurrence is monotone and stable thereafter.
 
-    Weights must be non-negative; use INTEGER weights when the result
-    feeds a cross-engine oracle (integer min/+ is exact everywhere).
+    Weights must be non-negative INTEGERS (enforced: a fractional or
+    negative weight raises ValueError rather than being silently
+    truncated by the long cast) — integer min/+ is exact in every
+    engine, so the result feeds cross-engine oracles bit-exactly; scale
+    fractional weights to integers upstream.
     Per-round ``localCheckpoint`` truncates the growing lineage; one
     emptiness probe per round doubles as early exit.  Rounds bound the
     EDGE COUNT of paths, not the node count — at 100 TB you cap the
@@ -442,11 +445,30 @@ def sssp_weighted(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
+        F.col(weight_col).cast("double").alias("__worig"),
     ).filter(
         F.col(src).isNotNull()
         & F.col(dst).isNotNull()
         & F.col(weight_col).isNotNull()
     )
+    # the cast to long would silently truncate fractional weights
+    # (0.5 -> 0) and a negative weight breaks the monotone-recurrence
+    # argument behind the early exit — both must be hard errors, not
+    # quietly-wrong distances
+    bad = e.filter(
+        F.col("w").isNull()
+        | F.col("__worig").isNull()
+        | (F.col("w").cast("double") != F.col("__worig"))
+        | (F.col("__worig") < 0)
+    ).limit(1)
+    bad_row = bad.collect()
+    if bad_row:
+        raise ValueError(
+            "sssp_weighted requires non-negative INTEGER weights "
+            f"(got {bad_row[0]['__worig']!r} in column {weight_col!r}); "
+            "scale fractional weights to integers upstream"
+        )
+    e = e.drop("__worig")
     if not directed:
         e = e.unionByName(
             e.select(

@@ -622,7 +622,7 @@ def epoch_mixture(
         raise ValueError("max_epochs must be positive")
     spark = df.sparkSession
     toks = {
-        r[0]: int(r[1])
+        r[0]: (None if r[1] is None else int(r[1]))
         for r in df.filter(F.col(source_col).isin(list(targets)))
         .groupBy(source_col)
         .agg(F.sum(token_col).alias("__t"))
@@ -633,6 +633,15 @@ def epoch_mixture(
         raise ValueError(
             f"epoch_mixture: target sources absent from the data: "
             f"{missing} — the requested mixture is unsatisfiable"
+        )
+    # a source whose token sum is 0 (or all-NULL) cannot reach ANY
+    # positive budget by upsampling — name it instead of dividing by it
+    empty = sorted(s for s, t in toks.items() if t is None or t <= 0)
+    if empty:
+        raise ValueError(
+            f"epoch_mixture: target sources with zero/NULL total "
+            f"{token_col!r}: {empty} — the requested mixture is "
+            f"unsatisfiable (no tokens to upsample)"
         )
     rows = []
     for s, t_s in toks.items():

@@ -708,9 +708,13 @@ def hard_negative_mining(
             )
         parts = []
         for lab in labels:
-            sub_q = queries.filter(F.col(query_label) == F.lit(lab)).select(
-                query_id, query_vec
-            )
+            # null-safe: a NULL query label is a real group (the
+            # non-batched baseline keeps those queries via eqNullSafe),
+            # so `== lit(None)` — which is NULL, i.e. drop — would make
+            # the two plans disagree on null-labeled anchors
+            sub_q = queries.filter(
+                F.col(query_label).eqNullSafe(F.lit(lab))
+            ).select(query_id, query_vec)
             sub_c = corpus.filter(
                 ~F.col(corpus_label).eqNullSafe(F.lit(lab))
             )

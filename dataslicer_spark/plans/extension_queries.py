@@ -5859,7 +5859,7 @@ SELECT query_id, rank, vec_id, cosine, neg_label FROM (
              c.vec_id ASC) AS INTEGER) AS rank
   FROM embeddings c
   JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
-    ON c.label <> q.label)
+    ON c.label IS DISTINCT FROM q.label)
 WHERE rank <= 5
 """
 

@@ -201,13 +201,22 @@ def _corrupt(name: str, seq: int, why: str) -> dict:
     }
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
     """Parse WARC shards under ``path`` into :data:`WARC_SCHEMA`.
 
     ``binaryFile`` gives one task per shard (Common Crawl's unit of
     parallelism); the Arrow-batched parser frames records by
     ``Content-Length``.  Corrupt shard tails become ``_corrupt`` rows
-    — filter ``warc_type = 'response'`` for clean payloads."""
+    — filter ``warc_type = 'response'`` for clean payloads.
+
+    ``glob`` selects which files count as shards.  The default matches
+    both :func:`write_warc` output (``part-*``) and real-world WARC
+    names (``CC-MAIN-*.warc.gz`` etc. — anything containing ``.warc``);
+    matching NO files raises instead of silently returning an empty
+    frame, because "empty crawl" and "wrong glob" must not look alike.
+    """
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,11 +229,22 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 rows, columns=[f.name for f in WARC_SCHEMA.fields]
             )
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "part-*")
-        .load(path)
-    )
+    globs = [glob] if glob is not None else ["part-*", "*.warc*"]
+    files = None
+    for g in globs:
+        cand = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", g)
+            .load(path)
+        )
+        if cand.limit(1).count() > 0:
+            files = cand
+            break
+    if files is None:
+        raise FileNotFoundError(
+            f"read_warc: no files matching {globs} under {path!r} — "
+            "pass glob= to select your shard naming scheme"
+        )
     return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
 
 

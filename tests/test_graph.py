@@ -181,3 +181,25 @@ def test_sssp_directed_and_parallel_edges(spark):
         ).collect()
     }
     assert d == {1: 0, 2: 2}  # parallel edge min wins; 2->1 ignored for 1
+
+
+def test_sssp_rejects_fractional_and_negative_weights(spark):
+    import pytest
+
+    from dataslicer_spark.operators.graph import sssp_weighted
+
+    srcs = spark.createDataFrame([(1,)], "node int")
+    frac = spark.createDataFrame(
+        [(1, 2, 0.5)], "src int, dst int, w double"
+    )
+    with pytest.raises(ValueError, match="INTEGER"):
+        sssp_weighted(frac, srcs, max_rounds=2)
+    neg = spark.createDataFrame([(1, 2, -3)], "src int, dst int, w int")
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp_weighted(neg, srcs, max_rounds=2)
+    # integral doubles are fine (exact long representation)
+    ok = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 3.0)], "src int, dst int, w double"
+    )
+    d = {r.node: r.dist for r in sssp_weighted(ok, srcs, max_rounds=3).collect()}
+    assert d == {1: 0, 2: 2, 3: 5}

@@ -101,6 +101,34 @@ def test_hard_negatives_label_bound(spark):
         hard_negative_mining(df, q, k=1, max_labels=2)
 
 
+def test_hard_negatives_null_labels_agree_across_paths(spark):
+    # NULL is a real label group: a null-labeled anchor must mine from
+    # all non-null-labeled corpus rows in BOTH physical plans (the
+    # batched path used == lit(None), which silently dropped it)
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], None),
+            (1, [0.9, 0.1], "a"),
+            (2, [0.8, 0.2], "a"),
+            (3, [0.7, 0.3], "b"),
+            (4, [0.6, 0.4], None),
+        ],
+        "vec_id int, embedding array<float>, label string",
+    )
+    q = df.filter(F.col("vec_id").isin(0, 1)).selectExpr(
+        "vec_id as query_id", "embedding", "label"
+    )
+    a = hard_negative_mining(df, q, k=3, batched=True)
+    b = hard_negative_mining(df, q, k=3, batched=False)
+    ka = {(r.query_id, r.rank, r.vec_id) for r in a.collect()}
+    kb = {(r.query_id, r.rank, r.vec_id) for r in b.collect()}
+    assert ka == kb
+    # anchor 0 (NULL label) mines the three labeled rows, never 4 (NULL)
+    assert {t[2] for t in ka if t[0] == 0} == {1, 2, 3}
+    # anchor 1 ("a") mines b + the two NULLs, never 2 ("a")
+    assert {t[2] for t in ka if t[0] == 1} == {0, 3, 4}
+
+
 # ---------------------------------------------------------------- phrase
 
 def test_phrase_search_counts_positions(spark):
@@ -250,3 +278,21 @@ def test_epoch_mixture_epoch_cap_and_validation(spark):
         epoch_mixture(df, "source", "tok", "id", {})
     with pytest.raises(ValueError):
         epoch_mixture(df, "source", "tok", "id", {"a": 1.0}, max_epochs=0)
+
+
+def test_epoch_mixture_zero_or_null_token_sum_raises(spark):
+    from dataslicer_spark.operators.sampling import epoch_mixture
+
+    # a present source whose token total is 0 (or all-NULL) cannot be
+    # upsampled to any positive budget — must raise naming the source,
+    # not ZeroDivisionError / TypeError
+    zero = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 0)], "id int, source string, tok int"
+    )
+    with pytest.raises(ValueError, match="zero/NULL.*'a'|'a'.*zero"):
+        epoch_mixture(zero, "source", "tok", "id", {"a": 100.0})
+    nulls = spark.createDataFrame(
+        [(1, "a", None)], "id int, source string, tok int"
+    )
+    with pytest.raises(ValueError, match="zero/NULL"):
+        epoch_mixture(nulls, "source", "tok", "id", {"a": 100.0})

@@ -126,3 +126,32 @@ def test_missing_content_length_header(spark, tmp_path):
     out = read_warc(spark, str(path)).collect()
     assert len(out) == 1 and out[0].warc_type == "_corrupt"
     assert "Content-Length" in out[0].content_type
+
+
+def test_real_world_shard_names_and_no_match_raises(spark, tmp_path):
+    # Common Crawl naming (CC-MAIN-*.warc.gz) must be picked up by the
+    # default glob fallback, and a directory with NO matching shards
+    # must raise rather than silently return an empty frame
+    import gzip
+
+    import pytest
+
+    path = tmp_path / "crawl"
+    os.makedirs(path)
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Target-URI: http://x/1\r\nContent-Length: 5\r\n\r\n"
+        b"hello\r\n\r\n"
+    )
+    with gzip.open(
+        path / "CC-MAIN-20260815-00000.warc.gz", "wb"
+    ) as f:
+        f.write(rec)
+    out = read_warc(spark, str(path)).collect()
+    assert [r.payload for r in out] == ["hello"]
+    empty = tmp_path / "nothing"
+    os.makedirs(empty)
+    (empty / "data.txt").write_text("not a warc")
+    with pytest.raises(FileNotFoundError, match="glob"):
+        read_warc(spark, str(empty))
