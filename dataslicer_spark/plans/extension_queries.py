@@ -483,11 +483,14 @@ WHERE CAST(n_common AS DOUBLE)
 
 
 def dd_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persistent MinHash/LSH index probe (operators/dedup_index.py) —
-    the incremental-ingestion shape: build the signature+band index from
-    the document table (bodies never stored), then near-dup a batch of
+    """Persistent MinHash/LSH index INGESTION (operators/dedup_index.py)
+    — the build shape: construct the signature+band index from the
+    document table (bodies never stored), then near-dup a batch of
     planted mutations against it WITHOUT rescanning the corpus (the
     stored band table map-side hash-joins the broadcast batch keys).
+    This row deliberately re-pays the one-time build every rep — it
+    benches ingestion; steady-state query latency is the separate
+    ``dd_index_probe`` row against a session-cached index.
     Matches are exact-Jaccard verified against the source-of-truth
     table, so the output is engine-independent (= exact cross-pair set
     minus LSH misses; at r=2, b=32, t=0.8 the per-pair miss probability
@@ -540,6 +543,93 @@ corpus AS (
   SELECT doc_id, t FROM toks
   UNION ALL
   SELECT doc_id + 100000, t[1:greatest(len(t)-3, 1)] AS t FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM corpus, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+"""
+
+
+def _session_index_path(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(process, sf_dir) path for a probe-only
+    persistent index — built at most once per session and removed at
+    interpreter exit.  Separate from the ``*_incremental``/``*_search``
+    build rows' paths, so the ingestion-shaped queries (which rebuild
+    every invocation — that IS what they measure) never interfere with
+    the probe rows' cached index."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"dslicer_{kind}_probe_{os.getpid()}_{tag}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def dd_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of ``dd_index_incremental``: near-dup an
+    incoming batch (mutations of every 16th document — a batch SMALL
+    relative to the index, the steady-state serving shape) against a
+    PRE-BUILT session-cached MinHash index — pure query-time latency,
+    separated from the one-time build/ingest cost that
+    ``dd_index_incremental`` measures (bench reps after the first reuse
+    the on-disk index; the reported plateau-min is probe-only)."""
+    import os
+
+    from ..operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    batch = docs.filter(F.col("doc_id") % 16 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
+        ).alias("text"),
+    )
+    path = _session_index_path("mhidx", sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        build_minhash_index(docs, path, "doc_id", num_perm=64, bands=32)
+    _surv, matches = dedup_against_minhash_index(
+        batch, path, "doc_id", threshold=0.8,
+        append_survivors=False, exact_verify_with=docs,
+    )
+    return matches.select(
+        F.col("index_id").alias("id_a"),
+        F.col("new_id").alias("id_b"),
+        "jaccard",
+    )
+
+
+DD_INDEX_PROBE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 100000, t[1:greatest(len(t)-3, 1)] AS t FROM toks
+  WHERE doc_id % 16 = 0),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
   FROM corpus, UNNEST(range(1, len(t) - 1)) AS u(i)),
@@ -6035,12 +6125,15 @@ WHERE n > 0
 
 
 def txt_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persistent BM25 inverted index (operators/retrieval_index.py):
-    build the postings/doclens tables in two append batches (exercising
-    the incremental path), then probe — the pruned-postings scan +
-    shared fixed-point scoring kernel must reproduce the one-shot
-    ``bm25_topk`` bit for bit, so the oracle is the SAME SQL as
-    ``txt_bm25_topk``'s with this query's terms."""
+    """Persistent BM25 inverted index INGESTION (operators/
+    retrieval_index.py): build the postings/doclens tables in two
+    append batches (exercising the incremental path), then probe — the
+    pruned-postings scan + shared fixed-point scoring kernel must
+    reproduce the one-shot ``bm25_topk`` bit for bit, so the oracle is
+    the SAME SQL as ``txt_bm25_topk``'s with this query's terms.  This
+    row deliberately re-pays build+append every rep — it benches
+    ingestion; steady-state query latency is the separate
+    ``txt_bm25_index_probe`` row against a session-cached index."""
     import hashlib
     import os
     import shutil
@@ -6131,6 +6224,30 @@ WHERE n_matched > 0
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 10
 """
+
+
+def txt_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of ``txt_bm25_index_search``: the same 3-term
+    BM25 top-10 against a PRE-BUILT session-cached inverted index —
+    pure query-time latency (term-pruned postings scan + one doclens
+    aggregate + fixed-point scoring), with the one-time build/append
+    cost carried by the ``_search`` row instead.  Bench reps after the
+    first reuse the on-disk index, so the plateau-min is probe-only;
+    identical output ⇒ shares the ``_search`` row's oracle."""
+    import os
+
+    from ..operators.retrieval_index import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _session_index_path("bm25idx", sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        build_bm25_index(docs, path, "doc_id", "text")
+    return search_bm25_index(
+        spark, path, ["merge", "join", "scan"], k=10
+    )
 
 
 def txt_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6826,6 +6943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_resolve_groups": dd_resolve_groups,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_index_incremental": dd_index_incremental,
+    "dd_index_probe": dd_index_probe,
     "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
     "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -6894,6 +7012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_hard_negatives": emb_hard_negatives,
     "txt_phrase_search": txt_phrase_search,
     "txt_bm25_index_search": txt_bm25_index_search,
+    "txt_bm25_index_probe": txt_bm25_index_probe,
     "txt_freq_spectrum": txt_freq_spectrum,
     "lk_cdc_apply": lk_cdc_apply,
     "txt_paragraph_filter": txt_paragraph_filter,
@@ -6956,6 +7075,7 @@ ORACLES: dict[str, str] = {
     # candidates (miss probability < 1e-14/pair at r=2 b=32 t=0.8)
     "dd_minhash_lsh": DD_MINHASH_SQL,
     "dd_index_incremental": DD_INDEX_INCREMENTAL_SQL,
+    "dd_index_probe": DD_INDEX_PROBE_SQL,
     # md5-derived 60-bit hashes → full fingerprint replay in SQL
     "dd_simhash": DD_SIMHASH_SQL,
     "txt_train_split": TXT_TRAIN_SPLIT_SQL,
@@ -7037,6 +7157,7 @@ ORACLES: dict[str, str] = {
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "txt_phrase_search": TXT_PHRASE_SEARCH_SQL,
     "txt_bm25_index_search": TXT_BM25_INDEX_SEARCH_SQL,
+    "txt_bm25_index_probe": TXT_BM25_INDEX_SEARCH_SQL,
     "txt_freq_spectrum": TXT_FREQ_SPECTRUM_SQL,
     "lk_cdc_apply": LK_CDC_APPLY_SQL,
     "txt_paragraph_filter": TXT_PARAGRAPH_FILTER_SQL,

@@ -93,6 +93,10 @@ ALLOW = {
     # the single partition is the ≤k rank window
     "txt_bm25_index_search": {"nested-loop-join",
                               "single-partition-exchange"},
+    # probe-only twin: identical scoring kernel, same 1-row broadcast
+    # and ≤k rank window
+    "txt_bm25_index_probe": {"nested-loop-join",
+                             "single-partition-exchange"},
     # the cumulative-coverage window walks the ≤64-row FREQUENCY-BUCKET
     # table (the term rows were aggregated away one stage earlier) and
     # the total-token scalar is a 1-row aggregate
