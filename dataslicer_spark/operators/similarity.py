@@ -432,8 +432,9 @@ def append_to_ivf_index(
     The quantizer is intentionally NOT retrained (the FAISS contract):
     recall for the new vectors matches the build-time distribution; if
     the data distribution drifts far enough that new vectors crowd few
-    lists, rebuild — compare per-list counts over time to detect this
-    (``spark.read.parquet(path + "/lists").groupBy("list_id").count()``).
+    lists or scatter a dense new region across list boundaries, recall
+    decays — detect it with :func:`ivf_drift_stats` and repair it with
+    :func:`rebalance_ivf_index`.
     """
     spark = new_vectors.sparkSession
     rows = sorted(
@@ -447,6 +448,96 @@ def append_to_ivf_index(
     assigned.write.partitionBy("list_id").mode("append").parquet(
         f"{path}/lists"
     )
+
+
+def ivf_drift_stats(spark, path: str) -> dict:
+    """Quantizer-drift summary over a persisted IVF index — the check a
+    long-running ingestion loop runs between appends to decide when
+    :func:`rebalance_ivf_index` is due.
+
+    Returns ``{"n_vectors", "n_lists", "n_nonempty_lists",
+    "max_list_share", "imbalance"}`` where ``imbalance`` is the largest
+    list's size relative to the perfectly-balanced share
+    (``max_count · n_lists / n``): 1.0 = uniform, ``n_lists`` = total
+    collapse into one list.  A healthy freshly-built index sits in
+    [1, ~4]; sustained growth past that means appended vectors are
+    crowding few lists (distribution shift) and per-probe cost is
+    degrading toward a full scan.  One count aggregate over the list
+    table (parquet footers prune to the two needed columns); the result
+    is ``n_lists`` rows collected driver-side — bounded and cheap.
+    """
+    counts = [
+        (r["list_id"], r["cnt"])
+        for r in spark.read.parquet(f"{path}/lists")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    n_lists = spark.read.parquet(f"{path}/centroids").count()
+    n = sum(c for _, c in counts)
+    mx = max((c for _, c in counts), default=0)
+    return {
+        "n_vectors": n,
+        "n_lists": n_lists,
+        "n_nonempty_lists": len(counts),
+        "max_list_share": (mx / n) if n else 0.0,
+        "imbalance": (mx * n_lists / n) if n else 0.0,
+    }
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    n_lists: int | None = None,
+    seed: int = 42,
+    train_sample: int = 10_000,
+    max_imbalance: float | None = None,
+) -> np.ndarray | None:
+    """Retrain the coarse quantizer over the CURRENT (grown) corpus and
+    rewrite the list assignments in place — the remediation for
+    quantizer drift after many :func:`append_to_ivf_index` batches of a
+    shifted distribution (appends keep the build-time centroids, so a
+    dense new region either crowds one list or scatters across old list
+    boundaries; both decay recall at fixed ``n_probe``).
+
+    ``n_lists=None`` keeps the index's current list count; pass an int
+    to re-size (e.g. the √n rule as the corpus grows).  With
+    ``max_imbalance`` set, the rebuild is CONDITIONAL: if
+    :func:`ivf_drift_stats`'s imbalance is at or below the threshold
+    the index is left untouched and ``None`` is returned — the
+    check-and-repair loop is then a single call.
+
+    Returns the new centroid matrix (or ``None`` on a skipped rebuild).
+
+    Scale shape: retraining samples ``train_sample`` vectors
+    (hash-deterministic, same as the build), assignment is one map-only
+    pass over the corpus, and the rewrite is one partitioned parquet
+    write — inherently corpus-sized, which is why it is a triggered
+    maintenance step, not part of the append path.  The corpus is
+    eagerly ``localCheckpoint``ed before the overwrite (the write
+    replaces the very files the plan reads); a production deployment on
+    an object store would instead write ``lists_v{n}`` and flip a
+    manifest pointer — same plan, different commit protocol.
+    """
+    if max_imbalance is not None:
+        if ivf_drift_stats(spark, path)["imbalance"] <= max_imbalance:
+            return None
+    corpus = spark.read.parquet(f"{path}/lists").select(
+        "vec_id", "embedding"
+    )
+    if n_lists is None:
+        n_lists = spark.read.parquet(f"{path}/centroids").count()
+    centroids, assigned = build_ivf_index(
+        corpus,
+        n_lists=n_lists,
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        seed=seed,
+        train_sample=train_sample,
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    save_ivf_index(centroids, assigned, path)
+    return centroids
 
 
 def save_ivf_index(centroids: np.ndarray, assigned: DataFrame, path: str) -> None:
@@ -777,6 +868,8 @@ __all__ = [
     "build_ivf_index",
     "assign_to_ivf_lists",
     "append_to_ivf_index",
+    "ivf_drift_stats",
+    "rebalance_ivf_index",
     "save_ivf_index",
     "load_ivf_index",
     "ivf_search",

@@ -278,3 +278,111 @@ def test_ivf_append_equals_full_build_search(spark, tmp_path):
 
     dirs = {os.path.basename(p) for p in glob.glob(path + "/lists/list_id=*")}
     assert dirs and all(d.startswith("list_id=") for d in dirs)
+
+
+def test_ivf_rebalance_recovers_recall_after_drift(spark, tmp_path):
+    """Quantizer-drift remediation end to end: build on 8 tight blobs,
+    append 4 NEW blobs placed exactly on the trained quantizer's
+    Voronoi boundaries (midpoints of centroid pairs — each new blob's
+    members split across two old lists, so an n_probe=1 search loses
+    the half in the unprobed list), then retrain with
+    rebalance_ivf_index and watch recall@10 recover."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        cosine_topk,
+        ivf_drift_stats,
+        ivf_search,
+        load_ivf_index,
+        rebalance_ivf_index,
+        save_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    centers = rng.normal(0, 10, (8, dim))
+    base = [
+        (i, (centers[i % 8] + rng.normal(0, 0.4, dim)).tolist())
+        for i in range(400)
+    ]
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    base_df = to_df(base)
+    path = str(tmp_path / "ivf")
+    cents, assigned = build_ivf_index(base_df, n_lists=8, train_sample=400)
+    save_ivf_index(cents, assigned, path)
+    # drift blobs at midpoints of the ACTUAL trained centroids — the
+    # worst case for a frozen quantizer, by construction
+    mids = [(cents[2 * j] + cents[2 * j + 1]) / 2 for j in range(4)]
+    drift = [
+        (i, (mids[i % 4] + rng.normal(0, 0.4, dim)).tolist())
+        for i in range(400, 800)
+    ]
+    qs = [
+        (i, (mids[i % 4] + rng.normal(0, 0.4, dim)).tolist())
+        for i in range(25)
+    ]
+    drift_df = to_df(drift)
+    q_df = to_df(qs).withColumnRenamed("vec_id", "query_id")
+    append_to_ivf_index(drift_df, path)
+
+    truth: dict[int, set] = {}
+    full = base_df.unionByName(drift_df)
+    for r in cosine_topk(full, q_df, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall_at_10() -> float:
+        c2, lists = load_ivf_index(spark, path)
+        got: dict[int, set] = {}
+        for r in ivf_search(c2, lists, q_df, k=10, n_probe=1).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return float(
+            np.mean(
+                [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+            )
+        )
+
+    pre = recall_at_10()
+    assert pre < 0.8, f"drift construction should hurt recall, got {pre}"
+    new_cents = rebalance_ivf_index(spark, path, n_lists=12)
+    assert new_cents is not None and len(new_cents) == 12
+    post = recall_at_10()
+    assert post >= 0.9, f"rebalance should recover recall, got {post}"
+    stats = ivf_drift_stats(spark, path)
+    assert stats["n_vectors"] == 800 and stats["n_lists"] == 12
+    # index contents unchanged by the rewrite — same ids exactly
+    _c, lists = load_ivf_index(spark, path)
+    assert lists.count() == 800
+    assert lists.agg(F.countDistinct("vec_id")).collect()[0][0] == 800
+
+
+def test_ivf_rebalance_threshold_skips_healthy_index(spark, tmp_path):
+    import numpy as np
+
+    from dataslicer_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_drift_stats,
+        rebalance_ivf_index,
+        save_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(0, 1, 4).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    cents, assigned = build_ivf_index(df, n_lists=4, train_sample=200)
+    save_ivf_index(cents, assigned, path)
+    imb = ivf_drift_stats(spark, path)["imbalance"]
+    # conditional call with a threshold above the measured imbalance:
+    # must be a no-op returning None
+    assert rebalance_ivf_index(spark, path, max_imbalance=imb + 0.1) is None
+    # threshold below: rebuild happens and returns centroids
+    out = rebalance_ivf_index(spark, path, max_imbalance=0.0)
+    assert out is not None and len(out) == 4
