@@ -6926,11 +6926,307 @@ GROUP BY s.split, leaks.n_leaks
 """
 
 
+def astro_flagship_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-replay twin of ``astro_flagship_pipeline`` (reference
+    chain: notebook cells 2→10, ``dataset.py:249-261`` →
+    ``_objtable_methods.py:265-421``) — the SAME E2 stage chain with
+    every aggregate made bit-stable so DuckDB can replay the WHOLE
+    pipeline as one SQL statement and hash-match the output:
+
+    - the REAL distributed DBSCAN kernel runs (min_samples=2 ⇒ DBSCAN
+      degenerates to connected components of the ε-chord graph —
+      ``operators/clustering.py`` pair_mode); the oracle reproduces the
+      identical component structure from the identical pair predicate
+      via a recursive transitive-closure CTE (the ``dd_resolve_groups``
+      technique).  This certifies M1's grouping against an independent
+      engine — the one capability the rows-only flagship row never
+      certified.
+    - all means (centroids, per-cluster offsets, summary) use the
+      fixed-point ``davg`` (floor(x·2²⁰) int sums) instead of raw
+      double avg — order-independent, so cross-engine exact.
+    - the one substitution: magnitude bins are UNIFORM-width instead of
+      the driver-side Jenks DP (no SQL form; Jenks optimality is pinned
+      separately by enumeration in ``tests/`` — M2).  Bin edges derive
+      from the min/max of the deterministic per-cluster means, so the
+      binning is itself replayable.
+
+    Everything else — P1 filter, J1 broadcast enrich, A2 centroid, J5
+    centroid↔catalog crossmatch (haversine, deterministic tiebreak),
+    J8 cluster cut, F1 calmag with the F2 band-conditional color, F2
+    bandwise reference pick, M3 IQR rejection (quantile_cont ≡
+    F.percentile), final group-quantified filter, per-band summary —
+    is the flagship's own operator chain, stage for stage."""
+    from ..functions.photometry import (
+        band_conditional_color,
+        bandwise_ref_mag,
+        calmag,
+    )
+    from ..operators.clustering import dbscan
+    from ..operators.joins import merge_metadata_to_sources, select_clusters
+    from ..operators.spatial import crossmatch_sky
+    from .astro_pipeline import make_astro_fixture
+    from .star_queries import davg
+
+    sources, metadata, ps1cal = make_astro_fixture(spark, sf_dir)
+    # deterministic per-(star, exposure) photometric noise (±0.005 mag,
+    # integer-derived).  The base fixture's magnitudes are exactly
+    # exposure-determined, so per-cluster mean offsets tie EXACTLY under
+    # fixed-point averaging — every bin's IQR is 0 and M3 rejects
+    # everything (the real flagship only avoids this through float
+    # rounding dust in the color term).  Real spread makes the IQR
+    # rejection non-vacuous: injected +3 mag outlier stars and most
+    # partial clusters get rejected, typical full clusters survive —
+    # the selection behavior M3 exists to certify.
+    e_ = F.col("sourceid") % 10
+    s_ = ((F.col("sourceid") - e_) / 10).cast("long")
+    noise = (((s_ * 11 + e_ * 7) % 101) - 50).cast("double") * F.lit(1e-4)
+    sources = sources.withColumn("mag", F.col("mag") + noise)
+    good = sources.filter((F.col("flags") == 0) & (F.col("snr") > 2))
+    enriched = merge_metadata_to_sources(
+        good, metadata, join_on="OBSID"
+    ).cache()
+    clustered = (
+        dbscan(
+            enriched, eps=3.0, min_samples=2, id_col="sourceid",
+            x_col="ra", y_col="dec", coord="sky", purge_noise=True,
+        )
+        .repartition("clusterID")
+        .cache()
+    )
+    centroids = clustered.groupBy("clusterID").agg(
+        davg("ra", "ra"), davg("dec", "dec")
+    )
+    matched = crossmatch_sky(
+        centroids, ps1cal, rs_arcsec=3.0, source_id="clusterID",
+        catalog_id="_id",
+    ).select(
+        "clusterID", "dist2ps1", "gmag", "rmag", "imag", "e_gmag", "e_rmag"
+    )
+    with_match = clustered.join(F.broadcast(matched), "clusterID")
+    tight = with_match.filter(F.col("dist2ps1") < 1.0)
+    calibrated = calmag(
+        band_conditional_color(tight), mag_col="mag", err_mag_col="sigmag",
+        zp_col="MAGZP", zp_err_col="MAGZPUNC",
+        clrcoeff_col="CLRCOEFF", clrcoeff_err_col="CLRCOUNC",
+        color1_col="color1", color2_col="color2",
+        color1_err_col="e_gmag", color2_err_col="e_rmag",
+    )
+    with_ref = bandwise_ref_mag(calibrated).cache()
+
+    # M3 with uniform bins: per-cluster deterministic means, bin by
+    # min/max edges, per-bin median/IQR, reject norm ≥ cut (NULL norm —
+    # zero-IQR bin — rejects, pandas parity)
+    per_cluster = with_ref.groupBy("clusterID").agg(
+        davg(F.col("cal_mag"), "av_mag"),
+        davg(F.col("cal_mag") - F.col("ps1mag_band"), "av_dist"),
+    )
+    rng = per_cluster.agg(
+        F.min("av_mag").alias("__mn"), F.max("av_mag").alias("__mx")
+    )
+    binned = per_cluster.crossJoin(F.broadcast(rng)).withColumn(
+        "mag_bin",
+        F.when(
+            F.col("__mx") > F.col("__mn"),
+            F.least(
+                F.floor(
+                    (F.col("av_mag") - F.col("__mn"))
+                    / ((F.col("__mx") - F.col("__mn")) / F.lit(10.0))
+                ).cast("int"),
+                F.lit(9),
+            ),
+        ).otherwise(F.lit(0)),
+    ).drop("__mn", "__mx")
+    per_bin = binned.groupBy("mag_bin").agg(
+        (
+            F.percentile(F.col("av_dist"), F.lit(0.75))
+            - F.percentile(F.col("av_dist"), F.lit(0.25))
+        ).alias("iqr_dist"),
+        F.median(F.col("av_dist")).alias("median_dist"),
+    )
+    scored = binned.join(F.broadcast(per_bin), "mag_bin").withColumn(
+        "norm",
+        F.try_divide(
+            F.abs(F.col("av_dist") - F.col("median_dist")),
+            F.col("iqr_dist"),
+        ),
+    )
+    keep_ok = F.coalesce(
+        F.when(F.isnan(F.col("norm")), F.lit(False)).otherwise(
+            F.col("norm") < 2.5
+        ),
+        F.lit(False),
+    )
+    keep_ids = scored.filter(keep_ok).select("clusterID")
+    kept = with_ref.join(F.broadcast(keep_ids), "clusterID")
+
+    final, _ = select_clusters(
+        kept.withColumn(
+            "absdiff", F.abs(F.col("cal_mag") - F.col("ps1mag_band"))
+        ),
+        F.col("absdiff") < 0.5,
+        "clusterID",
+    )
+    return (
+        final.groupBy("FILTERID")
+        .agg(
+            F.countDistinct("clusterID").cast("long").alias("n_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            davg(
+                F.col("cal_mag") - F.col("ps1mag_band"), "mean_mag_diff"
+            ),
+            davg("dist2ps1", "mean_dist2ps1"),
+        )
+        .orderBy("FILTERID")
+    )
+
+
+def _sql_fpavg(c: str) -> str:
+    """DuckDB twin of star_queries.davg at FP_BITS=20."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({c}) * 1048576.0) AS BIGINT)) AS DOUBLE)"
+        f" / 1048576.0) / COUNT({c})"
+    )
+
+
+_HAV = (
+    "DEGREES(2*ASIN(SQRT("
+    "POWER(SIN((RADIANS({d2})-RADIANS({d1}))/2), 2)"
+    " + COS(RADIANS({d1}))*COS(RADIANS({d2}))"
+    "*POWER(SIN((RADIANS({r2})-RADIANS({r1}))/2), 2)"
+    ")))*3600.0"
+)
+
+ASTRO_FLAGSHIP_ORACLE_SQL = f"""
+WITH RECURSIVE
+meta AS (
+  SELECT CAST(id AS BIGINT) AS obsid,
+         25.0 + 0.1*id AS magzp, 0.01 AS magzpunc,
+         0.05 + 0.01*id AS clrcoeff, 0.005 AS clrcounc,
+         CAST(id % 3 + 1 AS INT) AS filterid
+  FROM range(1, 6) t(id)),
+stars AS (
+  SELECT c_custkey AS star_id,
+         (c_custkey * 9176 % 3599993) / 10000.0 AS ra0,
+         (c_custkey * 7919 % 1199999) / 10000.0 - 60.0 AS dec0,
+         15.0 + (c_custkey % 500) / 100.0 AS mag0
+  FROM customer),
+src AS (
+  SELECT s.star_id * 10 + e.id AS sourceid,
+         CAST(e.id AS BIGINT) AS obsid,
+         ra0 + (((star_id*31 + e.id*17) % 21) - 10) * 1e-5 AS ra,
+         dec0 + (((star_id*13 + e.id*23) % 21) - 10) * 1e-5 AS dec,
+         (mag0 + 0.001*e.id)
+           + CAST(((star_id*11 + e.id*7) % 101) - 50 AS DOUBLE) * 1e-4
+           AS mag,
+         0.01 AS sigmag,
+         CASE WHEN (star_id*7 + e.id) % 50 = 0 THEN 1 ELSE 0 END AS flags,
+         5.0 + (star_id % 10) AS snr
+  FROM stars s CROSS JOIN range(1, 6) e(id)),
+ps1 AS (
+  SELECT star_id AS _id, ra0 AS ra, dec0 AS dec,
+         mag0 + 25.25 + CASE WHEN star_id % 97 = 0 THEN 3.0 ELSE 0.0 END AS gmag,
+         mag0 + 25.20 + CASE WHEN star_id % 97 = 0 THEN 3.0 ELSE 0.0 END AS rmag,
+         mag0 + 25.15 + CASE WHEN star_id % 97 = 0 THEN 3.0 ELSE 0.0 END AS imag,
+         0.01 AS e_gmag, 0.01 AS e_rmag
+  FROM stars),
+obs AS (
+  SELECT g.sourceid, g.ra, g.dec, g.mag, g.sigmag,
+         m.magzp, m.magzpunc, m.clrcoeff, m.clrcounc, m.filterid,
+         COS(RADIANS(g.dec))*COS(RADIANS(g.ra)) AS ux,
+         COS(RADIANS(g.dec))*SIN(RADIANS(g.ra)) AS uy,
+         SIN(RADIANS(g.dec)) AS uz,
+         CAST(FLOOR(g.dec / (3.0/3600.0)) AS BIGINT) AS band
+  FROM src g JOIN meta m ON g.obsid = m.obsid
+  WHERE g.flags = 0 AND g.snr > 2),
+edges0 AS (
+  SELECT a.sourceid AS u, b.sourceid AS v
+  FROM obs a JOIN obs b
+    ON b.band BETWEEN a.band - 1 AND a.band + 1
+   AND a.sourceid < b.sourceid
+  WHERE (a.ux-b.ux)*(a.ux-b.ux) + (a.uy-b.uy)*(a.uy-b.uy)
+        + (a.uz-b.uz)*(a.uz-b.uz)
+        <= POWER(2*SIN(RADIANS(3.0/3600.0)/2), 2)),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+lab AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+members AS (
+  SELECT o.*, l.cid FROM obs o JOIN lab l ON o.sourceid = l.node),
+cent AS (
+  SELECT cid, {_sql_fpavg('ra')} AS cra, {_sql_fpavg('dec')} AS cdec
+  FROM members GROUP BY cid),
+xm AS (
+  SELECT cid, dist2ps1, gmag, rmag, imag, e_gmag, e_rmag FROM (
+    SELECT c.cid, p.gmag, p.rmag, p.imag, p.e_gmag, p.e_rmag,
+           {_HAV.format(r1='c.cra', d1='c.cdec', r2='p.ra', d2='p.dec')}
+             AS dist2ps1,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cid
+             ORDER BY {_HAV.format(r1='c.cra', d1='c.cdec',
+                                   r2='p.ra', d2='p.dec')} ASC,
+                      p._id ASC) AS rn
+    FROM cent c JOIN ps1 p
+      ON {_HAV.format(r1='c.cra', d1='c.cdec', r2='p.ra', d2='p.dec')}
+         <= 3.0)
+  WHERE rn = 1),
+cal AS (
+  SELECT m.*, x.dist2ps1,
+         m.mag + m.magzp + m.clrcoeff *
+           ((CASE WHEN m.filterid IN (1,2) THEN x.gmag ELSE x.rmag END)
+            - (CASE WHEN m.filterid IN (1,2) THEN x.rmag ELSE x.imag END))
+           AS cal_mag,
+         CASE m.filterid WHEN 1 THEN x.gmag WHEN 2 THEN x.rmag
+              ELSE x.imag END AS ps1mag_band
+  FROM members m JOIN xm x USING (cid)
+  WHERE x.dist2ps1 < 1.0),
+percl AS (
+  SELECT cid, {_sql_fpavg('cal_mag')} AS av_mag,
+         {_sql_fpavg('cal_mag - ps1mag_band')} AS av_dist
+  FROM cal GROUP BY cid),
+rngs AS (SELECT MIN(av_mag) AS mn, MAX(av_mag) AS mx FROM percl),
+binned AS (
+  SELECT p.*,
+         CASE WHEN r.mx > r.mn
+              THEN LEAST(CAST(FLOOR((p.av_mag - r.mn)
+                                    / ((r.mx - r.mn) / 10.0)) AS INT), 9)
+              ELSE 0 END AS mag_bin
+  FROM percl p CROSS JOIN rngs r),
+perbin AS (
+  SELECT mag_bin,
+         QUANTILE_CONT(av_dist, 0.75) - QUANTILE_CONT(av_dist, 0.25)
+           AS iqr_dist,
+         MEDIAN(av_dist) AS median_dist
+  FROM binned GROUP BY mag_bin),
+keepc AS (
+  SELECT b.cid FROM binned b JOIN perbin pb USING (mag_bin)
+  WHERE CASE WHEN pb.iqr_dist > 0
+             THEN ABS(b.av_dist - pb.median_dist) / pb.iqr_dist < 2.5
+             ELSE FALSE END),
+finalc AS (
+  SELECT c.*, ABS(c.cal_mag - c.ps1mag_band) AS absdiff
+  FROM cal c JOIN keepc k USING (cid)),
+okc AS (
+  SELECT cid FROM finalc GROUP BY cid
+  HAVING MIN(CASE WHEN absdiff < 0.5 THEN 1 ELSE 0 END) = 1)
+SELECT f.filterid AS FILTERID,
+       CAST(COUNT(DISTINCT f.cid) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       {_sql_fpavg('f.cal_mag - f.ps1mag_band')} AS mean_mag_diff,
+       {_sql_fpavg('f.dist2ps1')} AS mean_dist2ps1
+FROM finalc f JOIN okc USING (cid)
+GROUP BY f.filterid
+ORDER BY f.filterid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "astro_flagship_oracle": astro_flagship_oracle,
     "txt_token_stats": txt_token_stats,
     "txt_quality": txt_quality,
     "txt_repetition": txt_repetition,
@@ -7060,6 +7356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "astro_flagship_oracle": ASTRO_FLAGSHIP_ORACLE_SQL,
     "txt_token_stats": TXT_TOKEN_STATS_SQL,
     "txt_quality": TXT_QUALITY_SQL,
     "txt_repetition": TXT_REPETITION_SQL,

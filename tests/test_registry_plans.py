@@ -26,6 +26,9 @@ ALLOW = {
     # crossJoin (5-row broadcast side); the count inflates because the
     # fixture lineage is printed under every downstream reuse
     "astro_flagship_pipeline": {"nested-loop-join"},
+    # same fixture crossJoin (5-row exposure side) + the 1-row min/max
+    # bin-range broadcast in the deterministic IQR stage
+    "astro_flagship_oracle": {"nested-loop-join"},
     # dust-grain circle table is a tiny broadcast dimension (reference
     # semantics: srcdf.py:655-662) — point-in-circle needs the pair test
     "j6_tag_dust": {"nested-loop-join"},
