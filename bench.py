@@ -48,7 +48,10 @@ MAX_FAMILY = 14
 
 def _family_key(name: str) -> str:
     if name.startswith("astro"):
-        return "astro"
+        # each astro query is a ~40-operator code-cache heavyweight —
+        # one JVM each, never share (measured round 4: sharing leaves
+        # generated code interpreted once the cache saturates)
+        return name
     m = re.match(r"([a-z]+)", name)
     return m.group(1) if m else name
 

@@ -38,7 +38,7 @@ from ..operators.joins import (
     union_reindex,
 )
 from ..operators.regression import photometric_solution
-from ..operators.spatial import nn_join_planar, tag_dust
+from ..operators.spatial import crossmatch_sky, nn_join_planar, tag_dust
 from ..operators.windows import closest_match, largest_wins
 from ..functions.photometry import (
     add_obsid,
@@ -753,6 +753,78 @@ WHERE rn = 1
 """
 
 
+def j5_sky_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — SPHERICAL nearest-neighbor crossmatch with a direct DuckDB
+    oracle (round 8; previously the sky path was pytest-brute-force
+    only and only the planar variant carried a SQL twin).
+
+    Fixture: every 3rd customer also appears in the catalog, jittered
+    ≤0.3″ — so ⅓ of sources match their own twin and the rest fall
+    outside the 3″ radius and drop (reference drop-unmatched mode,
+    PS1Cal_matching.py:114-117).  The oracle replays the same haversine
+    (`functions/photometry.haversine_arcsec`) over the exact pair
+    space; the emitted distance is floor-quantized to 2⁻²⁰ arcsec so
+    the value hash is robust to last-ulp libm differences between the
+    engines (same device as the astro twin's fixed-point means)."""
+    cust = _t(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    src = cust.select(
+        c.alias("srcID"),
+        ((c * 9176 % 3_599_993) / 10000.0).alias("ra"),
+        ((c * 7919 % 1_699_999) / 10000.0 - 85.0).alias("dec"),
+    )
+    cat = cust.filter(c % 3 == 0).select(
+        c.alias("_id"),
+        ((c * 9176 % 3_599_993) / 10000.0
+         + (((c % 7) - 3).cast("double")) * 1.5e-5).alias("ra"),
+        ((c * 7919 % 1_699_999) / 10000.0 - 85.0
+         + (((c % 11) - 5).cast("double")) * 1.5e-5).alias("dec"),
+    )
+    out = crossmatch_sky(
+        src, cat, rs_arcsec=3.0, source_id="srcID", catalog_id="_id",
+        dist_col="dist",
+    )
+    return out.select(
+        "srcID",
+        F.col("_id").alias("match_id"),
+        (F.floor(F.col("dist") * F.lit(1048576.0)) / F.lit(1048576.0))
+        .alias("dist_q"),
+    )
+
+
+J5_SKY_SQL = """
+WITH src AS (
+  SELECT c_custkey AS srcID,
+         (c_custkey * 9176 % 3599993) / 10000.0 AS ra,
+         (c_custkey * 7919 % 1699999) / 10000.0 - 85.0 AS dec
+  FROM customer),
+cat AS (
+  SELECT c_custkey AS _id,
+         (c_custkey * 9176 % 3599993) / 10000.0
+           + CAST((c_custkey % 7) - 3 AS DOUBLE) * 1.5e-5 AS ra,
+         (c_custkey * 7919 % 1699999) / 10000.0 - 85.0
+           + CAST((c_custkey % 11) - 5 AS DOUBLE) * 1.5e-5 AS dec
+  FROM customer WHERE c_custkey % 3 = 0),
+scored AS (
+  SELECT s.srcID, c._id,
+         DEGREES(2*ASIN(SQRT(
+           POWER(SIN((RADIANS(c.dec)-RADIANS(s.dec))/2), 2)
+           + COS(RADIANS(s.dec))*COS(RADIANS(c.dec))
+             *POWER(SIN((RADIANS(c.ra)-RADIANS(s.ra))/2), 2))))*3600.0
+           AS dist
+  FROM src s JOIN cat c
+    ON ABS(s.dec - c.dec) <= 0.002),
+nearest AS (
+  SELECT srcID, _id, dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY srcID ORDER BY dist ASC, _id ASC) AS rn
+  FROM scored WHERE dist <= 3.0)
+SELECT srcID, _id AS match_id,
+       FLOOR(dist * 1048576.0) / 1048576.0 AS dist_q
+FROM nearest WHERE rn = 1
+"""
+
+
 def j6_tag_dust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 — point-in-circle tagging, largest circle wins
     (tag_dust, srcdf.py:616-694)."""
@@ -1156,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j8_group_quantified_rejected": j8_group_quantified_rejected,
     "j9_union": j9_union,
     "j5_nn_join": j5_nn_join,
+    "j5_sky_crossmatch": j5_sky_crossmatch,
     "j6_tag_dust": j6_tag_dust,
     "w1_closest_match": w1_closest_match,
     "a2_weighted_centroid": a2_weighted_centroid,
@@ -1195,6 +1268,7 @@ ORACLES: dict[str, str] = {
     "j8_group_quantified_rejected": J8_REJECTED_SQL,
     "j9_union": J9_SQL,
     "j5_nn_join": J5_SQL,
+    "j5_sky_crossmatch": J5_SKY_SQL,
     "j6_tag_dust": J6_SQL,
     "w1_closest_match": W1_SQL,
     "a2_weighted_centroid": A2W_SQL,

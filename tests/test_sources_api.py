@@ -449,3 +449,31 @@ def test_slicerframe_round7_verbs(spark, tmp_path):
         assert bucket_spec(spark, "api_bucketed_t") == (["doc_id"], 2)
     finally:
         spark.sql("DROP TABLE IF EXISTS api_bucketed_t")
+
+
+def test_csv_sink_source_roundtrip(spark, tmp_path):
+    """S4 (gzip CSV sink) + S5 (CSV source, dataset_base.py:139-170
+    semantics: header + inferSchema read of a cached csv): write through
+    the facade sink, read back with the engine-native source, exact
+    values and inferred types."""
+    import pyspark.sql.functions as F
+
+    from dataslicer_spark.api import SlicerFrame
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, "c,with comma", 0.0)],
+        "k long, name string, val double",
+    )
+    path = str(tmp_path / "csvcache")
+    SlicerFrame(df).to_csv(path)
+    import glob as g
+
+    files = g.glob(path + "/part-*.csv.gz")
+    assert files, "sink must write gzip csv shards"
+    back = spark.read.csv(path, header=True, inferSchema=True)
+    got = {r.k: (r.name, r.val) for r in back.collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", -2.25), 3: ("c,with comma", 0.0)}
+    # inferSchema restores numeric types (the reference relies on
+    # pandas' read_csv inference the same way)
+    kinds = dict(back.dtypes)
+    assert kinds["k"] in ("int", "bigint") and kinds["val"] == "double"
