@@ -151,16 +151,28 @@ def dedup_against_minhash_index(
             F.col(id_col).alias("new_id"),
             F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh_n"),
         ).filter(F.size("sh_n") > 0)
-        # honor the "texts fetched for candidate ids only" contract: a
-        # broadcast semi-join on the bounded candidate-id set keeps the
-        # corpus-side shingle computation (tokenize + n-gram + distinct,
-        # the expensive map work) off every non-candidate row — at index
-        # scale the corpus is billions of rows, the candidates are
-        # batch-sized
+        # honor the "texts fetched for candidate ids only" contract: the
+        # candidate-id set is bounded by the BATCH (≤ |batch|·matches
+        # distinct index ids), so collect it and push an ``isin`` filter
+        # into the corpus scan — a literal predicate reaches the parquet
+        # reader (PushedFilters) and prunes row groups by id min/max
+        # stats, where a broadcast semi-join would still READ every
+        # corpus row before discarding it.  At index scale the corpus is
+        # billions of rows and this is the difference between a pruned
+        # point-fetch and a full scan.  Above the literal-list cap
+        # (very large batches) fall back to the broadcast semi-join.
         cand_ids = cand.select(F.col("index_id").alias(id_col)).distinct()
+        id_list = [r[0] for r in cand_ids.limit(100_001).collect()]
+        if len(id_list) <= 100_000:
+            fetched = exact_verify_with.filter(
+                F.col(id_col).isin(id_list)
+            )
+        else:
+            fetched = exact_verify_with.join(
+                F.broadcast(cand_ids), id_col, "left_semi"
+            )
         sh_idx = (
-            exact_verify_with.join(F.broadcast(cand_ids), id_col, "left_semi")
-            .select(
+            fetched.select(
                 F.col(id_col).alias("index_id"),
                 F.array_distinct(word_shingles(F.col(text_col), n)).alias(
                     "sh_i"
