@@ -80,6 +80,34 @@ def main() -> None:
     hits = ivf_search(centroids, assigned, queries, k=3, n_probe=4)
     print(f"ivf: {hits.count()} hits for {queries.count()} queries")
 
+    # 4b. persist → append a batch → drift check → conditional rebalance
+    #     (the long-running-ingestion maintenance loop)
+    import tempfile
+
+    from dataslicer_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_drift_stats,
+        rebalance_ivf_index,
+        save_ivf_index,
+    )
+
+    spark = emb.sparkSession
+    idx_path = tempfile.mkdtemp(prefix="ex_ivf_") + "/ivf"
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    c0, a0 = build_ivf_index(half, n_lists=8, seed=7)
+    save_ivf_index(c0, a0, idx_path)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx_path)
+    stats = ivf_drift_stats(spark, idx_path)
+    print(
+        f"ivf index: {stats['n_vectors']} vectors in {stats['n_lists']} "
+        f"lists, imbalance {stats['imbalance']:.2f}"
+    )
+    out = rebalance_ivf_index(spark, idx_path, max_imbalance=4.0)
+    print(
+        "rebalance: skipped (healthy)" if out is None
+        else f"rebalance: retrained {len(out)} lists"
+    )
+
     # 5. PQ: 32x compression + IVF x PQ search with exact re-rank
     from dataslicer_spark.operators.pq import (
         ivf_pq_search,
