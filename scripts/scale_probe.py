@@ -547,6 +547,61 @@ def main() -> None:
 
     run("bm25_index_build_probe", bmidx_fn(docs1), bmidx_fn(docs4))
 
+    # round-8 additions: probe-only MinHash index search against a
+    # PRE-BUILT index (build paid once outside the timer; the probe is
+    # batch-signature + band hash-join + In()-pushdown verify fetch —
+    # batch AND index are both 4× at 4×, expect ~linear), and the IVF
+    # maintenance rebuild (sampled retrain + one map-only reassignment
+    # pass + partitioned rewrite — corpus-linear by construction).
+    from dataslicer_spark.operators.dedup_index import (
+        build_minhash_index, dedup_against_minhash_index,
+    )
+
+    def mh_probe_fn(docs):
+        path = tempfile.mkdtemp(prefix="probe_mhidx_") + "/idx"
+        build_minhash_index(docs, path, "doc_id", num_perm=64, bands=32)
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        batch = docs.filter(F.col("doc_id") % 16 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
+            ).alias("text"),
+        )
+
+        def go():
+            _s, m = dedup_against_minhash_index(
+                batch, path, "doc_id", threshold=0.8,
+                append_survivors=False, exact_verify_with=docs,
+            )
+            m.write.format("noop").mode("overwrite").save()
+        return go
+
+    run("minhash_index_probe", mh_probe_fn(docs1), mh_probe_fn(docs4))
+
+    from dataslicer_spark.operators.similarity import (
+        build_ivf_index, rebalance_ivf_index, save_ivf_index,
+    )
+
+    emb1 = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb4 = emb1
+    for i in (1, 2, 3):
+        emb4 = emb4.unionByName(
+            emb1.withColumn("vec_id", F.col("vec_id") + 1_000_000 * i)
+        )
+
+    def ivf_reb_fn(emb):
+        path = tempfile.mkdtemp(prefix="probe_ivf_") + "/idx"
+        c, a = build_ivf_index(
+            emb, n_lists=16, corpus_id="vec_id", corpus_vec="embedding"
+        )
+        save_ivf_index(c, a, path)
+
+        def go():
+            rebalance_ivf_index(spark, path, n_lists=16)
+        return go
+
+    run("ivf_rebalance", ivf_reb_fn(emb1), ivf_reb_fn(emb4))
+
 
 if __name__ == "__main__":
     main()
