@@ -222,7 +222,7 @@ def parse_fits_bintable(raw: bytes, extension: int = 1) -> pd.DataFrame:
     n_rows = int(cards["NAXIS2"])
     row_bytes = int(cards["NAXIS1"])
     tfields = int(cards["TFIELDS"])
-    names, dtypes = [], []
+    names, dtypes, letters = [], [], {}
     for i in range(1, tfields + 1):
         name = cards.get(f"TTYPE{i}", f"col{i}")
         tform = cards[f"TFORM{i}"].strip()
@@ -241,6 +241,7 @@ def parse_fits_bintable(raw: bytes, extension: int = 1) -> pd.DataFrame:
                 f"unsupported TFORM {tform!r} for column {name!r}"
             )
         names.append(name)
+        letters[name] = letter
     dt = np.dtype(dtypes)
     if dt.itemsize != row_bytes:
         raise ValueError(
@@ -253,16 +254,15 @@ def parse_fits_bintable(raw: bytes, extension: int = 1) -> pd.DataFrame:
     out = {}
     for name in names:
         vals = rec[name]
-        if vals.dtype.kind == "S":
-            if vals.dtype.itemsize == 1 and set(np.unique(vals)) <= {
-                b"T",
-                b"F",
-            }:
-                out[name] = vals == b"T"
-            else:
-                out[name] = np.array(
-                    [v.decode("ascii").rstrip() for v in vals], dtype=object
-                )
+        # the TFORM letter decides, never the values: a width-1 'A'
+        # column that happens to contain only "T"/"F" must stay a
+        # string, and 'L' is bool by definition
+        if letters[name] == "L":
+            out[name] = vals == b"T"
+        elif vals.dtype.kind == "S":
+            out[name] = np.array(
+                [v.decode("ascii").rstrip() for v in vals], dtype=object
+            )
         elif vals.dtype.byteorder == ">":
             out[name] = vals.byteswap().view(vals.dtype.newbyteorder())
         else:

@@ -193,3 +193,61 @@ def test_truncated_data_area_raises():
     raw = open(FIXTURE, "rb").read()
     with pytest.raises(ValueError, match="truncated"):
         parse_fits_bintable(raw[: 5760 + 10])
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_scalar_cols = st.dictionaries(
+    keys=st.from_regex(r"[A-Z][A-Z0-9_]{0,7}", fullmatch=True),
+    values=st.sampled_from(
+        [np.int16, np.int32, np.int64, np.float32, np.float64, np.bool_]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    spec=_scalar_cols,
+    n=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_roundtrip_property(spec, n, seed):
+    """write → parse is the identity for every supported dtype mix,
+    row count and value pattern (pure-python, no Spark round trip)."""
+    rng = np.random.default_rng(seed)
+    cols = {}
+    for name, dt in spec.items():
+        if dt is np.bool_:
+            cols[name] = rng.integers(0, 2, n).astype(bool)
+        elif np.issubdtype(dt, np.integer):
+            info = np.iinfo(dt)
+            cols[name] = rng.integers(
+                info.min, info.max, n, dtype=np.int64
+            ).astype(dt)
+        else:
+            cols[name] = rng.normal(0, 1e3, n).astype(dt)
+    df = parse_fits_bintable(write_fits_bintable(cols))
+    for name, want in cols.items():
+        got = df[name].to_numpy()
+        assert got.dtype == want.dtype, name
+        assert np.array_equal(got, want), name
+
+
+def test_one_char_string_column_stays_string():
+    # TFORM decides the type: a width-1 'A' column containing only
+    # "T"/"F" must NOT decode as bool (only 'L' does)
+    df = parse_fits_bintable(
+        write_fits_bintable(
+            {
+                "s1": np.array(["T", "F", "T"]),
+                "b": np.array([True, False, True]),
+            }
+        )
+    )
+    assert list(df.s1) == ["T", "F", "T"] and df.s1.dtype == object
+    assert list(df.b) == [True, False, True] and df.b.dtype == np.bool_
