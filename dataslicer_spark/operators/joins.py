@@ -170,10 +170,91 @@ def interval_join(
     return out.drop("__bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    by_cols: Sequence[str] = (),
+    bucket_width: int | float = None,  # type: ignore[assignment]
+) -> DataFrame:
+    """Interval × interval OVERLAP join for BIG × BIG inputs: every
+    pair with ``l_lo ≤ r_hi AND r_lo ≤ l_hi`` (closed intervals, equal
+    ``by_cols``) — sessions × maintenance windows, span annotations ×
+    span annotations, validity ranges × validity ranges.
+
+    Same problem as :func:`interval_join` — Spark plans the naive
+    inequality join as a nested loop — but interval×interval bucketing
+    has a duplicate hazard: both sides explode to every bucket they
+    cover, so an overlapping pair would meet once per SHARED bucket.
+    The fix is an exactly-once assignment, no dedup shuffle: accept a
+    pair only in the bucket of the intersection's START,
+    ``greatest(floor(l_lo/w), floor(r_lo/w))``.  If the intervals
+    overlap, the intersection start ``s = max(l_lo, r_lo)`` satisfies
+    ``s ≤ min(l_hi, r_hi)``, so ``floor(s/w)`` is covered by BOTH
+    explodes, and ``floor`` is monotone so ``floor(max(a,b)/w) =
+    max(floor(a/w), floor(b/w))`` — every overlapping pair meets in
+    exactly that one bucket and non-overlapping pairs never pass the
+    residual predicate.
+
+    Cost model matches :func:`interval_join`: explode factor
+    ``len/bucket_width + 1`` per side — pick a width near the typical
+    interval length.  Rows with NULL bounds or ``lo > hi`` are dropped
+    (an empty interval overlaps nothing; a descending ``sequence``
+    would otherwise mis-explode).  Returns all left columns plus the
+    right's; names must not collide (rename upstream).
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive number")
+    l_lo, l_hi = left_range
+    r_lo, r_hi = right_range
+    by = list(by_cols)
+    check_col(by + [l_lo, l_hi], left)
+    check_col(by + [r_lo, r_hi], right)
+    overlap = (set(right.columns) - set(by)) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right columns collide with left columns: {sorted(overlap)}"
+        )
+    bad = {"__bucket"} & (set(left.columns) | set(right.columns))
+    if bad:
+        raise ValueError(
+            f"input columns collide with internals: {sorted(bad)}"
+        )
+    b = F.lit(bucket_width)
+
+    def explode_side(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.filter(
+            F.col(lo).isNotNull()
+            & F.col(hi).isNotNull()
+            & (F.col(lo) <= F.col(hi))
+        ).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(F.floor(F.col(lo) / b), F.floor(F.col(hi) / b))
+            ),
+        )
+
+    lf = explode_side(left, l_lo, l_hi)
+    rt = explode_side(right, r_lo, r_hi)
+    out = lf.join(rt, by + ["__bucket"]).filter(
+        (F.col(l_lo) <= F.col(r_hi))
+        & (F.col(r_lo) <= F.col(l_hi))
+        & (
+            F.col("__bucket")
+            == F.greatest(
+                F.floor(F.col(l_lo) / b), F.floor(F.col(r_lo) / b)
+            )
+        )
+    )
+    return out.drop("__bucket")
+
+
 __all__ = [
     "merge_metadata_to_sources",
     "anti_join",
     "select_clusters",
     "union_reindex",
     "interval_join",
+    "interval_overlap_join",
 ]

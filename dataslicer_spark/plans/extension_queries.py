@@ -1367,6 +1367,82 @@ FROM errors e JOIN sessions s
 """
 
 
+def ev_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/joins.
+    interval_overlap_join): user sessions × GLOBAL incident windows
+    (±10 min around sampled error events), no by-key — the big×big
+    two-interval-table shape.  Bucketed exactly-once pair assignment
+    (a pair meets only in its intersection-start bucket), so no dedup
+    shuffle; a naive double-inequality join would plan as a nested
+    loop."""
+    from ..operators.joins import interval_overlap_join
+    from ..operators.timeseries import sessionize
+
+    events = load_events(spark, sf_dir).select(
+        "user_id", _epoch_us(F.col("ts")).alias("ts_us"),
+        "event_id", "event_type",
+    )
+    labeled = sessionize(
+        events, "ts_us", "user_id", gap_us=1_800_000_000,
+        tiebreak_col="event_id",
+    )
+    sessions = labeled.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("s_lo"), F.max("ts_us").alias("s_hi")
+    )
+    incidents = events.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 17 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts_us") - 600_000_000).alias("i_lo"),
+        (F.col("ts_us") + 600_000_000).alias("i_hi"),
+    )
+    out = interval_overlap_join(
+        sessions, incidents, ("s_lo", "s_hi"), ("i_lo", "i_hi"),
+        bucket_width=1_800_000_000,
+    )
+    return out.select(
+        "user_id", "session_seq", "incident_id",
+        (
+            F.least(F.col("s_hi"), F.col("i_hi"))
+            - F.greatest(F.col("s_lo"), F.col("i_lo"))
+        ).alias("overlap_us"),
+    )
+
+
+EV_OVERLAP_JOIN_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_id, event_type
+  FROM events),
+labeled AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM (
+      SELECT user_id, event_id, ts_us,
+             LAG(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_ts
+      FROM base))),
+sessions AS (
+  SELECT user_id, session_seq,
+         MIN(ts_us) AS s_lo, MAX(ts_us) AS s_hi
+  FROM labeled GROUP BY user_id, session_seq),
+incidents AS (
+  SELECT event_id AS incident_id,
+         ts_us - 600000000 AS i_lo, ts_us + 600000000 AS i_hi
+  FROM base WHERE event_type = 'error' AND event_id % 17 = 0)
+SELECT s.user_id, s.session_seq, i.incident_id,
+       LEAST(s.s_hi, i.i_hi) - GREATEST(s.s_lo, i.i_lo) AS overlap_us
+FROM sessions s JOIN incidents i
+  ON s.s_lo <= i.i_hi AND i.i_lo <= s.s_hi
+"""
+
+
 def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (operators/quality.py): per-column row/null/exact
     distinct counts in ONE aggregate pass (map-side expand + partial
@@ -7275,6 +7351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_profile": dq_profile,
     "dq_constraints": dq_constraints,
     "ev_interval_join": ev_interval_join,
+    "ev_overlap_join": ev_overlap_join,
     "emb_label_centroids": emb_label_centroids,
     "txt_decontaminate": txt_decontaminate,
     "samp_temperature": samp_temperature,
@@ -7414,6 +7491,7 @@ ORACLES: dict[str, str] = {
     "dq_profile": DQ_PROFILE_SQL,
     "dq_constraints": DQ_CONSTRAINTS_SQL,
     "ev_interval_join": EV_INTERVAL_JOIN_SQL,
+    "ev_overlap_join": EV_OVERLAP_JOIN_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "txt_decontaminate": TXT_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,

@@ -373,6 +373,72 @@ def test_interval_join_brute_force(spark):
     assert got == expect
 
 
+def test_interval_overlap_join_brute_force(spark):
+    from dataslicer_spark.operators.joins import interval_overlap_join
+
+    rng = np.random.default_rng(9)
+    n_l, n_r = 120, 90
+    llo = rng.integers(0, 900, n_l).astype("int64")
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_l),
+            "a_lo": llo,
+            # variable lengths incl. zero-length and bucket-spanning
+            "a_hi": llo + rng.integers(0, 250, n_l),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rlo = rng.integers(0, 900, n_r).astype("int64")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_r),
+            "b_lo": rlo,
+            "b_hi": rlo + rng.integers(0, 250, n_r),
+            "rid": np.arange(n_r, dtype="int64"),
+        }
+    )
+    out = interval_overlap_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        ("a_lo", "a_hi"),
+        ("b_lo", "b_hi"),
+        by_cols=["k"],
+        bucket_width=64,
+    )
+    rows = out.collect()
+    got = [(r.lid, r.rid) for r in rows]
+    # exactly-once: the bucketed plan must not emit duplicate pairs
+    assert len(got) == len(set(got))
+    expect = {
+        (a.lid, b.rid)
+        for _, a in left.iterrows()
+        for _, b in right.iterrows()
+        if a.k == b.k and a.a_lo <= b.b_hi and b.b_lo <= a.a_hi
+    }
+    assert set(got) == expect
+
+
+def test_interval_overlap_join_drops_invalid_and_no_nested_loop(spark):
+    from dataslicer_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"a_lo": [0, 10, None], "a_hi": [5, 3, 7],
+             "lid": [1, 2, 3]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"b_lo": [0], "b_hi": [100], "rid": [1]})
+    )
+    out = interval_overlap_join(
+        left, right, ("a_lo", "a_hi"), ("b_lo", "b_hi"), bucket_width=8
+    )
+    # lo>hi (empty) and NULL-bound rows are dropped, valid row matches
+    assert [r.lid for r in out.collect()] == [1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_interval_join_no_nested_loop(spark):
     from dataslicer_spark.operators.joins import interval_join
 
