@@ -153,17 +153,21 @@ def dedup_against_minhash_index(
         ).filter(F.size("sh_n") > 0)
         # honor the "texts fetched for candidate ids only" contract: the
         # candidate-id set is bounded by the BATCH (≤ |batch|·matches
-        # distinct index ids), so collect it and push an ``isin`` filter
-        # into the corpus scan — a literal predicate reaches the parquet
-        # reader (PushedFilters) and prunes row groups by id min/max
-        # stats, where a broadcast semi-join would still READ every
-        # corpus row before discarding it.  At index scale the corpus is
-        # billions of rows and this is the difference between a pruned
-        # point-fetch and a full scan.  Above the literal-list cap
-        # (very large batches) fall back to the broadcast semi-join.
+        # distinct index ids), so for a genuinely small set push an
+        # ``isin`` literal filter into the corpus scan — the predicate
+        # reaches the parquet reader (PushedFilters) and prunes row
+        # groups by id min/max stats, where a broadcast semi-join would
+        # still READ every corpus row before discarding it.  At index
+        # scale the corpus is billions of rows and this is the
+        # difference between a pruned point-fetch and a full scan.  The
+        # literal cap is deliberately modest: a huge In() list bloats
+        # the plan/codegen and costs MORE than the semi-join it replaces
+        # (measured: a 60k-literal list added ~20% to the ingestion
+        # bench row) — corpus-sized candidate sets take the broadcast
+        # semi-join instead.
         cand_ids = cand.select(F.col("index_id").alias(id_col)).distinct()
-        id_list = [r[0] for r in cand_ids.limit(100_001).collect()]
-        if len(id_list) <= 100_000:
+        id_list = [r[0] for r in cand_ids.limit(4_001).collect()]
+        if len(id_list) <= 4_000:
             fetched = exact_verify_with.filter(
                 F.col(id_col).isin(id_list)
             )
