@@ -127,4 +127,57 @@ def decontaminate(
     return clean, stats
 
 
-__all__ = ["contamination_pairs", "decontaminate"]
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    eval_id: str = "vec_id",
+    eval_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SEMANTIC decontamination: flag training rows whose embedding is
+    cosine-≥ ``threshold`` to ANY eval/benchmark embedding — the
+    complement of n-gram :func:`decontaminate` (paraphrased or
+    translated benchmark leaks share no shingles but sit next to the
+    eval point in embedding space; both passes together are the
+    standard curation pair).
+
+    Returns ``(clean, flagged)``: ``clean`` = corpus rows with no eval
+    neighbor at the threshold; ``flagged`` = (corpus_id,
+    nearest_eval_id, cosine) for contaminated rows, nearest-first
+    evidence for an audit.
+
+    Scale shape mirrors the n-gram pass — the asymmetry is the point:
+    the eval set is small and BROADCAST inside the Arrow kernel of
+    :func:`~.similarity.cosine_threshold_match` (per-corpus-row argmax
+    over the whole eval matrix, MAP-ONLY — no ranking window, no
+    shuffle, ≤1 emitted row per corpus row), so the 100 TB corpus is
+    scanned once and never shuffles.  Fixed-point cosine (``fp_dot``
+    recipe) keeps the threshold decision and the emitted scores
+    engine-exact, so the whole pass replays in SQL.
+    """
+    from .similarity import cosine_threshold_match
+
+    check_col([corpus_id, corpus_vec], corpus)
+    check_col([eval_id, eval_vec], eval_df)
+    flagged = cosine_threshold_match(
+        corpus,
+        eval_df,
+        threshold,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        ref_id=eval_id,
+        ref_vec=eval_vec,
+    ).select(
+        F.col("vec_id").alias(corpus_id),
+        F.col("ref_id").alias("nearest_eval_id"),
+        "cosine",
+    )
+    clean = corpus.join(
+        flagged.select(corpus_id), corpus_id, "left_anti"
+    )
+    return clean, flagged
+
+
+__all__ = ["contamination_pairs", "decontaminate", "semantic_decontaminate"]

@@ -258,6 +258,109 @@ def cosine_topk_batched(
     )
 
 
+def cosine_threshold_match(
+    corpus: DataFrame,
+    refs: DataFrame,
+    threshold: float,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    ref_id: str = "ref_id",
+    ref_vec: str = "embedding",
+) -> DataFrame:
+    """Per-CORPUS-row nearest reference at or above ``threshold`` —
+    ``(vec_id, ref_id, cosine)`` for every corpus row whose best cosine
+    against the (small, broadcast) reference set clears the bar; rows
+    below it emit nothing.
+
+    This is the shape :func:`cosine_topk_batched` cannot express: that
+    kernel ranks corpus rows PER QUERY (top-k per reference), while
+    threshold matching needs ALL corpus rows per reference — unbounded
+    per query, but exactly ≤1 output row per CORPUS row.  Here the
+    argmax runs inside the Arrow kernel across the whole broadcast
+    reference matrix, so the plan is MAP-ONLY: the corpus never
+    shuffles, emits at most one row each, and there is no ranking
+    window at all.  Ties break to the smallest ``ref_id`` (total
+    order).  Fixed-point cosine (the :func:`fp_dot` recipe in numpy
+    doubles — identical IEEE ops) keeps scores and the threshold
+    decision engine-exact, so SQL oracles replay the pass bit for bit.
+
+    NULL corpus vectors and NULL/zero-norm reference rows are dropped.
+    """
+    check_col([corpus_id, corpus_vec], corpus)
+    check_col([ref_id, ref_vec], refs)
+    spark = corpus.sparkSession
+    m = float(2**30)
+    rrows = [
+        r
+        for r in refs.select(ref_id, ref_vec).collect()
+        if r[1] is not None
+    ]
+    out_schema = StructType(
+        [
+            StructField("vec_id", corpus.schema[corpus_id].dataType),
+            StructField("ref_id", refs.schema[ref_id].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    src = corpus.select(corpus_id, corpus_vec)
+    if not rrows:
+        return spark.createDataFrame([], out_schema)
+    # sort by ref id so numpy argmax (first max) IS the tiebreak
+    rrows.sort(key=lambda r: r[0])
+    rids = [r[0] for r in rrows]
+    R = np.array([list(r[1]) for r in rrows], dtype=np.float64)
+    rn = np.sqrt(np.floor(R * R * m).astype(np.int64).sum(axis=1) / m)
+    keep = rn > 0.0
+    rids = [i for i, k_ in zip(rids, keep) if k_]
+    R, rn = R[keep], rn[keep]
+    if len(rids) == 0:
+        return spark.createDataFrame([], out_schema)
+    bc = spark.sparkContext.broadcast((rids, R, rn))
+    nr, dim = R.shape
+    chunk_rows = max(1, 16_000_000 // max(nr * dim, 1))
+    thr = float(threshold)
+
+    def kernel(it):
+        rids_l, Rm, rn_l = bc.value
+        rarr = np.asarray(rids_l, dtype=object)
+        for pdf in it:
+            ok = pdf.iloc[:, 1].notna().to_numpy()
+            pdf = pdf.iloc[ok]
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            cids = pdf.iloc[:, 0].to_numpy()
+            cn = np.sqrt(np.floor(C * C * m).astype(np.int64).sum(axis=1) / m)
+            for lo in range(0, len(C), chunk_rows):
+                hi = min(lo + chunk_rows, len(C))
+                dots = (
+                    np.floor(C[lo:hi, None, :] * Rm[None, :, :] * m)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                    .astype(np.float64)
+                    / m
+                )
+                denom = cn[lo:hi, None] * rn_l[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / denom
+                cos[denom == 0.0] = -np.inf
+                best = cos.argmax(axis=1)  # first max = smallest ref id
+                rows = np.arange(len(best))
+                bestcos = cos[rows, best]
+                sel = bestcos >= thr
+                if not sel.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "vec_id": cids[lo:hi][sel],
+                        "ref_id": rarr[best[sel]],
+                        "cosine": bestcos[sel],
+                    }
+                )
+
+    return src.mapInPandas(kernel, out_schema)
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -863,6 +966,7 @@ __all__ = [
     "add_hyperplane_bucket",
     "cosine_topk",
     "cosine_topk_batched",
+    "cosine_threshold_match",
     "hard_negative_mining",
     "hyperplane_lsh_topk",
     "build_ivf_index",

@@ -2232,6 +2232,49 @@ FROM f
 # decontamination / resampling / quality-CDF filtering
 # ---------------------------------------------------------------------------
 
+def emb_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (operators/decontam.
+    semantic_decontaminate): flag training vectors whose embedding is
+    cosine-≥ 0.99 to any eval-set embedding — catches the paraphrased
+    benchmark leaks the n-gram pass (``txt_decontaminate``) structurally
+    misses.  Eval set = every 50th vector (distinct id space); matches
+    are per-CORPUS-row argmax inside the broadcast Arrow kernel
+    (map-only, no shuffle, ≤1 row out per corpus row), fixed-point
+    cosine so DuckDB replays the threshold decision bit for bit."""
+    from ..operators.decontam import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") % 50 == 7).select(
+        (F.col("vec_id") + 1_000_000).alias("eval_id"), "embedding"
+    )
+    _clean, flagged = semantic_decontaminate(
+        emb, ev, threshold=0.99,
+        corpus_id="vec_id", eval_id="eval_id",
+    )
+    return flagged.select("vec_id", "nearest_eval_id", "cosine")
+
+
+EMB_SEMANTIC_DECONTAM_SQL = f"""
+WITH ev AS (
+  SELECT vec_id + 1000000 AS eval_id, embedding
+  FROM embeddings WHERE vec_id % 50 = 7),
+scored AS (
+  SELECT c.vec_id, e.eval_id,
+         ({_sql_fp_dot('c.embedding', 'e.embedding')})
+           / (sqrt({_sql_fp_dot('c.embedding', 'c.embedding')})
+              * sqrt({_sql_fp_dot('e.embedding', 'e.embedding')})) AS cosine
+  FROM embeddings c CROSS JOIN ev e),
+best AS (
+  SELECT vec_id, eval_id AS nearest_eval_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY cosine DESC, eval_id ASC) AS rn
+  FROM scored)
+SELECT vec_id, nearest_eval_id, cosine
+FROM best WHERE rn = 1 AND cosine >= 0.99
+"""
+
+
 def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): md5-split the
     corpus into train (80%) / eval (20%), flag train docs sharing ≥ 2
@@ -7354,6 +7397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_overlap_join": ev_overlap_join,
     "emb_label_centroids": emb_label_centroids,
     "txt_decontaminate": txt_decontaminate,
+    "emb_semantic_decontam": emb_semantic_decontam,
     "samp_temperature": samp_temperature,
     "txt_quantile_filter": txt_quantile_filter,
     "txt_chunk_documents": txt_chunk_documents,
@@ -7494,6 +7538,7 @@ ORACLES: dict[str, str] = {
     "ev_overlap_join": EV_OVERLAP_JOIN_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "txt_decontaminate": TXT_DECONTAM_SQL,
+    "emb_semantic_decontam": EMB_SEMANTIC_DECONTAM_SQL,
     "samp_temperature": SAMP_TEMPERATURE_SQL,
     "txt_quantile_filter": TXT_QUANTILE_FILTER_SQL,
     "txt_chunk_documents": TXT_CHUNK_SQL,

@@ -230,3 +230,83 @@ def test_quantile_filter_empty_and_single_row_groups(spark):
     assert quantile_filter_by_group(df, "g", "score", 0.25, "doc_id").count() == 1
     empty = df.filter(F.col("doc_id") < 0)
     assert quantile_filter_by_group(empty, "g", "score", 0.25, "doc_id").count() == 0
+
+
+# ------------------------------------------------- semantic decontamination
+
+def test_cosine_threshold_match_brute_force(spark):
+    """Map-only argmax kernel ≡ brute-force numpy over random vectors,
+    including the smallest-ref-id tiebreak and zero-norm ref drops."""
+    import numpy as np
+
+    from dataslicer_spark.operators.similarity import cosine_threshold_match
+
+    rng = np.random.default_rng(13)
+    C = rng.normal(0, 1, (60, 6))
+    corpus = spark.createDataFrame(
+        [(i, C[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # refs: copies of some corpus rows (exact hits), one zero vector
+    # (must be dropped), one duplicated vector under two ids (tiebreak)
+    R = {100: C[3], 101: C[17], 102: np.zeros(6), 103: C[17]}
+    refs = spark.createDataFrame(
+        [(k, v.tolist()) for k, v in R.items()],
+        "ref_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.ref_id, r.cosine)
+        for r in cosine_threshold_match(
+            corpus, refs, threshold=0.999
+        ).collect()
+    }
+    m = float(2**30)
+
+    def fpcos(a, b):
+        d = np.floor(a * b * m).astype(np.int64).sum() / m
+        na = math.sqrt(np.floor(a * a * m).astype(np.int64).sum() / m)
+        nb = math.sqrt(np.floor(b * b * m).astype(np.int64).sum() / m)
+        return d / (na * nb)
+
+    expect = {}
+    for i in range(60):
+        best = None
+        for rid in (100, 101, 103):  # 102 is zero-norm: dropped
+            c = fpcos(C[i], np.asarray(R[rid]))
+            if best is None or c > best[1]:
+                best = (rid, c)
+        if best[1] >= 0.999:
+            expect[i] = best
+    assert set(out) == set(expect)
+    for i, (rid, c) in expect.items():
+        assert out[i][0] == rid, f"row {i}: tiebreak/argmax"
+        assert out[i][1] == pytest.approx(c, abs=0)
+    # row 17 matches BOTH 101 and 103 at the same cosine -> smallest id
+    assert out[17][0] == 101
+
+
+def test_semantic_decontaminate_splits(spark):
+    import numpy as np
+
+    from dataslicer_spark.operators.decontam import semantic_decontaminate
+
+    rng = np.random.default_rng(3)
+    C = rng.normal(0, 1, (40, 5))
+    corpus = spark.createDataFrame(
+        [(i, C[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(900, C[5].tolist()), (901, C[11].tolist())],
+        "eval_id long, embedding array<double>",
+    )
+    clean, flagged = semantic_decontaminate(
+        corpus, ev, threshold=0.999, eval_id="eval_id"
+    )
+    bad = {r.vec_id: r.nearest_eval_id for r in flagged.collect()}
+    kept = {r.vec_id for r in clean.collect()}
+    assert bad == {5: 900, 11: 901}
+    assert kept == set(range(40)) - {5, 11}
+    assert all(
+        r.cosine >= 0.999 for r in flagged.collect()
+    )
