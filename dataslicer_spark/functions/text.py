@@ -519,3 +519,160 @@ def paragraph_quality_filter(
         .withColumn(out_col, F.array_join(F.flatten("__good"), " "))
         .drop("__paras", "__good", "__pqf_toks")
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level C4 cleaning and the composed Gopher document gate
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words: int = 5,
+    terminal_punct: tuple[str, ...] = C4_TERMINAL_PUNCT,
+    line_blacklist: tuple[str, ...] = ("javascript", "cookie policy"),
+    doc_blacklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """C4-style line-granular cleaning (Raffel et al. 2020 §2.2): keep a
+    line only if it has ≥ ``min_words`` whitespace words, ends in
+    terminal punctuation, and contains no blacklisted substring
+    (case-insensitive); drop the whole document when it contains any
+    ``doc_blacklist`` substring (C4 drops "lorem ipsum" placeholders and
+    pages with source code ``{``).
+
+    Pure array HOFs over ``split(text, '\\n')`` — a map-only plan with
+    no explode/regroup shuffle, same scale shape as
+    :func:`paragraph_quality_filter` (C4's own pipeline is exactly this:
+    a per-document pure function over 750 GB of text).
+
+    Output: input columns + ``n_lines``, ``n_kept_lines``, ``out_col``
+    (kept lines re-joined with ``\\n``; empty when nothing survives) and
+    ``keep_doc`` (no blacklisted substring AND ≥1 surviving line).
+    """
+    check_col([id_col, text_col], df)
+    if min_words < 1:
+        raise ValueError("min_words must be >= 1")
+    if not terminal_punct:
+        raise ValueError("terminal_punct must be non-empty")
+
+    lines = F.split(F.col(text_col), r"\n")
+
+    def line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        nw = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS)))
+        ok = (nw >= F.lit(int(min_words))) & F.substring(t, -1, 1).isin(
+            list(terminal_punct)
+        )
+        low = F.lower(t)
+        for bad in line_blacklist:
+            ok = ok & ~low.contains(bad.lower())
+        return ok
+
+    doc_bad = F.lit(False)
+    low_doc = F.lower(F.col(text_col))
+    for bad in doc_blacklist:
+        doc_bad = doc_bad | low_doc.contains(bad.lower())
+
+    kept = F.filter(lines, line_ok)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn(out_col, F.array_join(kept, "\n"))
+        .withColumn(
+            "keep_doc", (~doc_bad) & (F.col("n_kept_lines") > F.lit(0))
+        )
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    required_words: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_required_hits: int = 2,
+    max_dup_word_frac: float = 0.5,
+    max_top_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """The composed Gopher/MassiveText document gate (Rae et al. 2021
+    §A1.1), word-level: word-count bounds, mean word length in
+    [min, max], hash/ellipsis symbol-to-word ratio, fraction of words
+    with an alphabetic character, ≥ ``min_required_hits`` distinct
+    "stop words" present, plus the :func:`repetition_stats` thresholds
+    (duplicate-word / top-word / top-bigram shares — the word-level
+    adaptation of Gopher's duplicate-line and top-n-gram rules).
+
+    Plan: the word stats are map-only array HOFs (one integer sum or
+    count each, single IEEE division — engine-exact); the repetition
+    shares reuse :func:`repetition_stats` (two doc-keyed shuffle stages)
+    and join back co-partitioned on the id.  Documents with zero words
+    fail the gate (``n_words`` bound) with NULL ratio columns.
+
+    Output: ``id_col`` + the nine stats + boolean ``pass_gopher``.
+    """
+    check_col([id_col, text_col], df)
+
+    words = tokens_ws(F.col(text_col))
+    n_words = F.size(words)
+    # integer character sum -> one division (bit-reproducible anywhere)
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    req = F.array(*[F.lit(w) for w in required_words])
+    n_required = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), req
+        )
+    )
+
+    stats = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, char_sum.cast("double") / n_words.cast("double"))
+        .alias("mean_word_len"),
+        F.when(n_words > 0, n_alpha.cast("double") / n_words.cast("double"))
+        .alias("alpha_word_frac"),
+        F.when(
+            n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+        ).alias("symbol_word_ratio"),
+        n_required.alias("n_required_hits"),
+    )
+
+    rep = repetition_stats(df, id_col, text_col).select(
+        id_col, "dup_word_frac", "top_word_frac", "top_bigram_frac"
+    )
+    j = stats.join(rep, id_col, "left")
+
+    passes = (
+        (F.col("n_words") >= F.lit(int(min_words)))
+        & (F.col("n_words") <= F.lit(int(max_words)))
+        & (F.col("mean_word_len") >= F.lit(float(min_mean_word_len)))
+        & (F.col("mean_word_len") <= F.lit(float(max_mean_word_len)))
+        & (F.col("symbol_word_ratio") <= F.lit(float(max_symbol_word_ratio)))
+        & (F.col("alpha_word_frac") >= F.lit(float(min_alpha_word_frac)))
+        & (F.col("n_required_hits") >= F.lit(int(min_required_hits)))
+        & (F.col("dup_word_frac") <= F.lit(float(max_dup_word_frac)))
+        & (F.col("top_word_frac") <= F.lit(float(max_top_word_frac)))
+        & (
+            F.col("top_bigram_frac").isNull()
+            | (F.col("top_bigram_frac") <= F.lit(float(max_top_bigram_frac)))
+        )
+    )
+    return j.withColumn("pass_gopher", F.coalesce(passes, F.lit(False)))

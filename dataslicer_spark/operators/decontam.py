@@ -181,3 +181,63 @@ def semantic_decontaminate(
 
 
 __all__ = ["contamination_pairs", "decontaminate", "semantic_decontaminate"]
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    ref: DataFrame,
+    corpus_id: str,
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus: the fraction
+    of a document's DISTINCT word n-grams that do NOT occur anywhere in
+    ``ref`` — the memorization/overlap score that complements
+    :func:`decontaminate` (which flags; this quantifies).  Low novelty →
+    the document is mostly restatements of the reference (near-dup of
+    training data, benchmark leakage, boilerplate); high novelty → new
+    content worth keeping.
+
+    Plan: both sides explode to per-doc distinct shingles; the reference
+    set is reduced to DISTINCT shingles (one aggregate) and left-joined;
+    one final doc-keyed aggregate with exact integer counts and a single
+    IEEE division — engine-reproducible.  With ``hashed=True`` the join
+    key is the 64-bit ``xxhash64`` of the shingle, so the shuffle
+    carries 8-byte keys instead of n-gram strings (the production
+    default at 100 TB; an engine-specific hash, so the DuckDB oracle
+    twin ``txt_ngram_novelty`` runs ``hashed=False``, and the pytest
+    asserts the two modes agree).
+
+    Documents with fewer than ``n`` words have no shingles and are
+    absent from the output (no 0/0 row).
+    """
+    check_col([corpus_id, text_col], corpus)
+    check_col([text_col], ref)
+    doc_sh = _shingle_set(corpus, corpus_id, text_col, n, corpus_id)
+    ref_sh = (
+        ref.select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), n))
+            ).alias("s")
+        )
+        .distinct()
+    )
+    if hashed:
+        doc_sh = doc_sh.select(corpus_id, F.xxhash64("s").alias("s"))
+        ref_sh = ref_sh.select(F.xxhash64("s").alias("s"))
+    flagged = doc_sh.join(
+        ref_sh.withColumn("__seen", F.lit(1)), "s", "left"
+    )
+    return flagged.groupBy(corpus_id).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(
+            F.when(F.col("__seen").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_novel"),
+        (
+            F.sum(
+                F.when(F.col("__seen").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novel_frac"),
+    )

@@ -937,6 +937,52 @@ def resolve_duplicate_groups(
     )
 
 
+def dedup_threshold_sweep(
+    pairs: DataFrame,
+    thresholds,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "jaccard",
+) -> DataFrame:
+    """Dedup tuning curve: for each candidate similarity threshold, how
+    many pairs survive and how many distinct documents are implicated —
+    the sweep you run ONCE on a sample to pick the production threshold
+    (the marginal-pairs elbow), instead of re-mining pairs per guess.
+
+    Takes an already-mined pair table (:func:`ngram_jaccard_pairs`,
+    :func:`minhash_lsh_pairs`, :func:`simhash_pairs`, ...) mined at the
+    LOWEST threshold under consideration; the sweep itself is one
+    broadcast nested-loop join against the tiny threshold list (pair ×
+    threshold rows, bounded by len(thresholds)·|pairs|) and two
+    threshold-keyed aggregates — the expensive candidate mining is not
+    repeated.
+
+    Output: ``threshold`` + ``n_pairs`` + ``n_docs`` (distinct ids in
+    any surviving pair), one row per threshold.
+    """
+    check_col([id_a, id_b, score_col], pairs)
+    ts = sorted(float(t) for t in thresholds)
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    spark = pairs.sparkSession
+    thr = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    hits = pairs.join(
+        F.broadcast(thr), F.col(score_col) >= F.col("threshold")
+    )
+    n_pairs = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        hits.select(
+            "threshold",
+            F.explode(F.array(F.col(id_a), F.col(id_b))).alias("__d"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("__d").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "threshold")
+
+
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
@@ -951,4 +997,5 @@ __all__ = [
     "semantic_dedup",
     "dedup_against",
     "resolve_duplicate_groups",
+    "dedup_threshold_sweep",
 ]

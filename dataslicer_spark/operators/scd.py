@@ -114,4 +114,37 @@ def apply_changelog(
     return merged.filter(~deleted).select(*keys, *out_attrs)
 
 
-__all__ = ["scd2_history", "scd2_current", "apply_changelog"]
+def snapshot_as_of(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    attr_cols: Sequence[str],
+    as_of,
+) -> DataFrame:
+    """Time travel over a changelog-backed table: reconstruct the state
+    the table had at sequence point ``as_of`` by replaying only the
+    changelog prefix ``seq_col <= as_of`` onto the base snapshot —
+    the ``VERSION AS OF`` read of lakehouse formats, on plain parquet.
+
+    Delegates to :func:`apply_changelog`, so the plan is one predicate-
+    pushed changelog scan (the ``seq`` filter prunes row groups when the
+    log is written seq-sorted or partitioned by seq range — exactly how
+    sources/lake.py lays out CDC output) followed by the standard MERGE
+    shape.  Use a seq-range loop of calls to diff versions, or
+    :func:`scd2_history` when you need EVERY version materialized.
+    """
+    check_col([seq_col], changes)
+    prefix = changes.filter(F.col(seq_col) <= F.lit(as_of))
+    return apply_changelog(
+        snapshot, prefix, key_cols, seq_col, op_col, attr_cols
+    )
+
+
+__all__ = [
+    "scd2_history",
+    "scd2_current",
+    "apply_changelog",
+    "snapshot_as_of",
+]

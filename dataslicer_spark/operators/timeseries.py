@@ -462,6 +462,148 @@ def detect_event_pattern(
     )
 
 
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the standard
+    online smoother ``e_t = α·x_t + (1−α)·e_{t−1}`` seeded with
+    ``e_0 = x_0`` (pandas ``ewm(adjust=False)`` semantics).
+
+    The recurrence is inherently order-dependent, so this is a grouped
+    stateful kernel through :func:`..utils.grouped_map_in_pandas`'s
+    ``batch_fn`` mode: ONE shuffle on the key, rows arrive key-grouped
+    and time-sorted, one Python call per Arrow batch.  At scale the
+    parallelism unit is the key — the best any engine can do for an
+    order-dependent scan (same argument as :func:`debounce`).
+
+    The per-step arithmetic is written as exactly ``α·x + (1−α)·e``
+    (two IEEE-754 multiplies and one add, fixed order), so any engine
+    replaying the same recurrence — e.g. the DuckDB recursive-CTE
+    oracle twin (``ev_ewma_smooth``) — reproduces it bit-for-bit.
+    NaN/NULL inputs poison the tail of their series by design; drop or
+    interpolate first (:func:`interpolate_linear`).
+
+    ``order_col`` must be unique per key (engine-deterministic order).
+    """
+    if not (0.0 < float(alpha) <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    by = list(key_cols)
+    check_col(by + [order_col, value_col], df)
+
+    import pyspark.sql.types as T
+
+    from ..utils import grouped_map_in_pandas
+
+    a = float(alpha)
+    one_minus_a = 1.0 - a
+
+    def batch_kernel(pdf, bounds):
+        import numpy as np
+
+        x = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty(len(x), dtype="float64")
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ew = x[s]
+            out[s] = ew
+            for i in range(s + 1, e):
+                ew = a * x[i] + one_minus_a * ew
+                out[i] = ew
+        res = pdf.copy()
+        res[out_col] = out
+        return res
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    return grouped_map_in_pandas(
+        df, by, None, schema, batch_fn=batch_kernel, sort_cols=[order_col]
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Per-key two-sided CUSUM change detection (Page 1954): in
+    ``order_col`` order accumulate
+
+    - ``s_pos = max(0, s_pos + ((x − target) − slack))`` — upward drift,
+    - ``s_neg = max(0, s_neg + ((target − x) − slack))`` — downward,
+
+    flag ``alarm`` whenever either exceeds ``threshold``, and reset BOTH
+    accumulators to 0 after an alarm (restart detection).  ``target`` is
+    a caller-supplied reference level (estimate it upstream with a
+    separate aggregate if needed — keeping it a literal makes the scan
+    single-pass and the arithmetic engine-portable).
+
+    Same execution shape and bit-reproducibility contract as
+    :func:`ewma_smooth`: one key shuffle, batched Arrow kernel, per-step
+    IEEE ops in fixed order mirrored by the DuckDB recursive-CTE oracle
+    (``ev_changepoint``).  Returns all input columns plus ``s_pos``,
+    ``s_neg`` (pre-reset values) and ``alarm``.
+    """
+    by = list(key_cols)
+    check_col(by + [order_col, value_col], df)
+    if float(threshold) <= 0.0:
+        raise ValueError("threshold must be positive")
+
+    import pyspark.sql.types as T
+
+    from ..utils import grouped_map_in_pandas
+
+    tgt = float(target)
+    k = float(slack)
+    h = float(threshold)
+
+    def batch_kernel(pdf, bounds):
+        import numpy as np
+
+        x = pdf[value_col].to_numpy(dtype="float64")
+        sp_out = np.empty(len(x), dtype="float64")
+        sn_out = np.empty(len(x), dtype="float64")
+        al_out = np.empty(len(x), dtype=bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sp = 0.0
+            sn = 0.0
+            for i in range(s, e):
+                sp = max(0.0, sp + ((x[i] - tgt) - k))
+                sn = max(0.0, sn + ((tgt - x[i]) - k))
+                alarm = sp > h or sn > h
+                sp_out[i] = sp
+                sn_out[i] = sn
+                al_out[i] = alarm
+                if alarm:
+                    sp = 0.0
+                    sn = 0.0
+        res = pdf.copy()
+        res["s_pos"] = sp_out
+        res["s_neg"] = sn_out
+        res["alarm"] = al_out
+        return res
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("s_pos", T.DoubleType(), True),
+            T.StructField("s_neg", T.DoubleType(), True),
+            T.StructField("alarm", T.BooleanType(), True),
+        ]
+    )
+    return grouped_map_in_pandas(
+        df, by, None, schema, batch_fn=batch_kernel, sort_cols=[order_col]
+    )
+
+
 __all__ = [
     "rolling_window_stats",
     "funnel_conversion",
@@ -470,4 +612,6 @@ __all__ = [
     "debounce",
     "interpolate_linear",
     "detect_event_pattern",
+    "ewma_smooth",
+    "cusum_changepoints",
 ]

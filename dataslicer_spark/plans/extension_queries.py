@@ -7340,6 +7340,466 @@ ORDER BY f.filterid
 """
 
 
+def ev_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/timeseries.ewma_smooth,
+    α=0.25): the classic online smoother, an order-dependent recurrence
+    run as ONE key shuffle + a batched Arrow kernel.  The oracle replays
+    the identical ``α·x + (1−α)·e`` recurrence as a recursive CTE, so
+    the doubles match bit-for-bit."""
+    from ..operators.timeseries import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ewma_smooth(ev, ["user_id"], "event_id", "value", alpha=0.25)
+
+
+EV_EWMA_SMOOTH_SQL = r"""
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events),
+s(user_id, event_id, value, rn, ewma) AS (
+  SELECT user_id, event_id, value, rn, value FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.value, o.rn,
+         0.25 * o.value + 0.75 * s.ewma
+  FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1)
+SELECT user_id, event_id, value, ewma FROM s
+"""
+
+
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change detection per user (operators/timeseries.
+    cusum_changepoints: target=50, slack=15, threshold=120, reset after
+    alarm).  Emits only rows near/at alarms (s_pos or s_neg above half
+    the threshold) to keep the output alarm-focused.  Oracle: recursive
+    CTE carrying the post-reset accumulators with the identical IEEE op
+    order."""
+    from ..operators.timeseries import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = cusum_changepoints(
+        ev, ["user_id"], "event_id", "value",
+        target=50.0, slack=15.0, threshold=120.0,
+    )
+    return out.filter(
+        (F.col("s_pos") > F.lit(60.0)) | (F.col("s_neg") > F.lit(60.0))
+    ).select("user_id", "event_id", "value", "s_pos", "s_neg", "alarm")
+
+
+EV_CHANGEPOINT_SQL = r"""
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events),
+s(user_id, event_id, value, rn, s_pos, s_neg, alarm, cp, cn) AS (
+  SELECT user_id, event_id, value, rn,
+         greatest(0.0, 0.0 + ((value - 50.0) - 15.0)),
+         greatest(0.0, 0.0 + ((50.0 - value) - 15.0)),
+         greatest(0.0, 0.0 + ((value - 50.0) - 15.0)) > 120.0
+           OR greatest(0.0, 0.0 + ((50.0 - value) - 15.0)) > 120.0,
+         CASE WHEN greatest(0.0, 0.0 + ((value - 50.0) - 15.0)) > 120.0
+                   OR greatest(0.0, 0.0 + ((50.0 - value) - 15.0)) > 120.0
+              THEN 0.0
+              ELSE greatest(0.0, 0.0 + ((value - 50.0) - 15.0)) END,
+         CASE WHEN greatest(0.0, 0.0 + ((value - 50.0) - 15.0)) > 120.0
+                   OR greatest(0.0, 0.0 + ((50.0 - value) - 15.0)) > 120.0
+              THEN 0.0
+              ELSE greatest(0.0, 0.0 + ((50.0 - value) - 15.0)) END
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.value, o.rn,
+         greatest(0.0, s.cp + ((o.value - 50.0) - 15.0)),
+         greatest(0.0, s.cn + ((50.0 - o.value) - 15.0)),
+         greatest(0.0, s.cp + ((o.value - 50.0) - 15.0)) > 120.0
+           OR greatest(0.0, s.cn + ((50.0 - o.value) - 15.0)) > 120.0,
+         CASE WHEN greatest(0.0, s.cp + ((o.value - 50.0) - 15.0)) > 120.0
+                   OR greatest(0.0, s.cn + ((50.0 - o.value) - 15.0)) > 120.0
+              THEN 0.0
+              ELSE greatest(0.0, s.cp + ((o.value - 50.0) - 15.0)) END,
+         CASE WHEN greatest(0.0, s.cp + ((o.value - 50.0) - 15.0)) > 120.0
+                   OR greatest(0.0, s.cn + ((50.0 - o.value) - 15.0)) > 120.0
+              THEN 0.0
+              ELSE greatest(0.0, s.cn + ((50.0 - o.value) - 15.0)) END
+  FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1)
+SELECT user_id, event_id, value, s_pos, s_neg, alarm
+FROM s WHERE s_pos > 60.0 OR s_neg > 60.0
+"""
+
+
+def txt_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (functions/text.c4_line_filter).  The
+    synthetic corpus has no newlines, so the query first builds a lined
+    twin deterministically — 7-word lines, terminal '.' on lines where
+    (doc_id+i) % 4 != 0, ' javascript' injected where (3·doc_id+i) % 11
+    == 0, and a trailing 'lorem ipsum.' line on doc_id % 97 == 0 — the
+    same replay technique as the astro oracle twin; every C4 rule
+    (min-words, terminal punctuation, line blacklist, document
+    blacklist) fires on real rows.  Map-only array HOFs end to end."""
+    from ..functions.text import c4_line_filter
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", "text")
+        .withColumn("__tk", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn(
+            "__np", F.ceil(F.size("__tk") / F.lit(7.0)).cast("int")
+        )
+    )
+    i7 = lambda i: F.slice(F.col("__tk"), i * 7 + 1, 7)  # noqa: E731
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("__np").cast("long") - 1),
+        lambda i: F.concat(
+            F.array_join(i7(i), " "),
+            F.when(
+                (F.col("doc_id") * 3 + i) % 11 == 0, F.lit(" javascript")
+            ).otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 4 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    lined = F.array_join(lines, "\n")
+    lined = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.concat(lined, F.lit("\nlorem ipsum.")),
+    ).otherwise(lined)
+    staged = docs.select("doc_id", lined.alias("text"))
+    return c4_line_filter(
+        staged,
+        "doc_id",
+        min_words=5,
+        line_blacklist=("javascript",),
+        doc_blacklist=("lorem ipsum", "{"),
+    ).select("doc_id", "n_lines", "n_kept_lines", "cleaned_text", "keep_doc")
+
+
+TXT_C4_CLEAN_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE trim(text) <> ''),
+p AS (
+  SELECT doc_id, tk,
+         CAST(ceil(len(tk) / 7.0) AS INT) AS np
+  FROM t),
+l AS (
+  SELECT doc_id,
+         list_transform(range(CAST(np AS BIGINT)), i ->
+           array_to_string(tk[CAST(i*7+1 AS INT):CAST(i*7+7 AS INT)], ' ')
+           || CASE WHEN (doc_id*3 + i) % 11 = 0
+                   THEN ' javascript' ELSE '' END
+           || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END
+         ) AS lines
+  FROM p),
+d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0
+              THEN list_append(lines, 'lorem ipsum.') ELSE lines END AS lines
+  FROM l),
+f AS (
+  SELECT doc_id, lines,
+         lower(array_to_string(lines, chr(10))) AS low_text,
+         list_filter(lines, ln ->
+           (CASE WHEN trim(ln) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(ln), '\s+')) END) >= 5
+           AND right(trim(ln), 1) IN ('.', '!', '?', '"', '''')
+           AND NOT contains(lower(trim(ln)), 'javascript')
+         ) AS kept
+  FROM d)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept_lines,
+       COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       (NOT (contains(low_text, 'lorem ipsum') OR contains(low_text, '{')))
+         AND len(kept) > 0 AS keep_doc
+FROM f
+"""
+
+
+def txt_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Gopher/MassiveText document gate (functions/text.
+    gopher_quality_filter) with thresholds straddling the corpus
+    distribution (word count 20–90 vs the 10–99 observed range,
+    top-word share ≤ 0.15 vs median 0.093/max 0.3, duplicate-word share
+    ≤ 0.6 vs median 0.54/max 0.72, ≥3 of 6 required corpus words) so
+    every rule fires on real rows.  Word stats are map-only HOFs;
+    repetition shares reuse the repetition_stats plan."""
+    from ..functions.text import gopher_quality_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_filter(
+        docs,
+        "doc_id",
+        min_words=20,
+        max_words=90,
+        min_mean_word_len=3.0,
+        max_mean_word_len=10.0,
+        max_symbol_word_ratio=0.1,
+        min_alpha_word_frac=0.8,
+        required_words=("join", "hash", "row", "batch", "scan", "column"),
+        min_required_hits=3,
+        max_dup_word_frac=0.6,
+        max_top_word_frac=0.15,
+        max_top_bigram_frac=0.08,
+    )
+
+
+TXT_GOPHER_FILTER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+stats AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         CASE WHEN len(w) > 0 THEN
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             / CAST(len(w) AS DOUBLE) END AS mean_word_len,
+         CASE WHEN len(w) > 0 THEN
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS alpha_word_frac,
+         CASE WHEN len(w) > 0 THEN
+           CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+             / CAST(len(w) AS DOUBLE) END AS symbol_word_ratio,
+         CAST(len(list_intersect(
+           list_distinct(list_transform(w, x -> lower(x))),
+           ['join', 'hash', 'row', 'batch', 'scan', 'column']))
+           AS INT) AS n_required_hits
+  FROM base),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+words AS (SELECT doc_id, u.x FROM toks, UNNEST(t) AS u(x)),
+wc AS (SELECT doc_id, x, COUNT(*) AS c FROM words GROUP BY doc_id, x),
+wagg AS (
+  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word_count,
+         COUNT(*) AS n_distinct_words
+  FROM wc GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g),
+bagg AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
+  FROM bc GROUP BY doc_id),
+rep AS (
+  SELECT w.doc_id,
+         (CAST(w.n_words AS BIGINT) - CAST(w.n_distinct_words AS BIGINT))
+           / CAST(w.n_words AS DOUBLE) AS dup_word_frac,
+         CAST(w.top_word_count AS BIGINT)
+           / CAST(w.n_words AS DOUBLE) AS top_word_frac,
+         CAST(b.top_bigram_count AS BIGINT)
+           / CAST(b.n_bigrams AS DOUBLE) AS top_bigram_frac
+  FROM wagg w LEFT JOIN bagg b USING (doc_id))
+SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_word_frac,
+       s.symbol_word_ratio, s.n_required_hits,
+       r.dup_word_frac, r.top_word_frac, r.top_bigram_frac,
+       COALESCE(
+         s.n_words >= 20 AND s.n_words <= 90
+         AND s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
+         AND s.symbol_word_ratio <= 0.1
+         AND s.alpha_word_frac >= 0.8
+         AND s.n_required_hits >= 3
+         AND r.dup_word_frac <= 0.6
+         AND r.top_word_frac <= 0.15
+         AND (r.top_bigram_frac IS NULL OR r.top_bigram_frac <= 0.08),
+         FALSE) AS pass_gopher
+FROM stats s LEFT JOIN rep r USING (doc_id)
+"""
+
+
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty vs the src0 sub-corpus as reference
+    (operators/decontam.ngram_novelty): the fraction of each non-src0
+    document's distinct word 3-grams never seen in src0 — quantified
+    overlap, complementing txt_decontaminate's binary flag.  Runs
+    hashed=False so the DuckDB twin joins the same shingle strings (the
+    hashed production path is pytest-verified equivalent)."""
+    from ..operators.decontam import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0").select("text")
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    return ngram_novelty(corpus, ref, "doc_id", n=3, hashed=False)
+
+
+TXT_NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 3),
+doc_sh AS (
+  SELECT doc_id, u.s FROM sh, UNNEST(g) AS u(s) WHERE source <> 'src0'),
+ref_sh AS (
+  SELECT DISTINCT u.s FROM sh, UNNEST(g) AS u(s) WHERE source = 'src0')
+SELECT d.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novel_frac
+FROM doc_sh d LEFT JOIN ref_sh r ON d.s = r.s
+GROUP BY d.doc_id
+"""
+
+
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic
+    (operators/drift.ks_2sample): returned ('A') vs refused ('R')
+    lineitems compared per feature over four unpivoted columns —
+    distinct-value histogram, windowed ECDF per feature, integer
+    cross-multiplied sup, one final division."""
+    from ..operators.drift import ks_2sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(
+        "l_returnflag",
+        "stack(4, 'quantity', l_quantity, 'discount', l_discount, "
+        "'tax', l_tax, 'linenumber', CAST(l_linenumber AS DOUBLE)) "
+        "AS (feature, value)",
+    )
+    return ks_2sample(feats, "l_returnflag", "value", ["feature"], "A", "R")
+
+
+DQ_KS_TEST_SQL = r"""
+WITH f AS (
+  SELECT l_returnflag AS flag, 'quantity' AS feature, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'linenumber', CAST(l_linenumber AS DOUBLE)
+  FROM lineitem),
+c AS (
+  SELECT feature, value,
+         CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM f WHERE flag IN ('A', 'R') GROUP BY feature, value),
+w AS (
+  SELECT feature,
+         SUM(ca) OVER (PARTITION BY feature ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (PARTITION BY feature ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM c),
+t AS (
+  SELECT feature, CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM c GROUP BY feature)
+SELECT w.feature, t.n_a, t.n_b,
+       CAST(MAX(ABS(w.cum_a * t.n_b - w.cum_b * t.n_a)) AS DOUBLE)
+         / CAST(t.n_a * t.n_b AS DOUBLE) AS ks
+FROM w JOIN t USING (feature)
+GROUP BY w.feature, t.n_a, t.n_b
+"""
+
+
+def lk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION-AS-OF read (operators/scd.snapshot_as_of): the lk_cdc_apply
+    frame replayed only through event_id <= 5000 — the reconstructed
+    mid-log table state, exercising prefix-filter pushdown into the
+    changelog scan plus the standard MERGE shape."""
+    from ..operators.scd import snapshot_as_of
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("val"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value").alias("val"),
+    )
+    return snapshot_as_of(
+        snap, changes, ["k"], "seq", "op", ["val"], as_of=5000
+    )
+
+
+LK_TIME_TRAVEL_SQL = r"""
+WITH changes AS (
+  SELECT user_id AS k, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value AS val
+  FROM events WHERE event_id <= 5000),
+latest AS (
+  SELECT k, op, val FROM (
+    SELECT k, op, val,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM changes)
+  WHERE rn = 1),
+snap AS (SELECT c_custkey AS k, c_acctbal AS val FROM customer)
+SELECT COALESCE(s.k, c.k) AS k,
+       CASE WHEN c.k IS NOT NULL THEN c.val ELSE s.val END AS val
+FROM snap s FULL OUTER JOIN latest c ON s.k = c.k
+WHERE NOT (c.k IS NOT NULL AND c.op = 'D')
+"""
+
+
+def dd_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning curve (operators/dedup.
+    dedup_threshold_sweep): the dd_ngram_jaccard pair table mined ONCE
+    at 0.05, then pair/doc survivor counts per candidate threshold via
+    one broadcast sweep — the pick-the-elbow query run before committing
+    a production dedup threshold."""
+    from ..operators.dedup import dedup_threshold_sweep
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.05)
+    return dedup_threshold_sweep(
+        pairs, [0.05, 0.1, 0.2, 0.3, 0.5], score_col="jaccard"
+    )
+
+
+DD_DEDUP_SWEEP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.05),
+thr(threshold) AS (VALUES (0.05), (0.1), (0.2), (0.3), (0.5)),
+hits AS (
+  SELECT t.threshold, p.id_a, p.id_b
+  FROM pairs p JOIN thr t ON p.jaccard >= t.threshold),
+np AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM hits GROUP BY threshold),
+nd AS (
+  SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT threshold, id_a AS d FROM hits
+        UNION ALL
+        SELECT threshold, id_b FROM hits)
+  GROUP BY threshold)
+SELECT threshold, n_pairs, n_docs FROM np JOIN nd USING (threshold)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7474,6 +7934,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_topic_clusters": txt_topic_clusters,
     "txt_topic_profile": txt_topic_profile,
     "txt_span_dedup": txt_span_dedup,
+    "ev_ewma_smooth": ev_ewma_smooth,
+    "ev_changepoint": ev_changepoint,
+    "txt_c4_clean": txt_c4_clean,
+    "txt_gopher_filter": txt_gopher_filter,
+    "txt_ngram_novelty": txt_ngram_novelty,
+    "dq_ks_test": dq_ks_test,
+    "lk_time_travel": lk_time_travel,
+    "dd_dedup_sweep": dd_dedup_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -7657,4 +8125,12 @@ ORACLES: dict[str, str] = {
     # cluster-grain salient terms over the same replayed trajectory
     "txt_topic_profile": TXT_TOPIC_PROFILE_SQL,
     "txt_span_dedup": TXT_SPAN_DEDUP_SQL,
+    "ev_ewma_smooth": EV_EWMA_SMOOTH_SQL,
+    "ev_changepoint": EV_CHANGEPOINT_SQL,
+    "txt_c4_clean": TXT_C4_CLEAN_SQL,
+    "txt_gopher_filter": TXT_GOPHER_FILTER_SQL,
+    "txt_ngram_novelty": TXT_NGRAM_NOVELTY_SQL,
+    "dq_ks_test": DQ_KS_TEST_SQL,
+    "lk_time_travel": LK_TIME_TRAVEL_SQL,
+    "dd_dedup_sweep": DD_DEDUP_SWEEP_SQL,
 }

@@ -63,3 +63,49 @@ def test_disjoint_supports_tvd_one(spark):
     df_b = spark.createDataFrame([("g", 100.0)] * 4, "g string, v double")
     r = histogram_drift(df_a, df_b, ["g"], "v", 5.0).collect()[0]
     assert r["tvd"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# ks_2sample — brute-force ECDF parity + validation
+# ---------------------------------------------------------------------------
+
+
+def test_ks_2sample_brute_force(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dataslicer_spark.operators.drift import ks_2sample
+
+    rng = np.random.default_rng(5)
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "feat": rng.choice(["f1", "f2"], n),
+            "lab": rng.choice(["a", "b", "c"], n),  # 'c' must be ignored
+            "v": np.round(rng.normal(0, 1, n), 2),
+        }
+    )
+    # shift one side of f2 so the two features differ
+    pdf.loc[(pdf.feat == "f2") & (pdf.lab == "b"), "v"] += 1.5
+    out = {
+        r["feat"]: r
+        for r in ks_2sample(
+            spark.createDataFrame(pdf), "lab", "v", ["feat"], "a", "b"
+        ).collect()
+    }
+    for feat in ("f1", "f2"):
+        a = np.sort(pdf[(pdf.feat == feat) & (pdf.lab == "a")].v.to_numpy())
+        b = np.sort(pdf[(pdf.feat == feat) & (pdf.lab == "b")].v.to_numpy())
+        grid = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        d = float(np.max(np.abs(fa - fb)))
+        r = out[feat]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert abs(r["ks"] - d) < 1e-12
+    assert out["f2"]["ks"] > out["f1"]["ks"]  # the injected shift shows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ks_2sample(spark.createDataFrame(pdf), "lab", "v", [], "a", "b")

@@ -270,3 +270,53 @@ def test_snapshot_diff_classification(spark):
     dup = old.unionByName(old.limit(1))
     with pytest.raises(ValueError, match="duplicate keys"):
         snapshot_diff(dup, new, ["k"])
+
+
+def test_snapshot_as_of_prefix_replay(spark):
+    import pandas as pd
+
+    from dataslicer_spark.operators.scd import apply_changelog, snapshot_as_of
+
+    snap = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "val": [10.0, 20.0, 30.0]})
+    )
+    changes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k":   [1,    2,   4,    1,   4],
+                "seq": [1,    2,   3,    4,   5],
+                "op":  ["U", "D", "U", "D", "U"],
+                "val": [11.0, None, 40.0, None, 44.0],
+            }
+        )
+    )
+    # as_of=3: k1->11, k2 deleted, k3 untouched, k4 inserted at 40
+    got = {
+        r["k"]: r["val"]
+        for r in snapshot_as_of(
+            snap, changes, ["k"], "seq", "op", ["val"], as_of=3
+        ).collect()
+    }
+    assert got == {1: 11.0, 3: 30.0, 4: 40.0}
+    # as_of beyond the log == full apply_changelog
+    full = {
+        r["k"]: r["val"]
+        for r in apply_changelog(
+            snap, changes, ["k"], "seq", "op", ["val"]
+        ).collect()
+    }
+    asof_all = {
+        r["k"]: r["val"]
+        for r in snapshot_as_of(
+            snap, changes, ["k"], "seq", "op", ["val"], as_of=99
+        ).collect()
+    }
+    assert asof_all == full == {3: 30.0, 4: 44.0}
+    # as_of before the log == the base snapshot
+    asof_0 = {
+        r["k"]: r["val"]
+        for r in snapshot_as_of(
+            snap, changes, ["k"], "seq", "op", ["val"], as_of=0
+        ).collect()
+    }
+    assert asof_0 == {1: 10.0, 2: 20.0, 3: 30.0}

@@ -41,6 +41,10 @@ ALLOW = {
     # brute-force top-k: query side is broadcast BY DESIGN (corpus never
     # shuffles) — documented in operators/similarity.py
     "sim_topk_bruteforce": {"nested-loop-join"},
+    # threshold sweep: the 5-row threshold list broadcasts against the
+    # pre-mined pair table (bounded fanout len(thresholds)·|pairs|) —
+    # documented in operators/dedup.dedup_threshold_sweep
+    "dd_dedup_sweep": {"nested-loop-join"},
     # theta-sketch set algebra: outputs are sketch-sized (a few rows);
     # the nested loop joins two 1-row sketch aggregates
     "sk_theta_sets": {"nested-loop-join", "single-partition-exchange"},

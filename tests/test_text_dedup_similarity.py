@@ -602,3 +602,32 @@ def test_containment_tie_orientation_and_threshold(spark):
     )
     r = containment_pairs(df, "doc_id", threshold=0.99).collect()[0]
     assert (r.inner_id, r.outer_id, r.containment) == (5, 9, 1.0)
+
+
+def test_dedup_threshold_sweep_brute_force(spark):
+    import pandas as pd
+
+    from dataslicer_spark.operators.dedup import dedup_threshold_sweep
+
+    pairs = pd.DataFrame(
+        {
+            "id_a":    [1,    1,   2,   5],
+            "id_b":    [2,    3,   3,   6],
+            "jaccard": [0.95, 0.6, 0.3, 0.1],
+        }
+    )
+    out = {
+        r["threshold"]: (r["n_pairs"], r["n_docs"])
+        for r in dedup_threshold_sweep(
+            spark.createDataFrame(pairs), [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    assert out == {
+        0.1: (4, 5),   # all pairs; docs {1,2,3,5,6}
+        0.5: (2, 3),   # (1,2) (1,3); docs {1,2,3}
+        0.9: (1, 2),   # (1,2)
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_threshold_sweep(spark.createDataFrame(pairs), [])

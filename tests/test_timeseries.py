@@ -583,3 +583,98 @@ def test_stream_debounce_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from dbnc").collect()
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# ewma_smooth / cusum_changepoints — brute-force parity vs pure-pandas replay
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_brute_force(spark):
+    from dataslicer_spark.operators.timeseries import ewma_smooth
+
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n),
+            "ord": np.arange(n, dtype="int64"),
+            "x": np.round(rng.normal(50, 20, n), 4),
+        }
+    )
+    alpha = 0.3
+    out = (
+        ewma_smooth(spark.createDataFrame(pdf), ["k"], "ord", "x", alpha)
+        .toPandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    # pure-python replay with the documented recurrence
+    exp = {}
+    state: dict[int, float] = {}
+    for _, r in pdf.sort_values("ord").iterrows():
+        k = int(r.k)
+        e = r.x if k not in state else alpha * r.x + (1.0 - alpha) * state[k]
+        state[k] = e
+        exp[int(r.ord)] = e
+    got = dict(zip(out["ord"].astype(int), out["ewma"]))
+    assert got.keys() == exp.keys()
+    for o in exp:
+        assert got[o] == exp[o]  # bit-identical, same op order
+
+
+def test_ewma_single_row_groups_and_validation(spark):
+    from dataslicer_spark.operators.timeseries import ewma_smooth
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "ord": [0, 1], "x": [3.5, -1.25]})
+    )
+    out = ewma_smooth(df, ["k"], "ord", "x", 0.5).toPandas()
+    assert sorted(out["ewma"]) == [-1.25, 3.5]  # seed = first value
+    with pytest.raises(ValueError):
+        ewma_smooth(df, ["k"], "ord", "x", 0.0)
+
+
+def test_cusum_brute_force_with_resets(spark):
+    from dataslicer_spark.operators.timeseries import cusum_changepoints
+
+    rng = np.random.default_rng(13)
+    n = 500
+    # level shift mid-series per key so alarms actually fire
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "ord": np.arange(n, dtype="int64"),
+            "x": np.round(rng.normal(10, 2, n), 4),
+        }
+    )
+    pdf.loc[pdf["ord"] % 3 == 0, "x"] += 25.0  # upward bursts
+    tgt, slack, h = 10.0, 3.0, 30.0
+    out = (
+        cusum_changepoints(
+            spark.createDataFrame(pdf), ["k"], "ord", "x", tgt, slack, h
+        )
+        .toPandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    sp_state: dict[int, float] = {}
+    sn_state: dict[int, float] = {}
+    n_alarms = 0
+    for _, r in pdf.sort_values("ord").iterrows():
+        k = int(r.k)
+        sp = max(0.0, sp_state.get(k, 0.0) + ((r.x - tgt) - slack))
+        sn = max(0.0, sn_state.get(k, 0.0) + ((tgt - r.x) - slack))
+        alarm = sp > h or sn > h
+        row = out[out["ord"] == r.ord].iloc[0]
+        assert row.s_pos == sp and row.s_neg == sn and bool(row.alarm) == alarm
+        if alarm:
+            n_alarms += 1
+            sp_state[k], sn_state[k] = 0.0, 0.0
+        else:
+            sp_state[k], sn_state[k] = sp, sn
+    assert n_alarms > 0  # the reset path was actually exercised
+    with pytest.raises(ValueError):
+        cusum_changepoints(
+            spark.createDataFrame(pdf), ["k"], "ord", "x", tgt, slack, 0.0
+        )
