@@ -173,3 +173,79 @@ def ks_2sample(
             / (F.first("n_a") * F.first("n_b")).cast("double")
         ).alias("ks"),
     )
+
+
+def embedding_centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    by_cols: Sequence[str],
+    vec_col: str = "embedding",
+    fp_bits: int = 30,
+    fp2_bits: int = 40,
+) -> DataFrame:
+    """Embedding-space drift between two snapshots: per ``by_cols``
+    group, the squared L2 distance and cosine similarity between the two
+    snapshots' centroid vectors — the geometric complement of
+    :func:`histogram_drift`/:func:`ks_2sample` for dense-vector columns
+    (a crawl whose embedding centroid moves has topically drifted even
+    when its scalar metadata has not).
+
+    Exactness: per-dimension centroids use the fixed-point integer sums
+    of emb_label_centroids (floor(x·2^fp_bits) on int64); the per-dim
+    products ((cₐ−c_b)², cₐ·c_b, cₐ², c_b²) are deterministic doubles
+    re-quantized at 2^fp2_bits before the cross-dimension sum, so the
+    final reduction is again order-independent int64 and the only
+    floating steps are fixed-order divisions and two sqrts.  Magnitude
+    budget: |value| ≤ ~2⁸ at fp2_bits=40 across ≤ 2¹⁴ dims.
+
+    Plan: both snapshots posexplode into ONE union scan (side flag) →
+    hash aggregate on (group, dim, side) with map-side partials — the
+    wire carries n_groups·dims·2 rows, never vectors → per-dim join by
+    pivot, one final group-sized aggregate.
+
+    Output: ``by_cols`` + ``n_a``, ``n_b``, ``dist2`` (squared centroid
+    L2), ``centroid_cos``.  Groups present in only one snapshot are
+    dropped (inner per-dim match).
+    """
+    by = list(by_cols)
+    check_col(by + [vec_col], df_a)
+    check_col(by + [vec_col], df_b)
+    fp = float(2 ** fp_bits)
+    fp2 = float(2 ** fp2_bits)
+
+    def sums(df: DataFrame, side: int) -> DataFrame:
+        ex = df.select(
+            *by, F.posexplode(vec_col).alias("__dim", "__x")
+        )
+        return ex.groupBy(*by, "__dim").agg(
+            F.count(F.lit(1)).alias(f"n_{side}"),
+            F.sum(
+                F.floor(F.col("__x").cast("double") * F.lit(fp)).cast("long")
+            ).alias(f"s_{side}"),
+        )
+
+    j = sums(df_a, 0).join(sums(df_b, 1), by + ["__dim"])
+    ca = (F.col("s_0").cast("double") / F.lit(fp)) / F.col("n_0")
+    cb = (F.col("s_1").cast("double") / F.lit(fp)) / F.col("n_1")
+    q = lambda e: F.floor(e * F.lit(fp2)).cast("long")  # noqa: E731
+    per_dim = j.select(
+        *by,
+        F.col("n_0"),
+        F.col("n_1"),
+        q((ca - cb) * (ca - cb)).alias("__d2"),
+        q(ca * cb).alias("__ab"),
+        q(ca * ca).alias("__aa"),
+        q(cb * cb).alias("__bb"),
+    )
+    return per_dim.groupBy(*by).agg(
+        F.first("n_0").alias("n_a"),
+        F.first("n_1").alias("n_b"),
+        (F.sum("__d2").cast("double") / F.lit(fp2)).alias("dist2"),
+        (
+            (F.sum("__ab").cast("double") / F.lit(fp2))
+            / (
+                F.sqrt(F.sum("__aa").cast("double") / F.lit(fp2))
+                * F.sqrt(F.sum("__bb").cast("double") / F.lit(fp2))
+            )
+        ).alias("centroid_cos"),
+    )

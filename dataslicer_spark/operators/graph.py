@@ -612,3 +612,70 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """k-core membership: iteratively peel vertices of degree < ``k``
+    (over the surviving subgraph) until fixpoint — the standard spam /
+    low-quality-node filter on web and co-occurrence graphs (a page
+    outside the 3-core of the link graph has almost no organic
+    connectivity), and the graph-side quality gate of a training-data
+    pipeline.
+
+    Peeling is SYNCHRONOUS per round (all degree-deficient vertices of
+    round r are removed together), which makes the trajectory
+    engine-replayable (the DuckDB oracle chains one CTE pair per round;
+    asynchronous peeling would depend on removal order).  The fixpoint
+    itself is order-independent — the k-core is unique — so extra
+    rounds are no-ops and the Spark loop can stop early.
+
+    Per round: one degree aggregate over the undirected edge view + two
+    semi-joins, lineage truncated (localCheckpoint); the only driver
+    value is the surviving-edge count used for the stop test (an
+    aggregate scalar, same contract as the DBSCAN merge loop).  Rounds
+    are bounded by ``max_rounds``; at most O(V) ever needed.
+
+    Returns surviving ``(node, core_deg)`` — degree within the k-core.
+    """
+    from ..utils import check_col
+
+    check_col([src, dst], edges)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = und.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        pruned = (
+            und.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = pruned.count()
+        if n_next == n_edges:
+            break
+        und, n_edges = pruned, n_next
+    return (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("u").alias("node"), "core_deg")
+    )

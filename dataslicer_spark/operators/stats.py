@@ -109,4 +109,66 @@ def corr_matrix(
     ).select("pair.var_x", "pair.var_y", "pair.n", "pair.corr")
 
 
-__all__ = ["corr_matrix"]
+def benford_first_digit(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """First-significant-digit distribution of a value column vs
+    Benford's law — the classic fabricated-data / unit-mixup detector
+    for financial-style columns (naturally-grown magnitudes follow
+    P(d) = log₁₀(1 + 1/d); synthetic or truncated data does not).
+
+    Engine-exact digit extraction without float log10: values quantize
+    to integers once (``floor(v·scale + 0.5)`` — half-up, identical
+    everywhere, sidestepping Spark round-half-up vs DuckDB half-even),
+    non-positive quantized values are dropped, and the first digit is
+    the leading character of the INTEGER's decimal string (int64→string
+    is engine-identical; float→string is not).  The Benford expectations
+    enter as Python-computed double literals, so both engines compare
+    against bit-identical constants.
+
+    Plan: one scan → 9-row hash aggregate with map-side partials; the
+    grand total is a broadcast 1-row aggregate re-joined to the 9-row
+    histogram (the m3 pattern — the "nested loop" is 9×1).
+
+    Output: ``digit`` (1–9, observed digits only), ``n``, ``frac``,
+    ``benford`` (expected fraction), ``abs_dev``.
+    """
+    import math
+
+    check_col([value_col], df)
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    qi = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    # digit extraction only AFTER the positivity filter: ANSI string→int
+    # cast would throw on the '-' of a negative quantized value
+    pos = df.select(qi.alias("__q")).filter(F.col("__q") > 0)
+    digit = F.substring(F.col("__q").cast("string"), 1, 1).cast("int")
+    hist = pos.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = hist.groupBy().agg(F.sum("n").alias("__total"))
+    exp_map = F.create_map(
+        *[
+            c
+            for d in range(1, 10)
+            for c in (F.lit(d), F.lit(math.log10(1.0 + 1.0 / d)))
+        ]
+    )
+    frac = F.col("n").cast("double") / F.col("__total").cast("double")
+    out = hist.join(F.broadcast(total)).select(
+        "digit",
+        "n",
+        frac.alias("frac"),
+        exp_map[F.col("digit")].alias("benford"),
+    )
+    return out.withColumn("abs_dev", F.abs(F.col("frac") - F.col("benford")))
+
+
+BENFORD_EXPECTED = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+__all__ = ["corr_matrix", "benford_first_digit", "BENFORD_EXPECTED"]

@@ -604,6 +604,72 @@ def cusum_changepoints(
     )
 
 
+def seasonal_decompose_naive(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_us_col: str,
+    value_col: str,
+    period_us: int,
+    bucket_us: int,
+    trend_halfwidth_us: int,
+) -> DataFrame:
+    """Naive additive seasonal decomposition ``value = trend + seasonal
+    + residual`` per key series — the classical-decomposition baseline
+    (moving-average trend, per-phase seasonal means):
+
+    - ``trend``: centered range-window mean over ``±trend_halfwidth_us``
+      of event time (value-based frame — tie-deterministic);
+    - ``phase``: ``floor((ts % period_us) / bucket_us)`` (e.g. hour of
+      day for period=24 h, bucket=1 h);
+    - ``seasonal``: per (key, phase) mean of the detrended series;
+    - ``residual``: what remains.
+
+    All three means use fixed-point int64 sums (floor(x·2²⁰), the
+    module-wide ``_FP``) so window- and group-aggregation order cannot
+    change a bit, and each mean is the same two-division expression in
+    any engine — the DuckDB twin (``ev_seasonal_decompose``) matches
+    bit-for-bit.  Timestamps must be non-negative epoch-us longs.
+
+    Plan: ONE key shuffle into the range window, then one (key, phase)
+    aggregate joined back on the same key — no self-joins, no Python.
+    Parallelism unit is the key series (like
+    :func:`rolling_window_stats`); with few, huge keys, sub-key the
+    series or pre-aggregate ticks first.
+    """
+    by = list(key_cols)
+    check_col(by + [ts_us_col, value_col], df)
+    if period_us <= 0 or bucket_us <= 0 or trend_halfwidth_us < 0:
+        raise ValueError("period_us/bucket_us must be positive, "
+                         "trend_halfwidth_us non-negative")
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_us_col)
+        .rangeBetween(-int(trend_halfwidth_us), int(trend_halfwidth_us))
+    )
+    v = F.col(value_col).cast("double")
+    fp_int = lambda e: F.floor(e * F.lit(_FP)).cast("long")  # noqa: E731
+    trend = (
+        F.sum(fp_int(v)).over(w).cast("double") / F.lit(_FP)
+    ) / F.count(F.lit(1)).over(w)
+    phase = F.floor(
+        (F.col(ts_us_col) % F.lit(int(period_us))) / F.lit(int(bucket_us))
+    ).cast("int")
+    staged = df.withColumn("trend", trend).withColumn("phase", phase)
+    detr = F.col(value_col).cast("double") - F.col("trend")
+    seasonal = staged.groupBy(*by, "phase").agg(
+        (
+            (F.sum(fp_int(detr)).cast("double") / F.lit(_FP))
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    out = staged.join(seasonal, by + ["phase"])
+    return out.withColumn(
+        "residual",
+        F.col(value_col).cast("double") - F.col("trend") - F.col("seasonal"),
+    )
+
+
 __all__ = [
     "rolling_window_stats",
     "funnel_conversion",
@@ -614,4 +680,5 @@ __all__ = [
     "detect_event_pattern",
     "ewma_smooth",
     "cusum_changepoints",
+    "seasonal_decompose_naive",
 ]

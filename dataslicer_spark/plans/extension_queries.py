@@ -7800,6 +7800,201 @@ SELECT threshold, n_pairs, n_docs FROM np JOIN nd USING (threshold)
 """
 
 
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (operators/drift.embedding_centroid_drift):
+    even- vs odd-id vectors as the two snapshots, per label — squared
+    centroid L2 distance + centroid cosine from fixed-point-exact
+    per-dim sums; the wire carries labels·dims rows, never vectors."""
+    from ..operators.drift import embedding_centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(a, b, ["label"])
+
+
+_FP2_40 = repr(float(2**40))
+
+EMB_CENTROID_DRIFT_SQL = f"""
+WITH ex AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS side,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings),
+s AS (
+  SELECT label, dim, side, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(CAST(x AS DOUBLE) * CAST({FP30} AS DOUBLE))
+                  AS BIGINT)) AS s
+  FROM ex GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.label, a.dim, a.n AS n0, b.n AS n1,
+         (CAST(a.s AS DOUBLE) / CAST({FP30} AS DOUBLE)) / a.n AS ca,
+         (CAST(b.s AS DOUBLE) / CAST({FP30} AS DOUBLE)) / b.n AS cb
+  FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.side = 0 AND b.side = 1),
+q AS (
+  SELECT label, n0, n1,
+         CAST(FLOOR((ca - cb) * (ca - cb) * CAST({_FP2_40} AS DOUBLE))
+              AS BIGINT) AS d2,
+         CAST(FLOOR(ca * cb * CAST({_FP2_40} AS DOUBLE)) AS BIGINT) AS ab,
+         CAST(FLOOR(ca * ca * CAST({_FP2_40} AS DOUBLE)) AS BIGINT) AS aa,
+         CAST(FLOOR(cb * cb * CAST({_FP2_40} AS DOUBLE)) AS BIGINT) AS bb
+  FROM j)
+SELECT label, MIN(n0) AS n_a, MIN(n1) AS n_b,
+       CAST(SUM(d2) AS DOUBLE) / CAST({_FP2_40} AS DOUBLE) AS dist2,
+       (CAST(SUM(ab) AS DOUBLE) / CAST({_FP2_40} AS DOUBLE))
+         / (SQRT(CAST(SUM(aa) AS DOUBLE) / CAST({_FP2_40} AS DOUBLE))
+            * SQRT(CAST(SUM(bb) AS DOUBLE) / CAST({_FP2_40} AS DOUBLE)))
+         AS centroid_cos
+FROM q GROUP BY label
+"""
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/stats.benford_first_digit)
+    of l_extendedprice: cents-quantized integers, digit from the int64
+    decimal string (no float log10), expected fractions as shared
+    Python double literals."""
+    from ..operators.stats import benford_first_digit
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return benford_first_digit(li, "l_extendedprice", scale=100)
+
+
+def _benford_sql() -> str:
+    import math
+
+    case = " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}"
+        for d in range(1, 10)
+    )
+    exp = f"(CASE digit {case} END)"
+    frac = "CAST(n AS DOUBLE) / CAST(total AS DOUBLE)"
+    return f"""
+WITH q AS (
+  SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+              AS BIGINT) AS qi
+  FROM lineitem),
+h AS (
+  SELECT CAST(substr(CAST(qi AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q WHERE qi > 0 GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+SELECT digit, n, {frac} AS frac, {exp} AS benford,
+       ABS({frac} - {exp}) AS abs_dev
+FROM h CROSS JOIN t
+"""
+
+
+DQ_BENFORD_SQL = _benford_sql()
+
+_FP20 = repr(float(2**20))
+
+
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive additive seasonal decomposition (operators/timeseries.
+    seasonal_decompose_naive) of event values per type: ±6 h centered
+    range-window trend, hour-of-day seasonal means of the detrended
+    series, residual remainder — every mean a fixed-point int sum, the
+    whole decomposition bit-identical to the SQL twin."""
+    from ..operators.timeseries import seasonal_decompose_naive
+    from ..streaming.events import _epoch_us, load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        _epoch_us(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    out = seasonal_decompose_naive(
+        ev,
+        ["event_type"],
+        "ts_us",
+        "value",
+        period_us=86_400_000_000,
+        bucket_us=3_600_000_000,
+        trend_halfwidth_us=21_600_000_000,
+    )
+    return out.select(
+        "event_type", "event_id", "value", "trend", "phase",
+        "seasonal", "residual",
+    )
+
+
+EV_SEASONAL_DECOMPOSE_SQL = f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events),
+w AS (
+  SELECT event_type, event_id, ts_us, value,
+         (CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE)
+                               * CAST({_FP20} AS DOUBLE)) AS BIGINT))
+               OVER win AS DOUBLE) / CAST({_FP20} AS DOUBLE))
+           / (COUNT(*) OVER win) AS trend,
+         CAST(FLOOR((ts_us % 86400000000) / 3600000000) AS INT) AS phase
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts_us
+                 RANGE BETWEEN 21600000000 PRECEDING
+                           AND 21600000000 FOLLOWING)),
+s AS (
+  SELECT event_type, phase,
+         (CAST(SUM(CAST(FLOOR((CAST(value AS DOUBLE) - trend)
+                               * CAST({_FP20} AS DOUBLE)) AS BIGINT))
+               AS DOUBLE) / CAST({_FP20} AS DOUBLE))
+           / COUNT(*) AS seasonal
+  FROM w GROUP BY 1, 2)
+SELECT w.event_type, w.event_id, w.value, w.trend, w.phase, s.seasonal,
+       CAST(w.value AS DOUBLE) - w.trend - s.seasonal AS residual
+FROM w JOIN s USING (event_type, phase)
+"""
+
+
+def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the part co-occurrence graph (operators/graph.kcore):
+    synchronous degree peeling to fixpoint (3 rounds at sf0.01), the
+    graph-side quality gate; oracle replays 8 fixed peel rounds as
+    chained CTEs (idempotent past the fixpoint)."""
+    from ..operators.graph import kcore
+
+    return kcore(_part_edges(spark, sf_dir), k=4)
+
+
+def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
+    head = """
+WITH hi AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0),
+li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN hi ON l.l_orderkey = hi.o_orderkey),
+ep AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e0 AS MATERIALIZED (SELECT u, v FROM ep UNION SELECT v, u FROM ep)"""
+    body = []
+    for r in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: each round references the prior
+        # round twice, so inlined CTEs re-evaluate the whole chain
+        # exponentially (2^rounds base scans — observed as fd exhaustion)
+        body.append(
+            f"k{r} AS MATERIALIZED (SELECT u FROM e{r-1} GROUP BY u "
+            f"HAVING COUNT(*) >= {k})"
+        )
+        body.append(
+            f"e{r} AS MATERIALIZED (SELECT c.u, c.v FROM e{r-1} c "
+            f"JOIN k{r} a ON c.u = a.u JOIN k{r} b ON c.v = b.u)"
+        )
+    tail = (
+        f"\nSELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
+        f"FROM e{rounds} GROUP BY u"
+    )
+    return head + ",\n" + ",\n".join(body) + tail
+
+
+GR_KCORE_SQL = _kcore_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7942,6 +8137,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_ks_test": dq_ks_test,
     "lk_time_travel": lk_time_travel,
     "dd_dedup_sweep": dd_dedup_sweep,
+    "emb_centroid_drift": emb_centroid_drift,
+    "dq_benford": dq_benford,
+    "ev_seasonal_decompose": ev_seasonal_decompose,
+    "gr_kcore": gr_kcore,
 }
 
 ORACLES: dict[str, str] = {
@@ -8133,4 +8332,8 @@ ORACLES: dict[str, str] = {
     "dq_ks_test": DQ_KS_TEST_SQL,
     "lk_time_travel": LK_TIME_TRAVEL_SQL,
     "dd_dedup_sweep": DD_DEDUP_SWEEP_SQL,
+    "emb_centroid_drift": EMB_CENTROID_DRIFT_SQL,
+    "dq_benford": DQ_BENFORD_SQL,
+    "ev_seasonal_decompose": EV_SEASONAL_DECOMPOSE_SQL,
+    "gr_kcore": GR_KCORE_SQL,
 }

@@ -45,6 +45,9 @@ ALLOW = {
     # pre-mined pair table (bounded fanout len(thresholds)·|pairs|) —
     # documented in operators/dedup.dedup_threshold_sweep
     "dd_dedup_sweep": {"nested-loop-join"},
+    # Benford: the grand total is a broadcast 1-row aggregate re-joined
+    # to the 9-row digit histogram (the m3 pattern)
+    "dq_benford": {"nested-loop-join"},
     # theta-sketch set algebra: outputs are sketch-sized (a few rows);
     # the nested loop joins two 1-row sketch aggregates
     "sk_theta_sets": {"nested-loop-join", "single-partition-exchange"},
