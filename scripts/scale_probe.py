@@ -602,6 +602,109 @@ def main() -> None:
 
     run("ivf_rebalance", ivf_reb_fn(emb1), ivf_reb_fn(emb4))
 
+    # round-8 session-2 kernels.  EWMA/CUSUM: more users, same per-key
+    # span (the grouped-kernel scaling shape — expect ~linear).  KS: 4×
+    # observations collapse into the SAME distinct-value histogram, so
+    # only the first aggregate grows.  Seasonal: window + two aggregates
+    # on the key.  k-core: peel rounds are density-bound, each round
+    # linear in surviving edges.  Centroid drift: wire is labels·dims
+    # regardless of corpus size — expect the scan to dominate.
+    from dataslicer_spark.operators.drift import (
+        embedding_centroid_drift, ks_2sample,
+    )
+    from dataslicer_spark.operators.graph import kcore
+    from dataslicer_spark.operators.timeseries import (
+        cusum_changepoints, ewma_smooth, seasonal_decompose_naive,
+    )
+
+    def ewma_fn(ev):
+        return lambda: ewma_smooth(
+            ev.select("user_id", "event_id", "value"),
+            ["user_id"], "event_id", "value", 0.25,
+        ).write.format("noop").mode("overwrite").save()
+
+    run("ewma_smooth", ewma_fn(ev1), ewma_fn(ev4))
+
+    def cusum_fn(ev):
+        return lambda: cusum_changepoints(
+            ev.select("user_id", "event_id", "value"),
+            ["user_id"], "event_id", "value", 50.0, 15.0, 120.0,
+        ).write.format("noop").mode("overwrite").save()
+
+    run("cusum_changepoints", cusum_fn(ev1), cusum_fn(ev4))
+
+    def seasonal_fn(ev):
+        return lambda: seasonal_decompose_naive(
+            ev.select("user_id", "ts_us", "value"),
+            ["user_id"], "ts_us", "value",
+            period_us=86_400_000_000, bucket_us=3_600_000_000,
+            trend_halfwidth_us=21_600_000_000,
+        ).write.format("noop").mode("overwrite").save()
+
+    run("seasonal_decompose", seasonal_fn(ev1), seasonal_fn(ev4))
+
+    def ks_fn(ev):
+        return lambda: ks_2sample(
+            ev.select(
+                F.lit("value").alias("feature"), "event_type",
+                F.floor("value").alias("v"),
+            ),
+            "event_type", "v", ["feature"], "click", "view",
+        ).write.format("noop").mode("overwrite").save()
+
+    run("ks_2sample", ks_fn(ev1), ks_fn(ev4))
+
+    def drift_fn(emb):
+        return lambda: embedding_centroid_drift(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            ["label"],
+        ).write.format("noop").mode("overwrite").save()
+
+    emb1c, emb4c = emb1.cache(), emb4.cache()
+    emb1c.count(), emb4c.count()
+    run("centroid_drift", drift_fn(emb1c), drift_fn(emb4c))
+
+    # 4× part-edge graph via shifted part-key replicas (same density)
+    def part_edges(scale):
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        hi = orders.filter(F.col("o_totalprice") > 450_000.0).select(
+            "o_orderkey"
+        )
+        liw = li.join(hi, li["l_orderkey"] == hi["o_orderkey"], "left_semi")
+        out = liw.select("l_orderkey", "l_partkey")
+        reps = [out]
+        for i in range(1, scale):
+            reps.append(
+                out.withColumn("l_orderkey", F.col("l_orderkey")
+                               + 100_000_000 * i)
+                .withColumn("l_partkey", F.col("l_partkey")
+                            + 100_000_000 * i)
+            )
+        allr = reps[0]
+        for r in reps[1:]:
+            allr = allr.unionByName(r)
+        a = allr.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("src"))
+        b = allr.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("dst"))
+        return (
+            a.join(b, "ok")
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+            .cache()
+        )
+
+    ge1, ge4 = part_edges(1), part_edges(4)
+    ge1.count(), ge4.count()
+    run(
+        "kcore_peel",
+        lambda: kcore(ge1, k=4).write.format("noop").mode("overwrite").save(),
+        lambda: kcore(ge4, k=4).write.format("noop").mode("overwrite").save(),
+    )
+
 
 if __name__ == "__main__":
     main()
