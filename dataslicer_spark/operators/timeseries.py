@@ -604,6 +604,78 @@ def cusum_changepoints(
     )
 
 
+def holt_smooth(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) — the
+    forecasting-grade smoother for series with drift, where plain EWMA
+    (:func:`ewma_smooth`) systematically lags:
+
+    - seed: ``level₀ = x₀``, ``trend₀ = 0``;
+    - step: ``level = α·x + (1−α)·(levelₚ + trendₚ)`` then
+      ``trend = β·(level − levelₚ) + (1−β)·trendₚ``.
+
+    Same execution and bit-reproducibility contract as
+    :func:`ewma_smooth` (one key shuffle, batched Arrow kernel,
+    fixed-order IEEE ops mirrored by the recursive-CTE oracle twin
+    ``ev_holt_smooth``).  The one-step-ahead forecast is
+    ``level + trend`` of the previous row — emit it downstream with a
+    ``lag`` window if needed.  Returns input columns + ``level`` +
+    ``trend``.
+    """
+    if not (0.0 < float(alpha) <= 1.0) or not (0.0 <= float(beta) <= 1.0):
+        raise ValueError("alpha must be in (0, 1], beta in [0, 1]")
+    by = list(key_cols)
+    check_col(by + [order_col, value_col], df)
+
+    import pyspark.sql.types as T
+
+    from ..utils import grouped_map_in_pandas
+
+    a = float(alpha)
+    om_a = 1.0 - a
+    b = float(beta)
+    om_b = 1.0 - b
+
+    def batch_kernel(pdf, bounds):
+        import numpy as np
+
+        x = pdf[value_col].to_numpy(dtype="float64")
+        lv_out = np.empty(len(x), dtype="float64")
+        tr_out = np.empty(len(x), dtype="float64")
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            lv = x[s]
+            tr = 0.0
+            lv_out[s] = lv
+            tr_out[s] = tr
+            for i in range(s + 1, e):
+                lv_new = a * x[i] + om_a * (lv + tr)
+                tr = b * (lv_new - lv) + om_b * tr
+                lv = lv_new
+                lv_out[i] = lv
+                tr_out[i] = tr
+        res = pdf.copy()
+        res["level"] = lv_out
+        res["trend"] = tr_out
+        return res
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("level", T.DoubleType(), True),
+            T.StructField("trend", T.DoubleType(), True),
+        ]
+    )
+    return grouped_map_in_pandas(
+        df, by, None, schema, batch_fn=batch_kernel, sort_cols=[order_col]
+    )
+
+
 def seasonal_decompose_naive(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -681,4 +753,5 @@ __all__ = [
     "ewma_smooth",
     "cusum_changepoints",
     "seasonal_decompose_naive",
+    "holt_smooth",
 ]

@@ -7995,6 +7995,37 @@ e0 AS MATERIALIZED (SELECT u, v FROM ep UNION SELECT v, u FROM ep)"""
 GR_KCORE_SQL = _kcore_sql()
 
 
+def ev_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (operators/timeseries.
+    holt_smooth, α=0.5 β=0.25): level+trend recurrences in fixed IEEE
+    order, oracle replayed as a recursive CTE carrying both states —
+    raw doubles hash-match."""
+    from ..operators.timeseries import holt_smooth
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return holt_smooth(
+        ev, ["user_id"], "event_id", "value", alpha=0.5, beta=0.25
+    )
+
+
+EV_HOLT_SMOOTH_SQL = r"""
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events),
+s(user_id, event_id, value, rn, level, trend) AS (
+  SELECT user_id, event_id, value, rn, value, CAST(0.0 AS DOUBLE)
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.value, o.rn,
+         0.5 * o.value + 0.5 * (s.level + s.trend),
+         0.25 * ((0.5 * o.value + 0.5 * (s.level + s.trend)) - s.level)
+           + 0.75 * s.trend
+  FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1)
+SELECT user_id, event_id, value, level, trend FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8141,6 +8172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_benford": dq_benford,
     "ev_seasonal_decompose": ev_seasonal_decompose,
     "gr_kcore": gr_kcore,
+    "ev_holt_smooth": ev_holt_smooth,
 }
 
 ORACLES: dict[str, str] = {
@@ -8336,4 +8368,5 @@ ORACLES: dict[str, str] = {
     "dq_benford": DQ_BENFORD_SQL,
     "ev_seasonal_decompose": EV_SEASONAL_DECOMPOSE_SQL,
     "gr_kcore": GR_KCORE_SQL,
+    "ev_holt_smooth": EV_HOLT_SMOOTH_SQL,
 }

@@ -311,6 +311,78 @@ def stream_running_user_totals(
     )
 
 
+def stream_ewma(
+    spark,
+    source_dir: str,
+    schema,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+):
+    """Streaming EWMA via ``applyInPandasWithState``: per key, the
+    running ``e = α·x + (1−α)·e`` state folded across micro-batches —
+    the online twin of ``operators/timeseries.ewma_smooth`` (pytest
+    asserts the final streamed state equals the batch kernel's last row
+    when batches arrive in ``order_col`` order).
+
+    Within a micro-batch rows are sorted by ``order_col``; across
+    batches the recurrence is correct when the source delivers batches
+    in non-decreasing ``order_col`` per key (file-ordered ingestion —
+    the same in-order contract as the batch-twin dedup stream).  State
+    is one (double, long) pair per key.  Emits one row per key per
+    micro-batch: the post-batch smoothed value and the last order seen
+    (output mode 'update').
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    a = float(alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("last_order", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("last_order", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            ew, last = state.get
+            seeded = True
+        else:
+            ew, last = 0.0, -(2 ** 62)
+            seeded = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for x, o in zip(pdf[value_col], pdf[order_col]):
+                x = float(x)
+                if not seeded:
+                    ew, seeded = x, True
+                else:
+                    ew = a * x + (1.0 - a) * ew
+                last = int(o)
+        state.update((float(ew), int(last)))
+        yield pd.DataFrame(
+            {"key": [key[0]], "ewma": [ew], "last_order": [last]}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def _click_purchase_frames(events, lookback: str):
     """Shared projection + join condition for the stream-stream join and
     its batch twin: each click paired with the same user's purchases in

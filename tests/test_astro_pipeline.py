@@ -391,3 +391,54 @@ def test_trending_topk_manual_and_ties(spark):
         (1, "a", 3), (2, "b", 2), (3, "c", 2),
         (1, "z", 1),
     ]
+
+
+def test_stream_ewma_matches_batch_kernel(spark, sf_dir):
+    """Streamed per-key EWMA state (applyInPandasWithState) equals the
+    batch ewma_smooth kernel's final row per key, fed the same in-order
+    data — the streaming/batch parity contract of the other streaming
+    twins."""
+    from dataslicer_spark.operators.timeseries import ewma_smooth
+    from dataslicer_spark.streaming.events import stream_ewma
+
+    events = (
+        load_events(spark, sf_dir)
+        .select("user_id", "event_id", "value")
+        .limit(3000)
+        .cache()
+    )
+    batch = ewma_smooth(
+        events, ["user_id"], "event_id", "value", 0.25
+    ).toPandas()
+    expected = {
+        int(r.user_id): r.ewma
+        for r in batch.sort_values("event_id").groupby("user_id").tail(1)
+        .itertuples()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        events.orderBy("event_id").coalesce(1).write.parquet(src)
+        stream = stream_ewma(
+            spark, src, spark.read.parquet(src).schema, alpha=0.25
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ewma_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got_rows = spark.sql("select * from ewma_stream").toPandas()
+    got = {}
+    for r in got_rows.sort_values("last_order").itertuples():
+        got[int(r.key)] = r.ewma  # later updates overwrite
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        assert got[k] == e  # bit-identical fold
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_ewma(spark, "/tmp/none", None, alpha=0.0)

@@ -678,3 +678,46 @@ def test_cusum_brute_force_with_resets(spark):
         cusum_changepoints(
             spark.createDataFrame(pdf), ["k"], "ord", "x", tgt, slack, 0.0
         )
+
+
+def test_holt_brute_force(spark):
+    from dataslicer_spark.operators.timeseries import holt_smooth
+
+    rng = np.random.default_rng(19)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            "ord": np.arange(n, dtype="int64"),
+            # drifting series so trend is non-trivial
+            "x": np.round(rng.normal(0, 1, n), 4) + np.arange(n) * 0.05,
+        }
+    )
+    a, b = 0.5, 0.25
+    out = (
+        holt_smooth(spark.createDataFrame(pdf), ["k"], "ord", "x", a, b)
+        .toPandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    lv_state: dict[int, float] = {}
+    tr_state: dict[int, float] = {}
+    for _, r in pdf.sort_values("ord").iterrows():
+        k = int(r.k)
+        if k not in lv_state:
+            lv, tr = r.x, 0.0
+        else:
+            lv_new = a * r.x + (1.0 - a) * (lv_state[k] + tr_state[k])
+            tr = b * (lv_new - lv_state[k]) + (1.0 - b) * tr_state[k]
+            lv = lv_new
+        lv_state[k], tr_state[k] = lv, tr
+        row = out[out["ord"] == r.ord].iloc[0]
+        assert row.level == lv and row.trend == tr  # bit-identical
+    # trend learned the drift: rows interleave across 7 keys, so a key's
+    # consecutive observations step ~0.05·7 = 0.35 on average
+    tail = out.groupby("k").tail(1)
+    assert 0.0 < tail.trend.mean() < 0.6
+    with pytest.raises(ValueError):
+        holt_smooth(spark.createDataFrame(pdf), ["k"], "ord", "x", 0.0, b)
+    with pytest.raises(ValueError):
+        holt_smooth(spark.createDataFrame(pdf), ["k"], "ord", "x", a, 1.5)
