@@ -496,11 +496,38 @@ def simhash_pairs(
     ``simhash64``).
     """
     check_col([id_col, text_col], df)
+    return hamming_pairs(
+        df.select(
+            F.col(id_col).alias("id"),
+            simhash64(F.col(text_col), n, hash_mode=hash_mode).alias("sh"),
+        ),
+        "id",
+        "sh",
+        max_hamming,
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """Pairs of 64-bit hashes within ``max_hamming`` — the shared
+    pigeonhole kernel behind :func:`simhash_pairs` (text) and
+    ``sources/multimodal.image_near_dup`` (perceptual image hashes):
+    split 64 bits into ``max_hamming+1`` chunks (any pair within the
+    distance agrees on at least one full chunk), hash-join candidates
+    per (chunk, value), verify with one exact popcount.  NULL hashes are
+    dropped.  Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    check_col([id_col, hash_col], df)
+    if not (0 <= int(max_hamming) < 64):
+        raise ValueError("max_hamming must be in [0, 64)")
     chunks = max_hamming + 1
     width = 64 // chunks
     hashed = df.select(
-        F.col(id_col).alias("id"),
-        simhash64(F.col(text_col), n, hash_mode=hash_mode).alias("sh"),
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
     ).filter(F.col("sh").isNotNull()).cache()
     bucketed = hashed.select(
         "id",
@@ -998,4 +1025,5 @@ __all__ = [
     "dedup_against",
     "resolve_duplicate_groups",
     "dedup_threshold_sweep",
+    "hamming_pairs",
 ]

@@ -509,6 +509,88 @@ def frame_sample(
     return df.select(path_col, content_col).mapInPandas(run, schema)
 
 
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (pHash) + Hamming near-dup
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash64_images(
+    decoded: DataFrame, size: int = 32, keep: int = 8
+) -> DataFrame:
+    """64-bit perceptual hash (pHash) per decoded image: grayscale ->
+    ``size x size`` nearest-neighbor resize -> 2-D DCT-II (cosine-basis
+    matmul, pure numpy -- no scipy) -> top-left ``keep x keep``
+    low-frequency block -> bit per coefficient above the median of the
+    non-DC coefficients.  Visually identical images (recompression, mild
+    noise, small edits) land within a few Hamming bits; unrelated images
+    are ~32 apart -- the image-side analogue of text SimHash.
+
+    Map-only Arrow kernel over the :data:`DECODED_SCHEMA` frame (the DCT
+    basis is built once per batch); NULL (failed-decode) rows yield NULL
+    hashes.  Deterministic: same pixels -> same hash in any run or
+    partitioning.
+    """
+    check_col(["path", "pixels", "height", "width", "n_channels"], decoded)
+    if keep * keep != 64:
+        raise ValueError("keep must be 8 (64-bit hash = 8x8 DCT block)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = np.arange(size)
+        basis = np.cos(np.pi * (n[None, :] + 0.5) * n[:keep, None] / size)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.pixels is None:
+                    rows.append(dict(path=r.path, phash=None))
+                    continue
+                arr = np.asarray(r.pixels, dtype=np.float64).reshape(
+                    r.height, r.width, r.n_channels
+                )
+                gray = arr.mean(axis=2)
+                yi = (np.arange(size) * r.height) // size
+                xi = (np.arange(size) * r.width) // size
+                g = gray[yi][:, xi]
+                block = basis @ g @ basis.T  # keep x keep low-freq DCT
+                flat = block.reshape(-1)
+                med = float(np.median(flat[1:]))  # exclude DC
+                bits = flat > med
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append(dict(path=r.path, phash=val))
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(run, PHASH_SCHEMA)
+
+
+def image_near_dup(
+    decoded: DataFrame, max_hamming: int = 6, size: int = 32
+) -> DataFrame:
+    """Near-duplicate image pairs: :func:`phash64_images` + the shared
+    pigeonhole Hamming kernel (``operators/dedup.hamming_pairs`` -- the
+    same chunk-banding plan SimHash text dedup uses, so the candidate
+    space is banding-bounded, never all-pairs).  Returns
+    ``(id_a, id_b, hamming)`` over the ``path`` column.
+    """
+    from ..operators.dedup import hamming_pairs
+
+    return hamming_pairs(
+        phash64_images(decoded, size=size), "path", "phash", max_hamming
+    )
+
+
 __all__ = [
     "MEDIA_META_SCHEMA",
     "read_binary_assets",
@@ -524,4 +606,7 @@ __all__ = [
     "extract_image_features",
     "resize_images",
     "frame_sample",
+    "phash64_images",
+    "image_near_dup",
+    "PHASH_SCHEMA",
 ]

@@ -96,3 +96,59 @@ def test_spark_pipeline_on_real_bmp_files(spark, tmp_path):
     }
     for name, arr in imgs.items():
         assert feats[name].mean_intensity == pytest.approx(arr.mean())
+
+
+def test_phash_image_near_dup(spark, tmp_path):
+    """Perceptual-hash dedup on real BMP bytes: noisy re-encodes of the
+    same photo pair up within a small Hamming distance, unrelated photos
+    don't, and identical pixels hash identically (hamming 0)."""
+    from dataslicer_spark.sources.multimodal import (
+        image_near_dup,
+        phash64_images,
+    )
+
+    rng = np.random.default_rng(42)
+    # natural-ish structure: coarse random blocks upsampled — the
+    # low-frequency energy pHash keys on (an analytic gradient has
+    # near-zero DCT coefficients whose signs noise flips freely)
+    base = np.kron(
+        rng.integers(0, 256, (6, 8, 3)), np.ones((8, 8, 1))
+    ).astype(np.uint8)  # 48×64
+    noisy = base.astype(np.int32) + rng.integers(-6, 7, base.shape)
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = np.kron(
+        rng.integers(0, 256, (6, 8, 3)), np.ones((8, 8, 1))
+    ).astype(np.uint8)
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a_base.bmp").write_bytes(bmp_encode(base))
+    (d / "b_copy.bmp").write_bytes(bmp_encode(base))  # exact copy
+    (d / "c_noisy.bmp").write_bytes(bmp_encode(noisy))  # near-dup
+    (d / "d_other.bmp").write_bytes(bmp_encode(other))  # unrelated
+    (d / "e_corrupt.bmp").write_bytes(b"BM junk")
+
+    decoded = decode_media(read_binary_assets(spark, str(d / "*.bmp")))
+    hashes = {
+        os.path.basename(r.path): r.phash
+        for r in phash64_images(decoded).collect()
+    }
+    assert hashes["a_base.bmp"] == hashes["b_copy.bmp"]
+    assert hashes["e_corrupt.bmp"] is None
+
+    pairs = {
+        tuple(
+            sorted((os.path.basename(r.id_a), os.path.basename(r.id_b)))
+        ): r.hamming
+        for r in image_near_dup(decoded, max_hamming=10).collect()
+    }
+    assert pairs[("a_base.bmp", "b_copy.bmp")] == 0
+    assert ("a_base.bmp", "c_noisy.bmp") in pairs
+    assert ("b_copy.bmp", "c_noisy.bmp") in pairs
+    # the unrelated image pairs with nothing
+    assert not any("d_other.bmp" in p for p in pairs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash64_images(decoded, keep=4)
