@@ -49,6 +49,17 @@ def main() -> None:
             f.write(bmp_encode(arr))
     with open(os.path.join(root, "broken.bmp"), "wb") as f:
         f.write(b"BM not really a bitmap")
+    # a near-duplicate: coarse-structure photo + its noisy re-encode
+    photo = np.kron(
+        rng.integers(0, 256, (6, 8, 3)), np.ones((8, 8, 1))
+    ).astype(np.uint8)
+    with open(os.path.join(root, "photo.bmp"), "wb") as f:
+        f.write(bmp_encode(photo))
+    redo = np.clip(
+        photo.astype(np.int32) + rng.integers(-5, 6, photo.shape), 0, 255
+    ).astype(np.uint8)
+    with open(os.path.join(root, "photo_reencode.bmp"), "wb") as f:
+        f.write(bmp_encode(redo))
 
     for i, hz in enumerate((220, 440, 880)):
         t = np.arange(8000) / 8000.0
@@ -70,6 +81,16 @@ def main() -> None:
         F.element_at(F.split("path", "/"), -1).alias("file"),
         F.round("mean_intensity", 2).alias("mean"),
         F.round("std_intensity", 2).alias("std"),
+    ).show(truncate=False)
+
+    from dataslicer_spark.sources.multimodal import image_near_dup
+
+    dups = image_near_dup(decoded, max_hamming=10)
+    print("perceptual near-dup image pairs:")
+    dups.select(
+        F.element_at(F.split("id_a", "/"), -1).alias("a"),
+        F.element_at(F.split("id_b", "/"), -1).alias("b"),
+        "hamming",
     ).show(truncate=False)
 
     clips = read_binary_assets(
