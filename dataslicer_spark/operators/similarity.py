@@ -110,6 +110,55 @@ def cosine_topk(
     )
 
 
+def mutual_nn(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str = "vec_id",
+    b_id: str = "vec_id",
+    a_vec: str = "embedding",
+    b_vec: str = "embedding",
+) -> DataFrame:
+    """Mutual nearest neighbors between two vector sets — the standard
+    embedding-space alignment primitive (bitext mining, cross-snapshot
+    entity matching, teacher/student pairing): emit (a, b) exactly when
+    b is a's top-1 cosine match in B AND a is b's top-1 in A.  Mutuality
+    is the classic precision filter — one-directional best matches pair
+    every row, mutual ones only the genuinely aligned.
+
+    Exact brute force via :func:`cosine_topk` in both directions (ties
+    broken by id, so the result is engine-deterministic and the DuckDB
+    twin replays it).  Each direction broadcasts its query set over a
+    corpus scan — use on blocked/bucketed subsets at scale, or feed
+    IVF/LSH candidate lists (:func:`ivf_topk`) for the full-corpus case.
+
+    Output: ``(a_id, b_id, cosine)``.
+    """
+    ab = cosine_topk(
+        b,
+        a.select(F.col(a_id).alias("query_id"), F.col(a_vec).alias("embedding")),
+        k=1,
+        corpus_id=b_id,
+        corpus_vec=b_vec,
+        include_self=True,
+    ).select(
+        F.col("query_id").alias("a_id"),
+        F.col("vec_id").alias("b_id"),
+        "cosine",
+    )
+    ba = cosine_topk(
+        a,
+        b.select(F.col(b_id).alias("query_id"), F.col(b_vec).alias("embedding")),
+        k=1,
+        corpus_id=a_id,
+        corpus_vec=a_vec,
+        include_self=True,
+    ).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("query_id").alias("b_id"),
+    )
+    return ab.join(ba, ["a_id", "b_id"]).select("a_id", "b_id", "cosine")
+
+
 def cosine_topk_batched(
     corpus: DataFrame,
     queries: DataFrame,

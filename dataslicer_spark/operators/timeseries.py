@@ -604,6 +604,55 @@ def cusum_changepoints(
     )
 
 
+def minmax_downsample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_us_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Plot-grade series downsampling: per (key, time bucket) keep the
+    minimum- and maximum-value observations — the min-max decimation
+    every monitoring UI renders from (preserves every spike and dip a
+    mean-per-bucket resample flattens; the simpler cousin of LTTB).
+
+    One hash aggregate keyed on (key, bucket) with map-side partials —
+    no window, no sort.  Tie-determinism by lexicographic struct
+    ordering: among equal values the EARLIEST timestamp wins for min,
+    the LATEST for max (``min/max(struct(value, ts))``), so the result
+    is partitioning- and engine-independent (the DuckDB twin replays it
+    with ROW_NUMBER ties).
+
+    Output: key columns + ``bucket_start`` (epoch µs) + ``kind``
+    ('min'/'max') + ``ts_us`` + ``value`` — always two rows per
+    non-empty bucket (a single-observation bucket emits the same point
+    under both kinds, so downstream plotting code needs no special
+    case).
+    """
+    by = list(key_cols)
+    check_col(by + [ts_us_col, value_col], df)
+    if int(bucket_us) <= 0:
+        raise ValueError("bucket_us must be positive")
+    step = F.lit(int(bucket_us))
+    bucket = (F.col(ts_us_col) - F.pmod(F.col(ts_us_col), step)).alias(
+        "bucket_start"
+    )
+    v = F.col(value_col).cast("double")
+    pt = F.struct(v.alias("v"), F.col(ts_us_col).alias("t"))
+    agg = df.groupBy(*by, bucket).agg(
+        F.min(pt).alias("__mn"), F.max(pt).alias("__mx")
+    )
+    lo = agg.select(
+        *by, "bucket_start", F.lit("min").alias("kind"),
+        F.col("__mn.t").alias("ts_us"), F.col("__mn.v").alias("value"),
+    )
+    hi = agg.select(
+        *by, "bucket_start", F.lit("max").alias("kind"),
+        F.col("__mx.t").alias("ts_us"), F.col("__mx.v").alias("value"),
+    )
+    return lo.unionByName(hi)
+
+
 def holt_smooth(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -754,4 +803,5 @@ __all__ = [
     "cusum_changepoints",
     "seasonal_decompose_naive",
     "holt_smooth",
+    "minmax_downsample",
 ]

@@ -8026,6 +8026,90 @@ SELECT user_id, event_id, value, level, trend FROM s
 """
 
 
+def emb_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors (operators/similarity.mutual_nn) between
+    the %7 and %5 id slices of the vector table — the embedding-space
+    alignment primitive; exact, tie-deterministic, both directions ranked
+    by the fixed-point cosine the brute-force oracle replays."""
+    from ..operators.similarity import mutual_nn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 7 == 0)
+    b = emb.filter(F.col("vec_id") % 5 == 0)
+    return mutual_nn(a, b)
+
+
+_MNN_COS_AB = (
+    f"({_sql_fp_dot('a.embedding', 'b.embedding')})"
+    f" / (sqrt({_sql_fp_dot('b.embedding', 'b.embedding')})"
+    f" * sqrt({_sql_fp_dot('a.embedding', 'a.embedding')}))"
+)
+
+EMB_MUTUAL_NN_SQL = f"""
+WITH sa AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+sb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+ab AS (
+  SELECT a_id, b_id, cosine FROM (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {_MNN_COS_AB} AS cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_MNN_COS_AB} DESC, b.vec_id ASC) AS rn
+    FROM sa a CROSS JOIN sb b)
+  WHERE rn = 1),
+ba AS (
+  SELECT a_id, b_id FROM (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_MNN_COS_AB} DESC, a.vec_id ASC) AS rn
+    FROM sa a CROSS JOIN sb b)
+  WHERE rn = 1)
+SELECT ab.a_id, ab.b_id, ab.cosine
+FROM ab JOIN ba ON ab.a_id = ba.a_id AND ab.b_id = ba.b_id
+"""
+
+
+def ev_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max plot decimation (operators/timeseries.minmax_downsample):
+    per (event_type, 6-hour bucket) the extreme observations, struct-
+    ordered tie-determinism — ONE hash aggregate, no window, no sort."""
+    from ..operators.timeseries import minmax_downsample
+    from ..streaming.events import _epoch_us, load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", _epoch_us(F.col("ts")).alias("ts_us"), "value"
+    )
+    return minmax_downsample(
+        ev, ["event_type"], "ts_us", "value", bucket_us=21_600_000_000
+    )
+
+
+EV_MINMAX_DOWNSAMPLE_SQL = r"""
+WITH d AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(value AS DOUBLE) AS v
+  FROM events),
+b AS (
+  SELECT event_type, v, ts_us,
+         ts_us - (ts_us % 21600000000) AS bucket_start
+  FROM d),
+lo AS (
+  SELECT event_type, bucket_start, 'min' AS kind, ts_us, v AS value
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type, bucket_start
+          ORDER BY v ASC, ts_us ASC) AS rn FROM b)
+  WHERE rn = 1),
+hi AS (
+  SELECT event_type, bucket_start, 'max' AS kind, ts_us, v AS value
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type, bucket_start
+          ORDER BY v DESC, ts_us DESC) AS rn FROM b)
+  WHERE rn = 1)
+SELECT * FROM lo UNION ALL SELECT * FROM hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8173,6 +8257,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_seasonal_decompose": ev_seasonal_decompose,
     "gr_kcore": gr_kcore,
     "ev_holt_smooth": ev_holt_smooth,
+    "emb_mutual_nn": emb_mutual_nn,
+    "ev_minmax_downsample": ev_minmax_downsample,
 }
 
 ORACLES: dict[str, str] = {
@@ -8369,4 +8455,6 @@ ORACLES: dict[str, str] = {
     "ev_seasonal_decompose": EV_SEASONAL_DECOMPOSE_SQL,
     "gr_kcore": GR_KCORE_SQL,
     "ev_holt_smooth": EV_HOLT_SMOOTH_SQL,
+    "emb_mutual_nn": EMB_MUTUAL_NN_SQL,
+    "ev_minmax_downsample": EV_MINMAX_DOWNSAMPLE_SQL,
 }

@@ -167,3 +167,75 @@ def test_kcore_brute_force(spark):
     assert kcore(df, 1000).count() == 0
     with pytest.raises(ValueError):
         kcore(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# mutual_nn / minmax_downsample
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_nn_brute_force(spark):
+    from dataslicer_spark.operators.similarity import mutual_nn
+
+    rng = np.random.default_rng(31)
+    dim = 12
+    a_rows = [(i, [float(x) for x in rng.normal(0, 1, dim)]) for i in range(8)]
+    # b: noisy copies of a[0..3] (should mutually pair) + unrelated
+    b_rows = []
+    for j in range(4):
+        vec = np.array(a_rows[j][1]) + rng.normal(0, 0.05, dim)
+        b_rows.append((100 + j, [float(x) for x in vec]))
+    b_rows += [
+        (200 + j, [float(x) for x in rng.normal(5, 1, dim)])
+        for j in range(3)
+    ]
+    a = spark.createDataFrame(
+        pd.DataFrame(a_rows, columns=["vec_id", "embedding"])
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame(b_rows, columns=["vec_id", "embedding"])
+    )
+    got = {
+        (r.a_id, r.b_id): r.cosine for r in mutual_nn(a, b).collect()
+    }
+    # each noisy copy pairs with its source, bidirectionally
+    for j in range(4):
+        assert (j, 100 + j) in got
+        assert got[(j, 100 + j)] > 0.95
+    # mutuality: an a-row can appear at most once, same for b
+    a_ids = [k[0] for k in got]
+    b_ids = [k[1] for k in got]
+    assert len(a_ids) == len(set(a_ids)) and len(b_ids) == len(set(b_ids))
+
+
+def test_minmax_downsample_brute_force(spark):
+    from dataslicer_spark.operators.timeseries import minmax_downsample
+
+    rng = np.random.default_rng(33)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], n),
+            "ts": rng.integers(0, 10_000, n).astype("int64"),
+            "v": np.round(rng.normal(0, 10, n), 2),
+        }
+    )
+    w = 1000
+    out = minmax_downsample(
+        spark.createDataFrame(pdf), ["k"], "ts", "v", bucket_us=w
+    ).toPandas()
+    for (k, bs), grp in pdf.assign(b=(pdf.ts // w) * w).groupby(["k", "b"]):
+        sub = out[(out.k == k) & (out.bucket_start == bs)]
+        assert set(sub["kind"]) == {"min", "max"}
+        lo = sub[sub.kind == "min"].iloc[0]
+        hi = sub[sub.kind == "max"].iloc[0]
+        vmin, vmax = grp.v.min(), grp.v.max()
+        assert lo.value == vmin and hi.value == vmax
+        # tie-determinism: earliest ts for min, latest for max
+        assert lo.ts_us == grp[grp.v == vmin].ts.min()
+        assert hi.ts_us == grp[grp.v == vmax].ts.max()
+    # two rows per non-empty (key, bucket)
+    n_buckets = pdf.assign(b=(pdf.ts // w)).groupby(["k", "b"]).ngroups
+    assert len(out) == 2 * n_buckets
+    with pytest.raises(ValueError):
+        minmax_downsample(spark.createDataFrame(pdf), ["k"], "ts", "v", 0)

@@ -48,6 +48,10 @@ ALLOW = {
     # Benford: the grand total is a broadcast 1-row aggregate re-joined
     # to the 9-row digit histogram (the m3 pattern)
     "dq_benford": {"nested-loop-join"},
+    # mutual NN: both directions are brute-force cosine_topk over small
+    # id-slice subsets (query side broadcast BY DESIGN, same audit as
+    # sim_topk_bruteforce) — feed ANN candidates for full-corpus use
+    "emb_mutual_nn": {"nested-loop-join"},
     # theta-sketch set algebra: outputs are sketch-sized (a few rows);
     # the nested loop joins two 1-row sketch aggregates
     "sk_theta_sets": {"nested-loop-join", "single-partition-exchange"},
