@@ -616,8 +616,11 @@ def minmax_downsample(
     every monitoring UI renders from (preserves every spike and dip a
     mean-per-bucket resample flattens; the simpler cousin of LTTB).
 
-    One hash aggregate keyed on (key, bucket) with map-side partials —
-    no window, no sort.  Tie-determinism by lexicographic struct
+    ONE aggregate keyed on (key, bucket) with map-side partials
+    computing both extremes, then a 2-element explode — one scan, one
+    shuffle, no window, no join (struct min/max falls back to
+    SortAggregate in Spark, but the sort runs over compact per-bucket
+    partials, not events).  Tie-determinism by lexicographic struct
     ordering: among equal values the EARLIEST timestamp wins for min,
     the LATEST for max (``min/max(struct(value, ts))``), so the result
     is partitioning- and engine-independent (the DuckDB twin replays it
@@ -642,15 +645,23 @@ def minmax_downsample(
     agg = df.groupBy(*by, bucket).agg(
         F.min(pt).alias("__mn"), F.max(pt).alias("__mx")
     )
-    lo = agg.select(
-        *by, "bucket_start", F.lit("min").alias("kind"),
-        F.col("__mn.t").alias("ts_us"), F.col("__mn.v").alias("value"),
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.lit("min").alias("kind"),
+                F.col("__mn.t").alias("ts_us"),
+                F.col("__mn.v").alias("value"),
+            ),
+            F.struct(
+                F.lit("max").alias("kind"),
+                F.col("__mx.t").alias("ts_us"),
+                F.col("__mx.v").alias("value"),
+            ),
+        )
     )
-    hi = agg.select(
-        *by, "bucket_start", F.lit("max").alias("kind"),
-        F.col("__mx.t").alias("ts_us"), F.col("__mx.v").alias("value"),
+    return agg.select(*by, "bucket_start", both.alias("__e")).select(
+        *by, "bucket_start", "__e.kind", "__e.ts_us", "__e.value"
     )
-    return lo.unionByName(hi)
 
 
 def holt_smooth(

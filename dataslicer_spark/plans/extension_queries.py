@@ -8110,6 +8110,52 @@ SELECT * FROM lo UNION ALL SELECT * FROM hi
 """
 
 
+def dd_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/MOSS fingerprint matches (operators/dedup.
+    winnowing_matches, k=3 window=4 min_common=2): per-window rightmost
+    minimum of md5-derived k-gram hashes — the guaranteed-detection
+    local sampling; ~2/(window+1) the index size of the full shingle
+    inverted index."""
+    from ..operators.dedup import winnowing_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_matches(docs, "doc_id", k=3, window=4, min_common=2)
+
+
+DD_WINNOWING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                         1, 15))::BIGINT AS h
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+picked AS (
+  SELECT doc_id,
+         min(struct_pack(h := h, np := -pos)) OVER win AS pick,
+         count(*) OVER win AS cnt
+  FROM grams
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+fp AS (SELECT DISTINCT doc_id, pick.h AS h FROM picked WHERE cnt = 4),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2)
+SELECT id_a, id_b, n_common, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) AS overlap
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8259,6 +8305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_holt_smooth": ev_holt_smooth,
     "emb_mutual_nn": emb_mutual_nn,
     "ev_minmax_downsample": ev_minmax_downsample,
+    "dd_winnowing": dd_winnowing,
 }
 
 ORACLES: dict[str, str] = {
@@ -8457,4 +8504,5 @@ ORACLES: dict[str, str] = {
     "ev_holt_smooth": EV_HOLT_SMOOTH_SQL,
     "emb_mutual_nn": EMB_MUTUAL_NN_SQL,
     "ev_minmax_downsample": EV_MINMAX_DOWNSAMPLE_SQL,
+    "dd_winnowing": DD_WINNOWING_SQL,
 }

@@ -200,6 +200,34 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "full-outer merge join",
      ["partial_max_by", "FullOuter"],
      ["Window", "CartesianProduct"]),
+    ("lk_time_travel", "time travel: the seq-prefix predicate is pushed "
+     "into the changelog parquet scan before the MERGE",
+     ["PushedFilters: [IsNotNull(event_id), LessThanOrEqual(event_id,"],
+     ["CartesianProduct"]),
+    ("dq_ks_test", "KS: value-granular histogram aggregates partial+"
+     "final; totals broadcast back; ECDF window partitioned by feature",
+     ["HashAggregate", "BroadcastHashJoin", "Window"],
+     ["SortMergeJoin", "CartesianProduct", "Python"]),
+    ("ev_ewma_smooth", "EWMA: one key exchange into the batched Arrow "
+     "kernel — no join, no window",
+     ["MapInPandas"], ["Join", "Window", "CartesianProduct"]),
+    ("ev_seasonal_decompose", "seasonal decomposition: range-window "
+     "trend + per-phase aggregate re-joined on the SAME key — no "
+     "cartesian, no Python",
+     ["Window", "HashAggregate"], ["CartesianProduct", "Python"]),
+    ("ev_minmax_downsample", "min-max decimation is ONE aggregate + "
+     "explode — single Exchange, no window, no join (struct min/max "
+     "falls back to SortAggregate over compact per-bucket partials)",
+     ["Aggregate", "Generate"], ["Window", "Join", "Python"]),
+    ("txt_c4_clean", "C4 cleaning is map-only array HOFs — no shuffle, "
+     "no Python",
+     [], ["Exchange", "Python", "Join"]),
+    ("txt_ngram_novelty", "novelty: reference shingles reduced to "
+     "DISTINCT then hash-joined; one doc-keyed aggregate",
+     ["HashAggregate"], ["CartesianProduct", "Python", "NestedLoop"]),
+    ("emb_centroid_drift", "centroid drift: labels-by-dims aggregates "
+     "partial+final; vectors never shuffle whole",
+     ["HashAggregate"], ["CartesianProduct", "Python", "NestedLoop"]),
 ]
 
 

@@ -631,3 +631,70 @@ def test_dedup_threshold_sweep_brute_force(spark):
 
     with _pytest.raises(ValueError):
         dedup_threshold_sweep(spark.createDataFrame(pairs), [])
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing contract: documents sharing a run of >= k+window-1
+    tokens share a selected fingerprint; short docs emit nothing;
+    density is far below the full shingle count; pure-python replay of
+    the rightmost-min rule matches exactly."""
+    import hashlib
+
+    import pandas as pd
+
+    from dataslicer_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_matches,
+    )
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (0, shared + " one two three four five six"),
+        (1, "x y z " + shared + " q r s t"),
+        (2, "completely different words with no overlap at all here"),
+        (3, "too short"),  # < k+w-1 tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    fp = winnowing_fingerprints(df, "doc_id", k=k, window=w)
+    got = {}
+    for r in fp.collect():
+        got.setdefault(r.id, set()).add((r.pos, r.h))
+    assert 3 not in got
+
+    # pure-python replay
+    def replay(text):
+        toks = text.lower().split()
+        grams = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        sel = set()
+        for i in range(len(hs) - w + 1):
+            win = hs[i : i + w]
+            m = min(win)
+            pos = i + max(j for j, h in enumerate(win) if h == m)
+            sel.add((pos, m))
+        return sel
+
+    for doc_id, text in docs[:3]:
+        assert got.get(doc_id, set()) == replay(text)
+    # density: far fewer fingerprints than grams
+    assert len(got[0]) < len(docs[0][1].split()) - k + 1
+
+    # guarantee: the 8-token (= k+w-1+2) shared run pairs docs 0 and 1
+    pairs = {
+        (r.id_a, r.id_b): r.n_common
+        for r in winnowing_matches(
+            df, "doc_id", k=k, window=w, min_common=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnowing_fingerprints(df, "doc_id", k=0)
