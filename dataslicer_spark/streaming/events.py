@@ -383,6 +383,85 @@ def stream_ewma(
     )
 
 
+def stream_cusum(
+    spark,
+    source_dir: str,
+    schema,
+    target: float,
+    slack: float,
+    threshold: float,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Streaming two-sided CUSUM change detection via
+    ``applyInPandasWithState``: the online twin of
+    ``operators/timeseries.cusum_changepoints`` — per key the (s_pos,
+    s_neg) accumulators fold across micro-batches with the identical
+    ``max(0, s + ((x − target) − slack))`` op order and post-alarm
+    reset, so the streamed alarm sequence is bit-identical to the batch
+    kernel under in-order ingestion (pytest-pinned).
+
+    State is one (double, double, long) triple per key.  Emits one row
+    per key per micro-batch: current accumulators, the last order seen,
+    and how many alarms fired in this batch (output mode 'update');
+    route the alarm count to the alerting sink.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    tgt, k, h = float(target), float(slack), float(threshold)
+    if h <= 0.0:
+        raise ValueError("threshold must be positive")
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("s_pos", T.DoubleType()),
+            T.StructField("s_neg", T.DoubleType()),
+            T.StructField("last_order", T.LongType()),
+            T.StructField("n_alarms", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sp", T.DoubleType()),
+            T.StructField("sn", T.DoubleType()),
+            T.StructField("last_order", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        sp, sn, last = state.get if state.exists else (0.0, 0.0, -(2 ** 62))
+        alarms = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for x, o in zip(pdf[value_col], pdf[order_col]):
+                x = float(x)
+                sp = max(0.0, sp + ((x - tgt) - k))
+                sn = max(0.0, sn + ((tgt - x) - k))
+                if sp > h or sn > h:
+                    alarms += 1
+                    sp, sn = 0.0, 0.0
+                last = int(o)
+        state.update((float(sp), float(sn), int(last)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "s_pos": [sp],
+                "s_neg": [sn],
+                "last_order": [last],
+                "n_alarms": [alarms],
+            }
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def _click_purchase_frames(events, lookback: str):
     """Shared projection + join condition for the stream-stream join and
     its batch twin: each click paired with the same user's purchases in

@@ -442,3 +442,58 @@ def test_stream_ewma_matches_batch_kernel(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         stream_ewma(spark, "/tmp/none", None, alpha=0.0)
+
+
+def test_stream_cusum_matches_batch_kernel(spark, sf_dir):
+    """Streamed CUSUM state + alarm count equals the batch
+    cusum_changepoints kernel fed the same in-order data."""
+    from dataslicer_spark.operators.timeseries import cusum_changepoints
+    from dataslicer_spark.streaming.events import stream_cusum
+
+    tgt, slack, h = 50.0, 15.0, 120.0
+    events = (
+        load_events(spark, sf_dir)
+        .select("user_id", "event_id", "value")
+        .limit(3000)
+        .cache()
+    )
+    batch = cusum_changepoints(
+        events, ["user_id"], "event_id", "value", tgt, slack, h
+    ).toPandas().sort_values("event_id")
+    exp_alarms = batch.groupby("user_id")["alarm"].sum().to_dict()
+    # expected final post-reset state per key
+    exp_state = {}
+    for uid, grp in batch.groupby("user_id"):
+        last = grp.iloc[-1]
+        exp_state[int(uid)] = (
+            (0.0, 0.0) if last.alarm else (last.s_pos, last.s_neg)
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        events.orderBy("event_id").coalesce(1).write.parquet(src)
+        stream = stream_cusum(
+            spark, src, spark.read.parquet(src).schema, tgt, slack, h
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cusum_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from cusum_stream").toPandas()
+    got_state, got_alarms = {}, {}
+    for r in rows.sort_values("last_order").itertuples():
+        got_state[int(r.key)] = (r.s_pos, r.s_neg)
+        got_alarms[int(r.key)] = got_alarms.get(int(r.key), 0) + r.n_alarms
+    assert set(got_state) == set(exp_state)
+    for uid, st in exp_state.items():
+        assert got_state[uid] == st  # bit-identical fold
+        assert got_alarms[uid] == exp_alarms[uid]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_cusum(spark, "/tmp/none", None, tgt, slack, 0.0)
