@@ -98,6 +98,25 @@ class SlicerFrame:
     def add_srcid(self, **kw) -> "SlicerFrame":
         return self._wrap(add_srcid(self.df, **kw))
 
+    # -- archive metadata (S11/J2) -------------------------------------------
+    def add_IRSA_meta(
+        self,
+        expid_col: str = "expid",
+        meta_cols=None,
+        **kw,
+    ) -> "SlicerFrame":
+        """Attach IRSA exposure metadata by exposure id
+        (srcdf.add_IRSA_meta, srcdf.py:108-135): distinct exposure ids →
+        ONE archive query → broadcast join back.  Facade over
+        ``sources.archives.load_irsa_meta``; pass ``zquery=`` a recorded
+        fixture/fetcher in tests."""
+        from .sources.archives import load_irsa_meta
+
+        return self._wrap(
+            load_irsa_meta(self.df, expid_col=expid_col,
+                           meta_cols=meta_cols, **kw)
+        )
+
     # -- union (J9) ----------------------------------------------------------
     def add(self, other: "SlicerFrame | DataFrame", reindex: bool = True,
             srcid_key: str = "sourceid") -> "SlicerFrame":

@@ -1787,7 +1787,11 @@ def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; the value-hash oracle rides on
     sk_hll_certify, and pytest pins the error bounds."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # Quartiles come back as ONE array-typed aggregate (single GK sketch
+    # per group) but are emitted as three scalar columns: the driver's
+    # canonicalizer sorts cell values, and top-level array cells are
+    # unsortable there (registry contract, tests/test_registry_plans.py).
+    agg = li.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg(F.col("l_orderkey"), F.lit(12))
         ).alias("n_l_orderkey"),
@@ -1799,6 +1803,15 @@ def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
             F.lit(10_000),
         ).alias("q_l_extendedprice"),
+    )
+    qv = F.col("q_l_extendedprice")
+    return agg.select(
+        "l_returnflag",
+        "n_l_orderkey",
+        "n_l_partkey",
+        qv[0].alias("q25_l_extendedprice"),
+        qv[1].alias("q50_l_extendedprice"),
+        qv[2].alias("q75_l_extendedprice"),
     )
 
 

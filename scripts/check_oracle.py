@@ -26,6 +26,27 @@ TABLES = [
 ]
 
 
+def reject_nonscalar(df: pd.DataFrame, name: str) -> None:
+    """Fail exactly where the driver's canonicalizer fails.
+
+    The driver sorts cell VALUES before hashing; a top-level array/map/
+    struct cell is unhashable/unsortable there and errors the whole row —
+    even for rows-only queries (this killed ``sk_hll_stats`` for six
+    rounds while the old ``astype(str)`` coercion here hid it).  So: no
+    coercion — a list/dict/ndarray/tuple/set cell is a hard FAIL."""
+    head = df.head(100)
+    for c in df.columns:
+        if head[c].dtype != object:
+            continue
+        for v in head[c]:
+            if isinstance(v, (list, dict, tuple, set, np.ndarray)):
+                raise TypeError(
+                    f"{name}: column {c!r} holds non-scalar cells "
+                    f"({type(v).__name__}) — the driver canonicalizer "
+                    "rejects these; emit scalar columns instead"
+                )
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df.columns = [c.lower() for c in df.columns]
@@ -40,6 +61,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
+    try:
+        reject_nonscalar(spark_pdf, name)
+    except TypeError as e:
+        return [str(e)]
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
     s_cols = sorted(c.lower() for c in spark_pdf.columns)
@@ -101,6 +126,12 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
+            try:
+                reject_nonscalar(spark_pdf, name)
+            except TypeError as e:
+                print(f"FAIL {name}: {e}")
+                n_fail += 1
+                continue
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
             if len(spark_pdf) == 0:

@@ -129,6 +129,26 @@ def test_load_irsa_meta_end_to_end(spark):
     assert len(zq.calls) == 1
 
 
+def test_add_irsa_meta_facade(spark):
+    """SlicerFrame.add_IRSA_meta delegates to load_irsa_meta
+    (srcdf.add_IRSA_meta, srcdf.py:108-135) — same recorded fixture,
+    through the facade."""
+    from dataslicer_spark.api import SlicerFrame
+
+    zq = _RecordedZTFQuery()
+    df = spark.createDataFrame(
+        [(10, 1), (20, 2), (21, 2), (30, 99)], "src int, expid int"
+    )
+    out = SlicerFrame(df).add_IRSA_meta(
+        "expid", meta_cols=["seeing"], zquery=zq
+    )
+    assert isinstance(out, SlicerFrame)
+    rows = {r.src: r.seeing for r in out.df.collect()}
+    assert rows == {10: pytest.approx(1.1), 20: pytest.approx(2.2),
+                    21: pytest.approx(2.2)}
+    assert len(zq.calls) == 1
+
+
 def test_match_ps1cal_fields_renames_and_broadcasts(spark):
     coll = _RecordedMongoColl()
     from dataslicer_spark.sources.archives import match_ps1cal_fields

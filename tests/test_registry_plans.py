@@ -135,7 +135,24 @@ ALLOW = {
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_registry_plan_is_scale_clean(spark, name):
     fn = entrymod.queries()[name]
-    findings = explain_scale_report(fn(spark, SF))
+    df = fn(spark, SF)
+
+    # Driver-canonicalization contract: the driver sorts cell VALUES
+    # before hashing, so a top-level array/map/struct output column is
+    # unhashable there and errors the whole correctness row — even for
+    # rows-only queries (this is exactly how sk_hll_stats stayed red for
+    # six rounds).  Emit scalar columns (q25/q50/q75, not an array).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    nonscalar = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nonscalar, (
+        f"{name}: non-scalar top-level output columns {nonscalar} — the "
+        "driver canonicalizer rejects these; flatten to scalar columns"
+    )
+
+    findings = explain_scale_report(df)
     allowed = ALLOW.get(name, set())
     bad = [f for f in findings if f.check in NEVER or f.check not in allowed]
     assert not bad, f"{name}: " + "; ".join(map(str, bad))
