@@ -48,8 +48,23 @@ def _witnessed_rounds() -> dict[str, int]:
         rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                for key in json.load(fh):
-                    last[key] = max(last.get(key, 0), rnd)
+                for key, rec in json.load(fh).items():
+                    # Only a SUCCESSFUL record counts as a witness: a
+                    # query that ERRED at the driver boundary must go
+                    # back to the front of the queue, not wait a full
+                    # rotation lap (sk_hll_stats erred in r08 and would
+                    # otherwise sit at position ~155 for three rounds
+                    # after its fix).  Success = value-hash match, or a
+                    # rows-only run that actually produced rows.
+                    ok = isinstance(rec, dict) and (
+                        rec.get("hash_match") is True
+                        or (
+                            rec.get("spark_rows") is not None
+                            and rec.get("err") in (None, "no_oracle")
+                        )
+                    )
+                    if ok:
+                        last[key] = max(last.get(key, 0), rnd)
         except Exception:
             continue
     return last

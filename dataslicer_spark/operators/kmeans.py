@@ -215,14 +215,83 @@ def kmeans_assign(
 ) -> DataFrame:
     """Attach (cluster, d2) for fixed centroids — a map-only plan (the
     centroid table rides in the expression as literals; no join, no
-    shuffle, no Python)."""
+    shuffle, no Python).
+
+    Two physical strategies, same integer math, bit-identical output:
+
+    - small ``k·d`` (≤ 512): the centroid table inlines as literals in a
+      ``least``-of-structs expression — zero Python, fine while the
+      expression stays small;
+    - large ``k·d``: an Arrow ``mapInPandas`` kernel (still map-only —
+      centroids ride a broadcast, the corpus never shuffles).  The HOF
+      literal expression is CodegenFallback (interpreted) and its cost
+      is n·k·d PER ROW re-evaluation — at k=32,d=64 it was the
+      superlinear term in the semantic-dedup scale probe and the IVF
+      build path; vectorized numpy runs the identical floor-quantize /
+      int64 squared-L2 / first-min math in chunked batches."""
     check_col(vec_col, df)
-    best = _best_cluster(quantize_expr(vec_col, fp_bits), centroids)
-    return df.withColumn("__b", best).select(
-        "*",
-        F.col("__b")["cluster"].alias(cluster_col),
-        F.col("__b")["d2"].alias(dist_col),
-    ).drop("__b")
+    k, dim = len(centroids), len(centroids[0])
+    if k * dim <= 512:
+        best = _best_cluster(quantize_expr(vec_col, fp_bits), centroids)
+        return df.withColumn("__b", best).select(
+            "*",
+            F.col("__b")["cluster"].alias(cluster_col),
+            F.col("__b")["d2"].alias(dist_col),
+        ).drop("__b")
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.int64))
+    scale = float(1 << fp_bits)
+    # (chunk × k × dim) int64 distance temporary bounded to ~16 MB,
+    # matching _fit_loop
+    chunk_rows = max(1, 2_000_000 // max(k * dim, 1))
+    in_fields = list(df.schema.fields)
+    out_schema = StructType(
+        in_fields
+        + [
+            StructField(cluster_col, IntegerType(), True),
+            StructField(dist_col, LongType(), True),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            if not len(pdf):
+                pdf[cluster_col] = pd.Series([], dtype="Int32")
+                pdf[dist_col] = pd.Series([], dtype="Int64")
+                yield pdf
+                continue
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda v: v is not None and len(v) == dim).to_numpy()
+            cl = np.full(len(pdf), -1, dtype=np.int64)
+            d2o = np.zeros(len(pdf), dtype=np.int64)
+            if ok.any():
+                X = np.floor(
+                    np.stack(vecs[ok].to_numpy()).astype(np.float64) * scale
+                ).astype(np.int64)
+                bi = np.empty(len(X), dtype=np.int64)
+                bd = np.empty(len(X), dtype=np.int64)
+                for lo in range(0, len(X), chunk_rows):
+                    xb = X[lo : lo + chunk_rows]
+                    d2 = ((xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    bi[lo : lo + len(xb)] = d2.argmin(axis=1)  # first min
+                    bd[lo : lo + len(xb)] = d2.min(axis=1)
+                cl[ok] = bi
+                d2o[ok] = bd
+            pdf[cluster_col] = pd.array(
+                [int(c) if c >= 0 else None for c in cl], dtype="Int32"
+            )
+            pdf[dist_col] = pd.array(
+                [int(d) if c >= 0 else None for c, d in zip(cl, d2o)],
+                dtype="Int64",
+            )
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def kmeans(

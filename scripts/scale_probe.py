@@ -7,7 +7,11 @@ the scaling factor — evidence that the plans scale sub-quadratically (the
 ≈4× is linear; the near-dup kernels are allowed the candidate-growth
 factor of their banding but must stay far from 16× (quadratic).
 
-Usage: python scripts/scale_probe.py   → one JSON line per kernel.
+Usage: python scripts/scale_probe.py [kernel ...] → one JSON line per
+kernel (names filter the run — triage tool for re-measuring a suspect
+row in isolation, like ``bench.py --family``; a full-probe row reflects
+the JVM/JIT state of the 25+ kernels before it, so confirm a suspect
+factor with a filtered rerun before calling it a regression).
 """
 
 from __future__ import annotations
@@ -36,12 +40,25 @@ def main() -> None:
 
     docs1 = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     docs4 = docs1
+    # near-dup corpora additionally salt every TOKEN of each copy: a
+    # verbatim shifted-id copy is a perfect near-dup of its original, so
+    # the 4× corpus would hold ~16× the qualifying pairs — the OUTPUT
+    # itself turns quadratic and no algorithm can scale sub-quadratically
+    # against it.  Token-salting keeps each copy's shingle-count
+    # distribution while making cross-copy shingles distinct: 4× docs,
+    # constant near-dup density — the shape a 4×-bigger crawl actually has.
+    docs4_salted = docs1
     for i in (1, 2, 3):
-        docs4 = docs4.unionByName(
-            docs1.withColumn("doc_id", F.col("doc_id") + 1_000_000 * i)
+        shifted = docs1.withColumn("doc_id", F.col("doc_id") + 1_000_000 * i)
+        docs4 = docs4.unionByName(shifted)
+        docs4_salted = docs4_salted.unionByName(
+            shifted.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}$1")
+            )
         )
     docs1, docs4 = docs1.cache(), docs4.cache()
-    docs1.count(), docs4.count()
+    docs4_salted = docs4_salted.cache()
+    docs1.count(), docs4.count(), docs4_salted.count()
 
     src1, _, cal1 = make_astro_fixture(spark, SF_DIR)
     src4 = src1
@@ -59,7 +76,11 @@ def main() -> None:
     cal1, cal4 = cal1.cache(), cal4.cache()
     src1.count(), src4.count(), cal1.count(), cal4.count()
 
+    only = set(sys.argv[1:])
+
     def run(name, fn1, fn4):
+        if only and name not in only:
+            return
         # warm BOTH plan shapes (the 4× DAG compiles its own codegen) and
         # take the best of two timed runs per size — sub-second kernels
         # are otherwise dominated by scheduler jitter
@@ -102,12 +123,16 @@ def main() -> None:
         lambda: minhash_lsh_pairs(docs4, "doc_id").write
         .format("noop").mode("overwrite").save(),
     )
+    # near-dup regime (t=0.8): exercises the PPJoin prefix-filtered plan
+    # — the regime this exact kernel is for (below ~0.7 the operator
+    # auto-selects the direct posting join, and at crawl scale the low-
+    # threshold job belongs to MinHash LSH anyway)
     run(
         "ngram_jaccard",
-        lambda: ngram_jaccard_pairs(docs1, "doc_id", threshold=0.5).write
+        lambda: ngram_jaccard_pairs(docs1, "doc_id", threshold=0.8).write
         .format("noop").mode("overwrite").save(),
-        lambda: ngram_jaccard_pairs(docs4, "doc_id", threshold=0.5).write
-        .format("noop").mode("overwrite").save(),
+        lambda: ngram_jaccard_pairs(docs4_salted, "doc_id", threshold=0.8)
+        .write.format("noop").mode("overwrite").save(),
     )
 
     # temporal kernels: 4× = more users (distinct key space), same per-key

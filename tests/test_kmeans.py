@@ -83,6 +83,53 @@ def test_kmeans_partitioning_invariance(vecs):
     assert a == b == c
 
 
+def test_kmeans_assign_arrow_kernel_matches_literal_path(vecs):
+    """kmeans_assign switches to an Arrow mapInPandas kernel above
+    k·d = 512 (the HOF literal expression is interpreted and its n·k·d
+    cost superlinearized the scale probe); both paths must be
+    bit-identical — same floor-quantize, int64 L2, first-min tie-break."""
+    rows, df = vecs
+    # k=40, d=16 -> k·d = 640 > 512 -> kernel path; k=8 -> literal path
+    cents_big = kmeans_fit(df, "vec_id", "embedding", k=40, n_iter=1)
+    from dataslicer_spark.operators.kmeans import _best_cluster, quantize_expr
+
+    lit = (
+        df.withColumn("__b", _best_cluster(quantize_expr("embedding"), cents_big))
+        .select(
+            "vec_id",
+            F.col("__b")["cluster"].alias("cluster"),
+            F.col("__b")["d2"].alias("d2"),
+        )
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    ker = (
+        kmeans_assign(df, cents_big, "embedding")
+        .select("vec_id", "cluster", "d2")
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    assert (lit["cluster"].to_numpy() == ker["cluster"].to_numpy()).all()
+    assert (
+        lit["d2"].to_numpy().astype("int64")
+        == ker["d2"].to_numpy().astype("int64")
+    ).all()
+
+
+def test_kmeans_assign_arrow_kernel_null_vectors(spark):
+    """Null vectors get null cluster/d2 through the kernel path, like the
+    literal path's null propagation."""
+    cents = [[0] * 64 for _ in range(9)]  # k·d = 576 -> kernel path
+    cents[1] = [1 << 10] * 64
+    df = spark.createDataFrame(
+        [(1, [0.001] * 64), (2, None)], "id long, embedding array<double>"
+    )
+    out = {r.id: (r.cluster, r.d2) for r in
+           kmeans_assign(df, cents, "embedding").collect()}
+    # floor(0.001·2^20) = 1048 sits nearer the 1024-centroid (cluster 1)
+    # than the origin centroid
+    assert out[1][0] == 1 and out[1][1] is not None
+    assert out[2] == (None, None)
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     # two far-apart points, k=3: one seed never wins any point and must
     # keep its initial centroid through every update

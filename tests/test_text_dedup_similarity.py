@@ -164,6 +164,26 @@ def test_ngram_jaccard_exact_vs_python(docs):
         assert got_pairs[k] == pytest.approx(v, rel=1e-12)
 
 
+def test_ngram_jaccard_prefix_path_matches_direct(docs):
+    """The PPJoin prefix-filtered plan (rare-first prefix index + length
+    + positional candidate filters, Bayardo WWW'07 / Xiao WWW'08) is
+    LOSSLESS: bit-identical pairs, counts, and jaccards vs the direct
+    posting-join plan at every threshold, including ones where ceil(t·|d|)
+    sits on a float boundary (0.8·5)."""
+    sample = docs.limit(60)
+    for t in (0.05, 0.5, 0.8, 0.95):
+        a = (
+            ngram_jaccard_pairs(sample, "doc_id", threshold=t, use_prefix=False)
+            .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        b = (
+            ngram_jaccard_pairs(sample, "doc_id", threshold=t, use_prefix=True)
+            .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        assert a.equals(b), f"prefix/direct divergence at t={t}"
+    sample.sparkSession.catalog.clearCache()
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     # plant near-duplicates: copy docs and drop the last 3 words
     sample = docs.limit(40)
