@@ -159,6 +159,19 @@ def child_main(names: list[str]) -> None:
     # JVM/codegen warmup so the first measured query doesn't absorb ~6s
     # of session initialization cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # calibration canary: a fixed CPU-bound aggregate, timed after
+    # warmup.  Per-rep spread catches INTERMITTENT host steal, but a
+    # steadily stolen host slows every rep equally and evades it — the
+    # canary gives each run an absolute speed reference, so a globally
+    # inflated artifact is self-describing (compare `canary_sec` across
+    # runs before reading any per-query ratio as a regression).
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr(
+        "sum((id % 1000003) * (id % 997))",  # bounded terms: no ANSI overflow
+        "avg(id)",
+        "count(distinct id % 1000)",
+    ).collect()
+    canary_sec = round(time.perf_counter() - t0, 3)
 
     registry = entrymod.queries()
     timings: dict[str, float] = {}
@@ -178,7 +191,12 @@ def child_main(names: list[str]) -> None:
     print(
         "BENCH_CHILD_JSON:"
         + json.dumps(
-            {"timings": timings, "runs": run_vectors, "contended": contended}
+            {
+                "timings": timings,
+                "runs": run_vectors,
+                "contended": contended,
+                "canary_sec": canary_sec,
+            }
         ),
         flush=True,
     )
@@ -189,6 +207,7 @@ def _write_diff(
     sf: float | None,
     run_vectors: dict[str, list[float]] | None = None,
     contended: list[str] | None = None,
+    canaries: list[float] | None = None,
 ) -> None:
     """Persist this run and a regression diff vs the previous run."""
     local_path = os.path.join(_HERE, "BENCH_LOCAL.json")
@@ -219,6 +238,10 @@ def _write_diff(
                 # host CPU steal — treat their min as an upper bound,
                 # not a regression signal
                 "contended": sorted(contended or []),
+                # fixed-workload canary per family JVM (see child_main):
+                # run-level speed reference — compare to the previous
+                # artifact's values before reading ratios as regressions
+                "canary_sec": canaries or [],
             },
             f, indent=1, sort_keys=True,
         )
@@ -277,6 +300,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     run_vectors: dict[str, list[float]] = {}
     contended: list[str] = []
+    canaries: list[float] = []
     for family in _pack_families(names):
         try:
             proc = subprocess.run(
@@ -309,11 +333,13 @@ def main() -> None:
         timings.update(got["timings"])
         run_vectors.update(got.get("runs", {}))
         contended.extend(got.get("contended", []))
+        if got.get("canary_sec") is not None:
+            canaries.append(got["canary_sec"])
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     failed = sorted(n for n, t in timings.items() if t < 0)
     try:
-        _write_diff(timings, sf, run_vectors, contended)
+        _write_diff(timings, sf, run_vectors, contended, canaries)
     except OSError as e:
         print(f"bench: diff write failed: {e}", file=sys.stderr)
     # the driver records only the LAST ~2000 chars of stdout; a full
@@ -343,6 +369,10 @@ def main() -> None:
         # rows whose rep spread stayed >3x after an extra rep — host CPU
         # steal; their min is an upper bound, not a plan regression
         **({"contended": sorted(contended)} if contended else {}),
+        # fixed-workload reference per family JVM: compare across runs
+        # before reading any per-query ratio as a regression (steady
+        # steal slows every rep equally and evades the spread check)
+        **({"canary_sec": canaries} if canaries else {}),
     }))
 
 

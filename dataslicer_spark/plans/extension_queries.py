@@ -312,6 +312,21 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
 """
 
 
+def dd_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin prefix-filtered plan at a genuine near-dup threshold
+    (0.8): rare-first prefix index + length/positional candidate filters
+    + array_intersect verify (operators/dedup.ngram_jaccard_pairs,
+    use_prefix auto-selects above t=0.7).  Prefix filtering is lossless,
+    so the oracle is the SAME naive pair SQL at the higher threshold —
+    the twin to ``dd_ngram_jaccard``, which certifies the direct
+    posting-join plan at t=0.05."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.8)
+
+
+DD_NGRAM_JACCARD_PREFIX_SQL = DD_NGRAM_JACCARD_SQL.replace(">= 0.05", ">= 0.8")
+
+
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization summarized per vector with exact
     integer statistics (sum/sumsq/min/max of the quantized values), so
@@ -8183,6 +8198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_top_ngrams": txt_top_ngrams,
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_ngram_jaccard_prefix": dd_ngram_jaccard_prefix,
     "dd_containment": dd_containment,
     "dd_resolve_groups": dd_resolve_groups,
     "dd_minhash_lsh": dd_minhash_lsh,
@@ -8331,6 +8347,7 @@ ORACLES: dict[str, str] = {
     "txt_top_ngrams": TXT_TOP_NGRAMS_SQL,
     "dd_exact": DD_EXACT_SQL,
     "dd_ngram_jaccard": DD_NGRAM_JACCARD_SQL,
+    "dd_ngram_jaccard_prefix": DD_NGRAM_JACCARD_PREFIX_SQL,
     "dd_containment": DD_CONTAINMENT_SQL,
     # recursive transitive-closure CTE = min-label propagation fixed point
     "dd_resolve_groups": DD_RESOLVE_SQL,
