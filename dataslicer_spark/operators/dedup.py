@@ -266,6 +266,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_posting: int | None = 10_000,
+    use_prefix: bool | None = None,
 ) -> DataFrame:
     """Ordered document pairs where the SMALLER document's shingle set
     is ≥ ``threshold`` contained in the other: ``containment(A→B) =
@@ -278,12 +279,24 @@ def containment_pairs(
 
     Output: one row per (inner_id, outer_id) with ``containment`` =
     |inner ∩ outer| / |inner| where ``n_inner ≤ n_outer`` (ties: both
-    directions evaluated via the id order, inner = smaller id).  Same
-    inverted-index plan as Jaccard — distinct shingles → posting lists
-    → pair counts — so the same ``max_posting`` stop-shingle cap bounds
-    the join fanout; only the final arithmetic differs.
+    directions evaluated via the id order, inner = smaller id).
+
+    Two lossless plans, like the Jaccard twin (``use_prefix=None`` =
+    auto: prefix at ``threshold ≥ 0.7``): the direct inverted-index
+    pair count, or SSJoin-style prefix filtering adapted to the
+    asymmetric predicate — containment ≥ t needs overlap ≥ t·|inner|,
+    so only the INNER side prunes to its rare-first prefix of length
+    ``|d| − ⌈t·|d|⌉ + 1`` while the outer side stays fully indexed
+    (no size relation exists to prune it); candidates carry the
+    first-shared-token positional bound on the inner side and verify
+    exactly via ``array_intersect``.  The same ``max_posting``
+    stop-shingle cap bounds the fanout in both plans; counts run over
+    the filtered sets, sizes stay full (documented approximation,
+    identical across plans).
     """
     check_col([id_col, text_col], df)
+    if use_prefix is None:
+        use_prefix = threshold >= 0.7
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -291,46 +304,129 @@ def containment_pairs(
         ).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inv = sh
-    if max_posting is not None:
-        posting = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-        inv = sh.join(
-            posting.filter(F.col("__df") <= max_posting).select("s"),
-            "s",
-            "inner",
+
+    def _orient(sized: DataFrame) -> DataFrame:
+        inner_is_a = (F.col("n_a") < F.col("n_b")) | (
+            (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
         )
-    a = inv.select(F.col("id").alias("id_a"), "s")
-    b = inv.select(F.col("id").alias("id_b"), "s")
-    common = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        out = sized.select(
+            F.when(inner_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "inner_id"
+            ),
+            F.when(inner_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "outer_id"
+            ),
+            "n_common",
+            F.when(inner_is_a, F.col("n_a")).otherwise(F.col("n_b")).alias(
+                "n_inner"
+            ),
+            F.when(inner_is_a, F.col("n_b")).otherwise(F.col("n_a")).alias(
+                "n_outer"
+            ),
+        ).withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_inner").cast("double"),
+        ).filter(F.col("containment") >= threshold)
+        return out.select(
+            "inner_id", "outer_id", "n_common", "n_inner", "n_outer",
+            "containment",
+        )
+
+    if not use_prefix:
+        inv = sh
+        if max_posting is not None:
+            posting = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+            inv = sh.join(
+                posting.filter(F.col("__df") <= max_posting).select("s"),
+                "s",
+                "inner",
+            )
+        a = inv.select(F.col("id").alias("id_a"), "s")
+        b = inv.select(F.col("id").alias("id_b"), "s")
+        common = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sized = common.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        return _orient(sized)
+
+    posting = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_posting is not None:
+        posting = posting.filter(F.col("__df") <= max_posting)
+    inv = sh.join(posting, "s", "inner")
+    docsets = inv.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("__df"), F.col("s")))),
+            lambda x: x["s"],
+        ).alias("sset"),
+    ).withColumn("n_f", F.size("sset")).join(sizes, "id").cache()
+    plen = F.greatest(
+        F.lit(1),
+        F.col("n_f")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_f") - F.lit(1e-9))
+        + 1,
+    ).cast("int")
+    # inner candidates come from the prefix; the outer side is the FULL
+    # filtered index (containment gives no bound on the outer size)
+    pref = docsets.select(
+        F.col("id").alias("id_i"), F.col("n_f").alias("n_fi"),
+        F.col("n_sh").alias("n_i"),
+        F.posexplode(F.slice(F.col("sset"), F.lit(1), plen)).alias("pi", "s"),
     )
-    sized = common.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
-        "id_a",
-    ).join(
-        sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
-        "id_b",
+    full = inv.join(
+        docsets.select("id", F.col("n_f").alias("n_fo"),
+                       F.col("n_sh").alias("n_o")),
+        "id",
+    ).select(F.col("id").alias("id_o"), "s", "n_fo", "n_o")
+    tt = float(threshold)
+    # overlap needed: α = ⌈t·n_inner_FULL⌉ (containment divides by the
+    # full inner size); overlap ≤ min(filtered sizes) and ≤ the inner
+    # first-shared-token positional bound
+    alpha = F.ceil(F.lit(tt) * F.col("n_i") - F.lit(1e-9))
+    cand = (
+        pref.join(full, "s")
+        .filter(
+            (F.col("n_i") < F.col("n_o"))
+            | ((F.col("n_i") == F.col("n_o")) & (F.col("id_i") < F.col("id_o")))
+        )
+        .groupBy("id_i", "id_o", "n_i", "n_o", "n_fi", "n_fo")
+        .agg(
+            F.max(F.lit(1) + (F.col("n_fi") - F.col("pi") - 1)).alias("__ub")
+        )
+        .filter(
+            (F.least(F.col("n_fi"), F.col("n_fo")) >= alpha)
+            & (F.col("__ub") >= alpha)
+        )
     )
-    inner_is_a = (F.col("n_a") < F.col("n_b")) | (
-        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    verified = (
+        cand.join(
+            docsets.select(F.col("id").alias("id_i"), F.col("sset").alias("__si")),
+            "id_i",
+        )
+        .join(
+            docsets.select(F.col("id").alias("id_o"), F.col("sset").alias("__so")),
+            "id_o",
+        )
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect(F.col("__si"), F.col("__so"))).cast("long"),
+        )
     )
-    out = sized.select(
-        F.when(inner_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
-            "inner_id"
-        ),
-        F.when(inner_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
-            "outer_id"
-        ),
+    # inner/outer orientation is already established by construction
+    out = verified.select(
+        F.col("id_i").alias("inner_id"),
+        F.col("id_o").alias("outer_id"),
         "n_common",
-        F.when(inner_is_a, F.col("n_a")).otherwise(F.col("n_b")).alias(
-            "n_inner"
-        ),
-        F.when(inner_is_a, F.col("n_b")).otherwise(F.col("n_a")).alias(
-            "n_outer"
-        ),
+        F.col("n_i").alias("n_inner"),
+        F.col("n_o").alias("n_outer"),
     ).withColumn(
         "containment",
         F.col("n_common").cast("double") / F.col("n_inner").cast("double"),

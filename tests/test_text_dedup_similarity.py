@@ -613,6 +613,38 @@ def test_containment_catches_doc_in_doc(spark):
     assert jac.count() == 0
 
 
+def test_containment_prefix_path_matches_direct(docs):
+    """The asymmetric SSJoin prefix plan (inner-side rare-first prefix ⋈
+    full outer index, positional + length candidate filters) is lossless
+    vs the direct posting join at every threshold.  Corpus includes
+    planted doc-in-doc rows so qualifying pairs actually exist."""
+    from dataslicer_spark.operators.dedup import containment_pairs
+
+    sample = docs.limit(40)
+    planted = sample.select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12),
+        ).alias("text"),
+    )
+    corpus = sample.select("doc_id", "text").unionByName(planted)
+    for t in (0.5, 0.8, 0.9, 0.95):
+        a = (
+            containment_pairs(corpus, "doc_id", threshold=t, use_prefix=False)
+            .toPandas().sort_values(["inner_id", "outer_id"])
+            .reset_index(drop=True)
+        )
+        b = (
+            containment_pairs(corpus, "doc_id", threshold=t, use_prefix=True)
+            .toPandas().sort_values(["inner_id", "outer_id"])
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0, f"fixture produced no pairs at t={t}"
+        assert a.equals(b), f"containment prefix/direct divergence at t={t}"
+    corpus.sparkSession.catalog.clearCache()
+
+
 def test_containment_tie_orientation_and_threshold(spark):
     from dataslicer_spark.operators.dedup import containment_pairs
 
