@@ -1011,6 +1011,196 @@ def hard_negative_mining(
     )
 
 
+def integer_dot_topn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n: int = 20,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    fp_bits: int = 12,
+) -> DataFrame:
+    """Exact top-n retrieval by INTEGER dot product of once-quantized
+    vectors (``floor(cast(x as double)·2^fp_bits)``) — the engine-
+    replayable relevance stage for :func:`mmr_rerank`: every score is an
+    exact int64 (fp_bits=12, |x|≤2, d=64 → |dot| ≤ 2³², inside the 2⁵³
+    window where DuckDB's double ``list_inner_product`` is also exact,
+    so the oracle replays bit for bit).
+
+    Physical plan mirrors :func:`cosine_topk_batched`: queries collect
+    driver-side (small/broadcast side by contract) and ride a broadcast
+    numpy matrix; each corpus partition emits only its LOCAL top-n per
+    query, so the final ranking window shuffles ``partitions·nq·n`` rows
+    — the corpus never shuffles.  NULL / wrong-length vectors drop.
+
+    Output: (query_id, rank, vec_id, rel_q) — rank 1..n by
+    (rel_q desc, vec_id asc).
+    """
+    check_col([corpus_id, corpus_vec], corpus)
+    check_col([query_id, query_vec], queries)
+    from pyspark.sql.types import LongType
+
+    spark = corpus.sparkSession
+    scale = float(1 << fp_bits)
+    qrows = [
+        r for r in queries.select(query_id, query_vec).collect()
+        if r[1] is not None
+    ]
+    out_schema = StructType([
+        StructField("query_id", queries.schema[query_id].dataType),
+        StructField("vec_id", corpus.schema[corpus_id].dataType),
+        StructField("rel_q", LongType()),
+    ])
+    if not qrows:
+        return (
+            spark.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1))
+            .select("query_id", "rank", "vec_id", "rel_q")
+        )
+    qids = [r[0] for r in qrows]
+    Qq = np.floor(
+        np.array([list(r[1]) for r in qrows], dtype=np.float64) * scale
+    ).astype(np.int64)
+    bc = spark.sparkContext.broadcast((qids, Qq))
+    nq, dim = Qq.shape
+    chunk_rows = max(1, 16_000_000 // max(nq * dim, 1))
+
+    def kernel(it):
+        qids_l, Qm = bc.value
+        qarr = np.asarray(qids_l, dtype=object)
+        for pdf in it:
+            vecs = pdf.iloc[:, 1]
+            ok = vecs.map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy()
+            pdf = pdf.iloc[ok]
+            if len(pdf) == 0:
+                continue
+            C = np.floor(
+                np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            cids = pdf.iloc[:, 0].to_numpy()
+            for lo in range(0, len(C), chunk_rows):
+                hi = min(lo + chunk_rows, len(C))
+                dots = C[lo:hi] @ Qm.T  # int64-exact
+                take = min(n, hi - lo)
+                # local top-n per query: partial argpartition, then emit
+                idx = np.argpartition(-dots, take - 1, axis=0)[:take]
+                qcol = np.repeat(qarr[None, :], take, axis=0)
+                yield pd.DataFrame({
+                    "query_id": qcol.reshape(-1),
+                    "vec_id": cids[lo:hi][idx].reshape(-1),
+                    "rel_q": dots[idx, np.arange(nq)[None, :]].reshape(-1),
+                })
+
+    partials = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        kernel, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel_q").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "rank", "vec_id", "rel_q")
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "rel_q",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 3,
+    fp_bits: int = 12,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    per-query greedy top-k that trades relevance against redundancy —
+    pick ``argmax lam_num·rel − lam_den·max_{s∈S} sim(d, s)`` each
+    round (sim = integer dot of the quantized vectors; S = already
+    selected; first pick is pure relevance since S is empty).  The
+    de-duplicating reranker for retrieval-augmented pipelines: a result
+    page of ten near-identical passages has high relevance and near-zero
+    marginal information.
+
+    Scale contract: ``candidates`` is a BOUNDED per-query set (feed a
+    top-N stage — :func:`integer_dot_topn`, BM25, or an ANN probe), so
+    the greedy loop runs inside one ``applyInPandas`` group per query:
+    millions of queries parallelize across the cluster, nothing beyond
+    the candidate rows ever shuffles, and the O(N²) pair-dot matrix is
+    N ≤ a few hundred per group.
+
+    Determinism: ``rel_col`` must be integer-valued (fixed-point scores
+    — integer dots, BM25 fixed-point); similarity uses once-quantized
+    ``floor(cast(x as double)·2^fp_bits)`` int64 dots; score arithmetic
+    is pure int64 with ties to the smallest id — the ENTIRE greedy
+    trajectory replays as unrolled chained CTEs in DuckDB.
+
+    Output: (query_col, pick, id_col, rel_q, score_q) — pick 1..k in
+    selection order; score_q is the winning marginal score that round.
+    """
+    check_col([query_col, id_col, rel_col, vec_col], candidates)
+    from pyspark.sql.types import IntegerType, LongType
+
+    scale = float(1 << fp_bits)
+    out_schema = StructType([
+        StructField(query_col, candidates.schema[query_col].dataType),
+        StructField("pick", IntegerType()),
+        StructField(id_col, candidates.schema[id_col].dataType),
+        StructField("rel_q", LongType()),
+        StructField("score_q", LongType()),
+    ])
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[vec_col].notna()]
+        if not len(pdf):
+            return pd.DataFrame(
+                {f.name: pd.Series([], dtype=object) for f in out_schema}
+            )
+        # deterministic candidate order: by id (ties in the greedy argmax
+        # resolve to the smallest id via this ordering + argmax-first)
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.floor(
+            np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        rel = pdf[rel_col].to_numpy().astype(np.int64)
+        ids = pdf[id_col].to_numpy()
+        nloc = len(pdf)
+        dots = X @ X.T  # N² pair dots, N bounded by the top-N stage
+        selected: list[int] = []
+        maxdot = np.zeros(nloc, dtype=np.int64)
+        remaining = np.ones(nloc, dtype=bool)
+        picks, pick_scores = [], []
+        for _ in range(min(k, nloc)):
+            score = lam_num * rel - (
+                lam_den * maxdot if selected else 0
+            )
+            score_masked = np.where(remaining, score, np.iinfo(np.int64).min)
+            j = int(np.argmax(score_masked))  # first max = smallest id
+            picks.append(j)
+            pick_scores.append(int(score_masked[j]))
+            remaining[j] = False
+            selected.append(j)
+            maxdot = np.maximum(maxdot, dots[:, j])
+        return pd.DataFrame({
+            query_col: [pdf[query_col].iloc[0]] * len(picks),
+            "pick": np.arange(1, len(picks) + 1, dtype=np.int32),
+            id_col: ids[picks],
+            "rel_q": rel[picks],
+            "score_q": np.asarray(pick_scores, dtype=np.int64),
+        })
+
+    return (
+        candidates.select(query_col, id_col, rel_col, vec_col)
+        .groupBy(query_col)
+        .applyInPandas(greedy, out_schema)
+    )
+
+
 __all__ = [
     "add_hyperplane_bucket",
     "cosine_topk",
@@ -1025,8 +1215,10 @@ __all__ = [
     "rebalance_ivf_index",
     "save_ivf_index",
     "load_ivf_index",
+    "integer_dot_topn",
     "ivf_search",
     "ivf_topk",
     "knn_classify",
+    "mmr_rerank",
     "quantize_embeddings",
 ]

@@ -776,6 +776,94 @@ WHERE cosine >= 0.35
 # similarity search
 # ---------------------------------------------------------------------------
 
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/similarity.mmr_rerank,
+    Carbonell & Goldstein SIGIR'98): integer-dot top-20 candidates per
+    query (vec_id % 100 == 1 rows are the query set), then the greedy
+    rerank picks 5 with score = 7·rel − 3·max-dot-to-selected.  Every
+    quantity is an exact int64 (once-quantized floor(x·2¹²) vectors →
+    |dot| ≤ 2³², inside DuckDB's exact-double window), so the ENTIRE
+    greedy trajectory replays as unrolled chained CTEs — selection
+    order, winning scores and all."""
+    from ..operators.similarity import integer_dot_topn, mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = integer_dot_topn(emb, qs, n=20, fp_bits=12)
+    cand_v = cand.join(emb.select("vec_id", "embedding"), "vec_id")
+    return mmr_rerank(
+        cand_v, k=5, lam_num=7, lam_den=3, fp_bits=12
+    ).select("query_id", "pick", "vec_id", "rel_q", "score_q")
+
+
+def _sql_mmr_chain(k: int = 5, n: int = 20, lam_num: int = 7,
+                   lam_den: int = 3) -> str:
+    """Unrolled greedy-MMR oracle: sel_i CTEs replay the selection round
+    by round — maxdot to the selected set via the pair-dot relation,
+    argmax with (score desc, id asc) ties, NOT EXISTS to drop already
+    selected.  Same generated-chain style as the k-means/BPE trajectory
+    oracles."""
+    head = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE)*4096.0) AS BIGINT))
+           AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 1),
+rel AS (
+  SELECT qid, e.vec_id AS did,
+         CAST(list_inner_product(qv, e.v) AS BIGINT) AS rel_q, e.v AS dv
+  FROM q, e),
+cand AS (
+  SELECT qid, did, rel_q, dv FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel_q DESC, did) AS rn
+    FROM rel) WHERE rn <= {n}),
+pdot AS (
+  SELECT a.qid, a.did AS ia, b.did AS ib,
+         CAST(list_inner_product(a.dv, b.dv) AS BIGINT) AS dot
+  FROM cand a JOIN cand b ON a.qid = b.qid),
+sel1 AS (
+  SELECT qid, did, rel_q, {lam_num}*rel_q AS score_q FROM (
+    SELECT qid, did, rel_q,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY {lam_num}*rel_q DESC, did) AS rn
+    FROM cand) WHERE rn = 1),
+selall1 AS (SELECT qid, did FROM sel1)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(f""",
+m{i} AS (
+  SELECT c.qid, c.did, c.rel_q, MAX(p.dot) AS maxdot
+  FROM cand c
+  JOIN pdot p ON p.qid = c.qid AND p.ia = c.did
+  JOIN selall{i-1} s ON s.qid = p.qid AND s.did = p.ib
+  WHERE NOT EXISTS (SELECT 1 FROM selall{i-1} x
+                    WHERE x.qid = c.qid AND x.did = c.did)
+  GROUP BY 1, 2, 3),
+sel{i} AS (
+  SELECT qid, did, rel_q, score_q FROM (
+    SELECT qid, did, rel_q,
+           {lam_num}*rel_q - {lam_den}*maxdot AS score_q,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY {lam_num}*rel_q - {lam_den}*maxdot DESC, did) AS rn
+    FROM m{i}) WHERE rn = 1),
+selall{i} AS (SELECT qid, did FROM selall{i-1}
+              UNION ALL SELECT qid, did FROM sel{i})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT qid AS query_id, {i} AS pick, did AS vec_id, rel_q, score_q "
+        f"FROM sel{i}" for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + unions
+
+
+SIM_MMR_RERANK_SQL = _sql_mmr_chain(k=5, n=20, lam_num=7, lam_den=3)
+
+
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for the first 10 vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -8206,6 +8294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_index_probe": dd_index_probe,
     "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
+    "sim_mmr_rerank": sim_mmr_rerank,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_topk_ivf": sim_topk_ivf,
@@ -8363,6 +8452,7 @@ ORACLES: dict[str, str] = {
     "samp_stratified": SAMP_STRATIFIED_SQL,
     "emb_quantize": EMB_QUANTIZE_SQL,
     "dd_embedding_cosine": DD_EMBEDDING_COSINE_SQL,
+    "sim_mmr_rerank": SIM_MMR_RERANK_SQL,
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     # seeded-plane bucket replay → exact oracle for the approximate path
     "sim_topk_lsh": SIM_TOPK_LSH_SQL,

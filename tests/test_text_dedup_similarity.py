@@ -750,3 +750,95 @@ def test_winnowing_guarantee_and_density(spark):
 
     with _pytest.raises(ValueError):
         winnowing_fingerprints(df, "doc_id", k=0)
+
+
+def test_mmr_rerank_matches_python_greedy(spark, emb):
+    """Spark MMR (integer_dot_topn -> mmr_rerank) vs an independent
+    pure-python greedy replay: identical selection order, relevance, and
+    winning marginal scores for every query."""
+    import numpy as np
+    from dataslicer_spark.operators.similarity import (
+        integer_dot_topn,
+        mmr_rerank,
+    )
+
+    qs = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = integer_dot_topn(emb, qs, n=10, fp_bits=12)
+    cand_v = cand.join(emb.select("vec_id", "embedding"), "vec_id")
+    got = (
+        mmr_rerank(cand_v, k=4, lam_num=7, lam_den=3, fp_bits=12)
+        .toPandas().sort_values(["query_id", "pick"])
+    )
+
+    pdf = emb.toPandas()
+    X = {
+        int(r.vec_id): np.floor(
+            np.asarray(r.embedding, dtype=np.float64) * 4096.0
+        ).astype(np.int64)
+        for r in pdf.itertuples()
+    }
+    for qid in sorted(i for i in X if i % 40 == 1):
+        rel = {i: int(X[qid] @ X[i]) for i in X}
+        top = sorted(X, key=lambda i: (-rel[i], i))[:10]
+        sel, scores = [], []
+        maxd = {i: 0 for i in top}
+        for _ in range(4):
+            rem = [i for i in top if i not in sel]
+            sc = {i: 7 * rel[i] - (3 * maxd[i] if sel else 0) for i in rem}
+            j = min(rem, key=lambda i: (-sc[i], i))
+            sel.append(j)
+            scores.append(sc[j])
+            for i in top:
+                maxd[i] = max(maxd[i], int(X[i] @ X[j]))
+        rows = got[got.query_id == qid]
+        assert rows.vec_id.tolist() == sel
+        assert rows.score_q.tolist() == scores
+        assert rows.rel_q.tolist() == [rel[i] for i in sel]
+
+
+def test_mmr_rerank_diversifies(spark):
+    """A cluster of near-identical high-relevance vectors: pure top-k
+    takes the whole clone cluster; MMR spends one pick on it and spreads
+    the rest — the operator's reason to exist."""
+    import numpy as np
+    from dataslicer_spark.operators.similarity import mmr_rerank
+
+    d = 8
+    base = [1.0] * d
+    rows = []
+    # ids 1-4: clones of the query direction (max relevance, max mutual sim)
+    for i in (1, 2, 3, 4):
+        rows.append((7, i, 10_000, [v + 0.001 * i for v in base]))
+    # ids 11-13: orthogonal-ish, lower relevance
+    for j, i in enumerate((11, 12, 13)):
+        v = [0.0] * d
+        v[j] = 1.5
+        rows.append((7, i, 6_000, v))
+    df = spark.createDataFrame(
+        rows, "query_id int, vec_id int, rel_q long, embedding array<double>"
+    )
+    out = (
+        mmr_rerank(df, k=4, lam_num=1, lam_den=1, fp_bits=12)
+        .toPandas().sort_values("pick")
+    )
+    picked = out.vec_id.tolist()
+    assert picked[0] == 1  # pure relevance first
+    # diversity: the remaining clones (2-4) are penalized below the
+    # orthogonal candidates
+    assert set(picked[1:]) == {11, 12, 13}
+
+
+def test_mmr_rerank_edge_cases(spark):
+    """k >= candidates selects all in greedy order; null vectors drop."""
+    from dataslicer_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, 10, 100, [1.0, 0.0]), (1, 11, 90, [0.0, 1.0]),
+         (1, 12, 80, None)],
+        "query_id int, vec_id int, rel_q long, embedding array<double>",
+    )
+    out = mmr_rerank(df, k=10).toPandas().sort_values("pick")
+    assert out.vec_id.tolist() == [10, 11]  # null row dropped, all picked
+    assert out.pick.tolist() == [1, 2]
