@@ -157,6 +157,26 @@ def main() -> None:
         f"semdedup: kept {survivors.count()} vectors "
         f"({sem_pairs.count()} near-pairs inside clusters)"
     )
+
+    # 10. MMR diversified retrieval: integer-dot top-20 candidates per
+    #     query, then greedy 7*rel - 3*max-sim-to-selected picks 5 —
+    #     the de-duplicating reranker (one pick per clone cluster)
+    from dataslicer_spark.operators.similarity import (
+        integer_dot_topn,
+        mmr_rerank,
+    )
+
+    queries = emb.filter(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = integer_dot_topn(emb, queries, n=20)
+    diversified = mmr_rerank(
+        cand.join(emb.select("vec_id", "embedding"), "vec_id"), k=5
+    )
+    print(
+        f"mmr: {diversified.count()} diversified picks for "
+        f"{queries.count()} queries"
+    )
     print("embedding analytics pipeline complete")
 
 

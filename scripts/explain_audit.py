@@ -228,6 +228,11 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("emb_centroid_drift", "centroid drift: labels-by-dims aggregates "
      "partial+final; vectors never shuffle whole",
      ["HashAggregate"], ["CartesianProduct", "Python", "NestedLoop"]),
+    ("sim_mmr_rerank", "MMR: candidate scoring is a map-side partial "
+     "top-N kernel (query matrix broadcast, corpus never shuffles), the "
+     "greedy rerank one Arrow group per query — no join fanout anywhere",
+     ["MapInPandas", "FlatMapGroupsInPandas"],
+     ["CartesianProduct", "NestedLoop", "SortMergeJoin"]),
 ]
 
 
