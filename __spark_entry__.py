@@ -55,11 +55,14 @@ def _witnessed_rounds() -> dict[str, int]:
                     # rotation lap (sk_hll_stats erred in r08 and would
                     # otherwise sit at position ~155 for three rounds
                     # after its fix).  Success = value-hash match, or a
-                    # rows-only run that actually produced rows.
+                    # rows-only run (hash_match is None — no oracle)
+                    # that actually produced rows.  hash_match=False is
+                    # a FAILURE and must re-queue at the front.
                     ok = isinstance(rec, dict) and (
                         rec.get("hash_match") is True
                         or (
-                            rec.get("spark_rows") is not None
+                            rec.get("hash_match") is None
+                            and rec.get("spark_rows") is not None
                             and rec.get("err") in (None, "no_oracle")
                         )
                     )

@@ -88,7 +88,7 @@ def ngram_jaccard_pairs(
 
     Two lossless physical plans, identical output, selected by how much
     structural pruning the threshold allows (``use_prefix=None`` =
-    auto: prefix filtering at ``threshold ≥ 0.5``, direct below):
+    auto: prefix filtering at ``threshold ≥ 0.7``, direct below):
 
     **Direct** (low thresholds): distinct shingles per doc → inverted
     index → self-join within posting lists → count common shingles.  At

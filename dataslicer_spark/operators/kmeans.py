@@ -233,6 +233,17 @@ def kmeans_assign(
     k, dim = len(centroids), len(centroids[0])
     if k * dim <= 512:
         best = _best_cluster(quantize_expr(vec_col, fp_bits), centroids)
+        # non-finite elements must yield null cluster/d2 (matching the
+        # Arrow kernel's isfinite screen): without this, non-ANSI
+        # CAST(floor(NaN*scale) AS LONG) silently becomes 0, producing an
+        # arbitrary assignment instead of null
+        finite = F.forall(
+            F.col(vec_col),
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+        )
+        best = F.when(finite, best)
         return df.withColumn("__b", best).select(
             "*",
             F.col("__b")["cluster"].alias(cluster_col),
@@ -266,7 +277,16 @@ def kmeans_assign(
                 yield pdf
                 continue
             vecs = pdf[vec_col]
-            ok = vecs.map(lambda v: v is not None and len(v) == dim).to_numpy()
+            # reject null / wrong-length / non-finite vectors: a NaN or
+            # inf element would make floor(x*scale).astype(int64)
+            # undefined (typically INT64_MIN) where the literal HOF path
+            # propagates null — screen them out so they get null
+            # cluster/d2 like that path
+            ok = vecs.map(
+                lambda v: v is not None
+                and len(v) == dim
+                and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+            ).to_numpy()
             cl = np.full(len(pdf), -1, dtype=np.int64)
             d2o = np.zeros(len(pdf), dtype=np.int64)
             if ok.any():

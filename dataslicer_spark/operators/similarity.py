@@ -1084,15 +1084,31 @@ def integer_dot_topn(
             for lo in range(0, len(C), chunk_rows):
                 hi = min(lo + chunk_rows, len(C))
                 dots = C[lo:hi] @ Qm.T  # int64-exact
-                take = min(n, hi - lo)
-                # local top-n per query: partial argpartition, then emit
-                idx = np.argpartition(-dots, take - 1, axis=0)[:take]
-                qcol = np.repeat(qarr[None, :], take, axis=0)
-                yield pd.DataFrame({
-                    "query_id": qcol.reshape(-1),
-                    "vec_id": cids[lo:hi][idx].reshape(-1),
-                    "rel_q": dots[idx, np.arange(nq)[None, :]].reshape(-1),
-                })
+                cch = cids[lo:hi]
+                # local top-n per query, TIE-AWARE at the cutoff (exact
+                # int64 ties are realistic with duplicate embeddings):
+                # take the superset including boundary ties, then stable
+                # sort by (dot desc, vec_id asc) — same contract as the
+                # global window and the DuckDB oracle's ORDER BY.
+                frames = []
+                for j in range(nq):
+                    col = dots[:, j]
+                    if len(col) > n:
+                        thresh = np.partition(col, len(col) - n)[len(col) - n]
+                        idx = np.nonzero(col >= thresh)[0]
+                    else:
+                        idx = np.arange(len(col))
+                    cand = pd.DataFrame({
+                        "query_id": [qarr[j]] * len(idx),
+                        "vec_id": cch[idx],
+                        "rel_q": col[idx],
+                    })
+                    frames.append(cand.sort_values(
+                        ["rel_q", "vec_id"], ascending=[False, True],
+                        kind="mergesort",
+                    ).head(n))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
 
     partials = corpus.select(corpus_id, corpus_vec).mapInPandas(
         kernel, out_schema
@@ -1172,6 +1188,9 @@ def mmr_rerank(
         nloc = len(pdf)
         dots = X @ X.T  # N² pair dots, N bounded by the top-N stage
         selected: list[int] = []
+        # true (possibly NEGATIVE) max dot to the selected set — seeded
+        # from the first pick's column, never clamped at 0, matching the
+        # oracle's unclamped MAX(p.dot)
         maxdot = np.zeros(nloc, dtype=np.int64)
         remaining = np.ones(nloc, dtype=bool)
         picks, pick_scores = [], []
@@ -1184,8 +1203,11 @@ def mmr_rerank(
             picks.append(j)
             pick_scores.append(int(score_masked[j]))
             remaining[j] = False
+            if selected:
+                maxdot = np.maximum(maxdot, dots[:, j])
+            else:
+                maxdot = dots[:, j].copy()
             selected.append(j)
-            maxdot = np.maximum(maxdot, dots[:, j])
         return pd.DataFrame({
             query_col: [pdf[query_col].iloc[0]] * len(picks),
             "pick": np.arange(1, len(picks) + 1, dtype=np.int32),

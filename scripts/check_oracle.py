@@ -114,6 +114,12 @@ def main() -> int:
             )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        missing = only - set(qs)
+        if missing:
+            print(f"FAIL unknown query names: {sorted(missing)}")
+            return 1
+    requested = [n for n in qs if not only or n in only]
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -150,7 +156,9 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match "
                   f"({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - n_fail}/{len(qs)} ok")
+    # count the REQUESTED subset, not the whole registry: a named-subset
+    # run must print e.g. "9/9 ok", never "185/185 ok"
+    print(f"\n{len(requested) - n_fail}/{len(requested)} ok")
     return 1 if n_fail else 0
 
 

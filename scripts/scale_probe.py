@@ -386,6 +386,18 @@ def main() -> None:
 
     run("bpe_merge_count_16_vs_64", bpe_merges_fn(16), bpe_merges_fn(64))
 
+    # BPE merge counting, DATA axis (round 10): 16 merges on 1× vs 4×
+    # corpus.  The 16-vs-64 row above scales the vocabulary knob; this
+    # one pins the corpus knob at a merge count where per-round
+    # aggregate cost (one pair-frequency aggregate per round, map-side
+    # combined) dominates the fixed per-round overhead — must be
+    # ~linear in corpus volume.
+    run(
+        "bpe_merge_count_data_axis",
+        lambda: bpe_fit(docs1, "text", n_merges=16, max_chars=256),
+        lambda: bpe_fit(docs4, "text", n_merges=16, max_chars=256),
+    )
+
     # PageRank: 4× = more customers (distinct key space), same supplier
     # set — edges grow ~4×, rounds are joins + aggregates → ~linear
     from dataslicer_spark.operators.graph import pagerank

@@ -130,6 +130,37 @@ def test_kmeans_assign_arrow_kernel_null_vectors(spark):
     assert out[2] == (None, None)
 
 
+def test_kmeans_assign_nonfinite_vectors_null_both_paths(spark):
+    """A correct-length vector containing NaN/inf must get null
+    cluster/d2 on BOTH physical paths: the Arrow kernel screens with
+    np.isfinite, and the literal HOF path guards the struct (non-ANSI
+    CAST(floor(NaN*scale) AS LONG) would otherwise silently be 0)."""
+    rows = [
+        (1, [0.5, 0.5]),
+        (2, [float("nan"), 0.5]),
+        (3, [float("inf"), 0.5]),
+        (4, [-float("inf"), 0.5]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    # literal path: k·d = 2·2 = 4 ≤ 512
+    lit = {r.id: (r.cluster, r.d2) for r in
+           kmeans_assign(df, [[0, 0], [1 << 20, 1 << 20]],
+                         "embedding").collect()}
+    # kernel path: k·d = 288·2 = 576 > 512
+    big = [[0, 0] for _ in range(288)]
+    big[1] = [1 << 20, 1 << 20]
+    ker = {r.id: (r.cluster, r.d2) for r in
+           kmeans_assign(df, big, "embedding").collect()}
+    for out in (lit, ker):
+        assert out[1][0] is not None and out[1][1] is not None
+        assert out[2] == (None, None)
+        assert out[3] == (None, None)
+        assert out[4] == (None, None)
+        assert out[5] == (None, None)
+    assert lit[1] == ker[1]
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     # two far-apart points, k=3: one seed never wins any point and must
     # keep its initial centroid through every update

@@ -783,15 +783,17 @@ def test_mmr_rerank_matches_python_greedy(spark, emb):
         rel = {i: int(X[qid] @ X[i]) for i in X}
         top = sorted(X, key=lambda i: (-rel[i], i))[:10]
         sel, scores = [], []
-        maxd = {i: 0 for i in top}
+        maxd: dict = {}  # true (possibly negative) max dot — unclamped
         for _ in range(4):
             rem = [i for i in top if i not in sel]
             sc = {i: 7 * rel[i] - (3 * maxd[i] if sel else 0) for i in rem}
             j = min(rem, key=lambda i: (-sc[i], i))
+            first = not sel
             sel.append(j)
             scores.append(sc[j])
             for i in top:
-                maxd[i] = max(maxd[i], int(X[i] @ X[j]))
+                d = int(X[i] @ X[j])
+                maxd[i] = d if first else max(maxd[i], d)
         rows = got[got.query_id == qid]
         assert rows.vec_id.tolist() == sel
         assert rows.score_q.tolist() == scores
@@ -842,3 +844,54 @@ def test_mmr_rerank_edge_cases(spark):
     out = mmr_rerank(df, k=10).toPandas().sort_values("pick")
     assert out.vec_id.tolist() == [10, 11]  # null row dropped, all picked
     assert out.pick.tolist() == [1, 2]
+
+
+def test_integer_dot_topn_local_cutoff_ties(spark):
+    """Exact int64 ties straddling the LOCAL top-n cutoff must keep the
+    smaller vec_ids (what the global window and the DuckDB oracle's
+    ORDER BY rel_q DESC, vec_id select), not arbitrary argpartition
+    survivors: six identical vectors (the duplicate-embedding use case),
+    n=3 → ids 1,2,3 exactly."""
+    from dataslicer_spark.operators.similarity import integer_dot_topn
+
+    corpus = spark.createDataFrame(
+        [(i, [0.5, 0.25]) for i in range(1, 7)],
+        "vec_id int, embedding array<double>",
+    ).coalesce(1)
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id int, embedding array<double>"
+    )
+    out = (
+        integer_dot_topn(corpus, qs, n=3, fp_bits=12)
+        .toPandas().sort_values("rank")
+    )
+    assert out.vec_id.tolist() == [1, 2, 3]
+    assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_mmr_rerank_negative_dots_unclamped(spark):
+    """The max-dot-to-selected penalty must track the TRUE (possibly
+    negative) max dot, matching the oracle's unclamped MAX(p.dot): a
+    candidate anti-correlated with everything selected gets a BONUS
+    (negative penalty), not a clamped-at-zero pass.  Hand-built so the
+    clamped and unclamped greedy pick DIFFERENT orders.
+
+    Quantized (fp_bits=12): A=[2048,4096] B=[2048,-4096]
+    C=[3686,-1844].  dot(A,B)=-12582912, dot(A,C)=-4096,
+    dot(B,C)=15101952.  lam=1/1, rel A=100 B=10 C=99.
+    Unclamped: pick A (100), then B (10+12582912), then C
+    (99-15101952).  Clamped-at-zero would pick C second (99 > 10)."""
+    from dataslicer_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, 1, 100, [0.5, 1.0]),
+         (1, 2, 10, [0.5, -1.0]),
+         (1, 3, 99, [0.9, -0.45])],
+        "query_id int, vec_id int, rel_q long, embedding array<double>",
+    )
+    out = (
+        mmr_rerank(df, k=3, lam_num=1, lam_den=1, fp_bits=12)
+        .toPandas().sort_values("pick")
+    )
+    assert out.vec_id.tolist() == [1, 2, 3]
+    assert out.score_q.tolist() == [100, 10 + 12_582_912, 99 - 15_101_952]
