@@ -520,6 +520,37 @@ class SlicerFrame:
             "compression", "gzip"
         ).csv(path)
 
+    # -- provenance ----------------------------------------------------------
+    def traced(self, trace=None) -> "SlicerFrame":
+        """Row-count provenance: the reference logs "… %d rows survived"
+        after every operation (dataset_base.py:224-229) — free in eager
+        pandas, one extra JOB per stage if naively counted in Spark.
+        This wrapper keeps the contract with zero extra jobs: every verb
+        on the returned frame records its surviving row count via a
+        Spark Observation, harvested from the SAME action that
+        materializes the pipeline.  Read back with ``frame.trace.rows()``
+        / ``.to_df(spark)`` after an action."""
+        from .trace import TraceLog
+
+        return _TracedSlicerFrame(self.df, trace if trace is not None
+                                  else TraceLog())
+
+
+class _TracedSlicerFrame(SlicerFrame):
+    """SlicerFrame whose ``_wrap`` records each verb's surviving row
+    count into a :class:`~dataslicer_spark.trace.TraceLog` (stage label =
+    the calling verb's name)."""
+
+    def __init__(self, df: DataFrame, trace):
+        super().__init__(df)
+        self.trace = trace
+
+    def _wrap(self, df: DataFrame) -> "SlicerFrame":
+        import sys
+
+        label = sys._getframe(1).f_code.co_name
+        return _TracedSlicerFrame(self.trace.record(label, df), self.trace)
+
 
 class SlicerDataset:
     """The reference's ``dataset`` facade: a metadata table (one row per

@@ -281,22 +281,39 @@ def containment_pairs(
     |inner ∩ outer| / |inner| where ``n_inner ≤ n_outer`` (ties: both
     directions evaluated via the id order, inner = smaller id).
 
-    Two lossless plans, like the Jaccard twin (``use_prefix=None`` =
-    auto: prefix at ``threshold ≥ 0.7``): the direct inverted-index
-    pair count, or SSJoin-style prefix filtering adapted to the
-    asymmetric predicate — containment ≥ t needs overlap ≥ t·|inner|,
-    so only the INNER side prunes to its rare-first prefix of length
-    ``|d| − ⌈t·|d|⌉ + 1`` while the outer side stays fully indexed
-    (no size relation exists to prune it); candidates carry the
-    first-shared-token positional bound on the inner side and verify
-    exactly via ``array_intersect``.  The same ``max_posting``
-    stop-shingle cap bounds the fanout in both plans; counts run over
-    the filtered sets, sizes stay full (documented approximation,
-    identical across plans).
+    Two lossless plans: the direct inverted-index pair count, or
+    SSJoin-style prefix filtering adapted to the asymmetric predicate —
+    containment ≥ t needs overlap ≥ t·|inner|, so only the INNER side
+    prunes to its rare-first prefix of length ``|d| − ⌈t·|d|⌉ + 1``
+    while the outer side stays FULLY indexed (no size relation exists
+    to prune it); candidates carry the first-shared-token positional
+    bound on the inner side and verify exactly via ``array_intersect``.
+    The same ``max_posting`` stop-shingle cap bounds the fanout in both
+    plans; counts run over the filtered sets, sizes stay full
+    (documented approximation, identical across plans).
+
+    ``use_prefix=None`` auto-selects DIRECT at every threshold — unlike
+    the Jaccard twin, where both sides prune and prefix wins 7× at
+    t=0.8.  A/B on the doc-in-doc corpus (scripts/ab_containment.py,
+    sf0.1 documents + 40%-token prefix re-entries, quiet host, round
+    10)::
+
+        t      direct   prefix   prefix/direct
+        0.70    6.76s    7.20s    1.07x
+        0.80    4.01s    6.71s    1.67x
+        0.90    3.42s    5.93s    1.73x
+        0.95    3.56s    6.57s    1.85x
+
+    and the gap GROWS with data (4× corpus at t=0.9: direct
+    3.55→11.57 s = 3.26×, prefix 6.26→88.32 s = 14.11×): the
+    un-prunable outer index makes prefix candidate fanout superlinear
+    in corpus size, so direct is also the 100 TB-correct default.
+    ``use_prefix=True`` stays available (lossless, pytest bit-parity)
+    for corpora whose inner docs are tiny relative to the index.
     """
     check_col([id_col, text_col], df)
     if use_prefix is None:
-        use_prefix = threshold >= 0.7
+        use_prefix = False
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(

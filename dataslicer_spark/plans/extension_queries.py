@@ -799,20 +799,30 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_mmr_chain(k: int = 5, n: int = 20, lam_num: int = 7,
-                   lam_den: int = 3) -> str:
+                   lam_den: int = 3, qid_res: int = 1,
+                   cand_by: str = "rel") -> str:
     """Unrolled greedy-MMR oracle: sel_i CTEs replay the selection round
     by round — maxdot to the selected set via the pair-dot relation,
     argmax with (score desc, id asc) ties, NOT EXISTS to drop already
     selected.  Same generated-chain style as the k-means/BPE trajectory
-    oracles."""
-    head = f"""
+    oracles.
+
+    ``cand_by`` selects the candidate stage: ``"rel"`` = top-n by the
+    integer dot itself (the :func:`sim_mmr_rerank` pipeline, self
+    included like integer_dot_topn); ``"cosine"`` = top-n by the
+    fixed-point cosine EXCLUDING self — exactly what the full-probe IVF
+    stage (n_probe = n_lists) provably returns, making this the exact
+    oracle for :func:`sim_mmr_ivf`.  The greedy replay is identical in
+    both: rel_q is always the integer dot."""
+    if cand_by == "rel":
+        cand_head = f"""
 WITH e AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE)*4096.0) AS BIGINT))
            AS v
   FROM embeddings WHERE embedding IS NOT NULL),
-q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = {qid_res}),
 rel AS (
   SELECT qid, e.vec_id AS did,
          CAST(list_inner_product(qv, e.v) AS BIGINT) AS rel_q, e.v AS dv
@@ -821,7 +831,30 @@ cand AS (
   SELECT qid, did, rel_q, dv FROM (
     SELECT *, row_number() OVER (PARTITION BY qid
                                  ORDER BY rel_q DESC, did) AS rn
-    FROM rel) WHERE rn <= {n}),
+    FROM rel) WHERE rn <= {n}),"""
+    else:
+        cand_head = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE)*4096.0) AS BIGINT))
+           AS v,
+         sqrt({_sql_fp_dot('embedding', 'embedding')}) AS norm
+  FROM embeddings WHERE embedding IS NOT NULL),
+q AS (SELECT vec_id AS qid, embedding AS qe, v AS qv, norm AS qn
+      FROM e WHERE vec_id % 100 = {qid_res}),
+rel AS (
+  SELECT qid, c.vec_id AS did,
+         ({_sql_fp_dot('c.embedding', 'q.qe')}) / (c.norm * q.qn)
+           AS cosine,
+         CAST(list_inner_product(q.qv, c.v) AS BIGINT) AS rel_q, c.v AS dv
+  FROM e c JOIN q ON c.vec_id <> q.qid),
+cand AS (
+  SELECT qid, did, rel_q, dv FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, did) AS rn
+    FROM rel) WHERE rn <= {n}),"""
+    head = cand_head + f"""
 pdot AS (
   SELECT a.qid, a.did AS ia, b.did AS ib,
          CAST(list_inner_product(a.dv, b.dv) AS BIGINT) AS dot
@@ -862,6 +895,64 @@ selall{i} AS (SELECT qid, did FROM selall{i-1}
 
 
 SIM_MMR_RERANK_SQL = _sql_mmr_chain(k=5, n=20, lam_num=7, lam_den=3)
+
+
+def sim_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank fed from the IVF ANN probe path
+    (operators/similarity.ivf_topk → mmr_rerank): the bounded-candidates
+    contract proven end-to-end from an ANN stage — the IVF probe returns
+    ≤20 candidates per query, the greedy O(N²) pair-dot matrix stays
+    local to one applyInPandas group, and nothing beyond candidate rows
+    shuffles.  With ``n_probe = n_lists`` the probe provably equals the
+    brute-force fixed-point-cosine top-20 (same argument as
+    sim_topk_ivf), so the candidate stage carries an exact SQL twin and
+    the ENTIRE pipeline — probe, integer relevance, greedy trajectory —
+    hash-checks against the unrolled-CTE oracle.  Pruned probing
+    (n_probe < n_lists) is covered by the recall pytest."""
+    from ..operators.similarity import ivf_topk, mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = ivf_topk(emb, qs, k=20, n_lists=16, n_probe=16)
+    cand_v = cand.select("query_id", "vec_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    # integer relevance for the rerank stage: once-quantized
+    # floor(x·2¹²) int64 dot of (query, candidate) — same recipe as
+    # integer_dot_topn, attached via a broadcast join (queries are the
+    # small side by contract)
+    scale = float(1 << 12)
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+    )
+    qv = qs.select(
+        F.col("query_id").alias("__qid"), quant(F.col("embedding")).alias("__qq")
+    )
+    cand_rel = (
+        cand_v.join(F.broadcast(qv), F.col("query_id") == F.col("__qid"))
+        .withColumn(
+            "rel_q",
+            F.aggregate(
+                F.zip_with(
+                    quant(F.col("embedding")), F.col("__qq"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select("query_id", "vec_id", "rel_q", "embedding")
+    )
+    return mmr_rerank(
+        cand_rel, k=5, lam_num=7, lam_den=3, fp_bits=12
+    ).select("query_id", "pick", "vec_id", "rel_q", "score_q")
+
+
+SIM_MMR_IVF_SQL = _sql_mmr_chain(
+    k=5, n=20, lam_num=7, lam_den=3, qid_res=3, cand_by="cosine"
+)
 
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8295,6 +8386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
     "sim_mmr_rerank": sim_mmr_rerank,
+    "sim_mmr_ivf": sim_mmr_ivf,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_topk_ivf": sim_topk_ivf,
@@ -8453,6 +8545,9 @@ ORACLES: dict[str, str] = {
     "emb_quantize": EMB_QUANTIZE_SQL,
     "dd_embedding_cosine": DD_EMBEDDING_COSINE_SQL,
     "sim_mmr_rerank": SIM_MMR_RERANK_SQL,
+    # full-probe IVF candidates provably = brute-force fp-cosine top-20
+    # (see sim_mmr_ivf), so the whole ANN→MMR pipeline hash-checks
+    "sim_mmr_ivf": SIM_MMR_IVF_SQL,
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     # seeded-plane bucket replay → exact oracle for the approximate path
     "sim_topk_lsh": SIM_TOPK_LSH_SQL,

@@ -48,26 +48,40 @@ from dataslicer_spark.session import get_spark
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("llm-pipeline")
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    print(f"input: {docs.count()} docs")
+
+    # Row-count provenance for the whole curation funnel: each traced
+    # stage attaches a Spark Observation, so every "rows survived"
+    # number below is harvested from actions the pipeline runs ANYWAY —
+    # zero extra count() jobs (the reference logged these invariants
+    # eagerly, dataset_base.py:224-229; trace.TraceLog is the lazy-
+    # engine equivalent).  Funnel printed once at the end.
+    from dataslicer_spark.trace import TraceLog
+
+    trace = TraceLog()
+    docs = trace.record(
+        "input", spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
 
     # 1. exact dedup
     uniq, _ = exact_dedup(docs, "doc_id")
-    print(f"after exact dedup: {uniq.count()}")
+    uniq = trace.record("exact_dedup", uniq)
 
     # 2. near-dup resolution: candidate pairs -> components -> survivors
     pairs = minhash_lsh_pairs(uniq, "doc_id", threshold=0.8)
     groups = resolve_duplicate_groups(pairs)
     losers = groups.filter(~F.col("is_kept")).select("doc_id")
-    kept = uniq.join(losers, "doc_id", "left_anti")
-    print(f"after near-dup resolution: {kept.count()}")
+    kept = trace.record(
+        "near_dup_resolution", uniq.join(losers, "doc_id", "left_anti")
+    )
 
     # 3. quality + per-language CDF cut (top 50% per lang)
     scored = add_text_quality(kept)
-    good = quantile_filter_by_group(
-        scored, "lang", "quality_score", 0.5, "doc_id"
-    ).select("doc_id", "text", "lang", "source")
-    print(f"after quality cut: {good.count()}")
+    good = trace.record(
+        "quality_cut",
+        quantile_filter_by_group(
+            scored, "lang", "quality_score", 0.5, "doc_id"
+        ).select("doc_id", "text", "lang", "source"),
+    )
 
     # 3b. DSIR target-domain selection: rank the pool by hashed-n-gram
     # similarity to the English slice (Xie et al. 2023) — here just
@@ -93,8 +107,8 @@ def main() -> None:
     clean, contam = decontaminate(
         pretrain, evalset, "doc_id", "eval_id", n=3, min_common=2
     )
-    print(f"after decontamination: {clean.count()} "
-          f"(removed {contam.count()})")
+    clean = trace.record("decontaminate", clean)
+    print(f"decontamination removed {contam.count()} docs")
 
     # 4b. trigram-LM gibberish filter: model on the pretrain split, drop
     # the lowest-scoring 5% (CCNet-style frequency form)
@@ -102,12 +116,14 @@ def main() -> None:
 
     model = trigram_model(clean, "text", max_chars=512)
     lm = trigram_lm_scores(clean, model, "doc_id", "text", max_chars=512)
-    lm_kept = quantile_filter_by_group(
-        clean.join(lm.select("doc_id", "score"), "doc_id")
-        .withColumn("__one", F.lit(1)),
-        "__one", "score", 0.95, "doc_id",
-    ).drop("__one", "score")
-    print(f"after trigram-LM filter: {lm_kept.count()}")
+    lm_kept = trace.record(
+        "trigram_lm_filter",
+        quantile_filter_by_group(
+            clean.join(lm.select("doc_id", "score"), "doc_id")
+            .withColumn("__one", F.lit(1)),
+            "__one", "score", 0.95, "doc_id",
+        ).drop("__one", "score"),
+    )
 
     # 4c. model-based quality filter: train a batch perceptron (the
     # fastText-classifier role in CCNet/LLaMA curation) on substring
@@ -152,10 +168,18 @@ def main() -> None:
     print(f"bpe: learned merges {merges}; avg {avg_tokens:.0f} tokens/doc")
 
     # 5. temperature resampling across sources
-    resampled = temperature_resample(
-        lm_kept, "source", "doc_id", alpha=0.5, target_fraction=0.75
+    resampled = trace.record(
+        "temperature_resample",
+        temperature_resample(
+            lm_kept, "source", "doc_id", alpha=0.5, target_fraction=0.75
+        ),
     )
-    print(f"after temperature resample: {resampled.count()}")
+    # ONE action executes the whole funnel and fills every traced
+    # stage's count — this is the only job these six numbers cost
+    resampled.write.format("noop").mode("overwrite").save()
+    print("curation funnel (row-count provenance, one materializing job):")
+    for label, n in trace.rows(strict=False):
+        print(f"  {label:>22}: {n}")
 
     # 6. PII scrubbing
     scrubbed = scrub_pii(resampled, "text")

@@ -895,3 +895,54 @@ def test_mmr_rerank_negative_dots_unclamped(spark):
     )
     assert out.vec_id.tolist() == [1, 2, 3]
     assert out.score_q.tolist() == [100, 10 + 12_582_912, 99 - 15_101_952]
+
+
+def _mmr_over_ivf(emb, qs, n_probe):
+    """The sim_mmr_ivf pipeline shape at an arbitrary probe width."""
+    from dataslicer_spark.operators.similarity import ivf_topk, mmr_rerank
+
+    cand = ivf_topk(emb, qs, k=20, n_lists=16, n_probe=n_probe)
+    cand_v = cand.select("query_id", "vec_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    scale = 4096.0
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+    )
+    qv = qs.select(
+        F.col("query_id").alias("__qid"), quant(F.col("embedding")).alias("__qq")
+    )
+    cand_rel = (
+        cand_v.join(F.broadcast(qv), F.col("query_id") == F.col("__qid"))
+        .withColumn(
+            "rel_q",
+            F.aggregate(
+                F.zip_with(quant(F.col("embedding")), F.col("__qq"),
+                           lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, v: acc + v,
+            ),
+        )
+        .select("query_id", "vec_id", "rel_q", "embedding")
+    )
+    return mmr_rerank(cand_rel, k=5, lam_num=7, lam_den=3, fp_bits=12)
+
+
+def test_mmr_ivf_pruned_probe_recall(spark, emb):
+    """MMR fed from a PRUNED IVF probe (n_probe=4 of 16 lists) vs MMR
+    fed from the full probe (provably the exact cosine top-20): the
+    diversified picks must substantially survive the approximate
+    candidate stage — mean pick recall ≥ 0.5, and the full-probe run
+    itself must return k picks per query."""
+    qs = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _mmr_over_ivf(emb, qs, n_probe=16).toPandas()
+    pruned = _mmr_over_ivf(emb, qs, n_probe=4).toPandas()
+    by_q_exact = exact.groupby("query_id")["vec_id"].apply(set)
+    by_q_pruned = pruned.groupby("query_id")["vec_id"].apply(set)
+    assert (exact.groupby("query_id").size() == 5).all()
+    recalls = [
+        len(by_q_exact[q] & by_q_pruned.get(q, set())) / len(by_q_exact[q])
+        for q in by_q_exact.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
