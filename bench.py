@@ -162,17 +162,24 @@ def _time_query(spark, fn, sf_dir: str) -> tuple[float, list[float], bool]:
         elif close(runs[-1], runs[-2]):
             break
         one()
-    # Host-steal detection (round 9): a >3× max/min rep spread on a
-    # non-trivial query means another process stole CPU mid-bench (this
-    # host demonstrably swings the same plan 8→150 s under load — the
-    # r08 artifact published a 20.5 s astro min whose quiet floor is
-    # ~6.5-9 s).  Take ONE extra rep; if the spread persists, the row is
-    # tagged contended in BENCH_LOCAL.json so an inflated min is never
-    # mistaken for a plan regression.
+    # Host-steal detection (round 9, refined round 10): a >3× max/min
+    # rep spread on a non-trivial query means another process stole CPU
+    # mid-bench (this host demonstrably swings the same plan 8→150 s
+    # under load).  The FIRST rep is excluded — it carries the plan's
+    # codegen/JIT compile and legitimately reads 3×+ the steady floor
+    # on a perfectly quiet host (measured: dd_simhash 10.5 s rep 1 vs
+    # 3.3 s steady under a 0.47 s canary), which round 9 mis-tagged as
+    # contention.  Take ONE extra rep; if the steady-rep spread
+    # persists, the row is tagged contended in BENCH_LOCAL.json so an
+    # inflated min is never mistaken for a plan regression.
+    def steady_spread() -> float:
+        steady = runs[1:] if len(runs) > 2 else runs
+        return max(steady) / max(min(steady), 1e-9)
+
     contended = False
-    if min(runs) > 1.0 and max(runs) / min(runs) > 3.0:
+    if min(runs) > 1.0 and steady_spread() > 3.0:
         one()
-        contended = max(runs) / min(runs) > 3.0
+        contended = steady_spread() > 3.0
     return min(runs), runs, contended
 
 
