@@ -33,6 +33,9 @@ Layout:
 - :mod:`dataslicer_spark.api`        — ``SlicerFrame`` / ``SlicerDataset``,
   the user-facing wrapper mirroring the reference's ``srcdf`` / ``dataset``
   method surface (composition over a ``pyspark.sql.DataFrame``).
+- :mod:`dataslicer_spark.trace`      — per-operator row-count provenance
+  (the reference's logged "rows survived" invariants) via Spark
+  Observations: zero extra jobs; ``SlicerFrame.traced()`` integration.
 """
 
 __version__ = "0.1.0"
