@@ -497,6 +497,65 @@ WHERE CAST(n_common AS DOUBLE)
 """
 
 
+def dd_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash near-dup pairs (operators/dedup.
+    bbit_minhash_lsh_pairs, Li & König WWW'10): banding over PACKED
+    16-bit lanes — the persisted index stores 128 B/doc instead of
+    512 B (4×) with candidate recall ≥ the full-width twin (equal full
+    slots imply equal lanes).  bits=16 at r=2 gives 32-bit band
+    buckets, so random collisions (n²·bands/2³²) stay negligible at
+    corpus scale — the sizing rule in the operator docstring; bits=8 is
+    exercised by pytest.  Planted corpus: each doc re-enters with its
+    FIRST 3 tokens dropped (ids +300000) — the head-mutation twin of
+    dd_minhash_lsh's tail mutation.  Exact-Jaccard verification makes
+    the output engine-independent (miss probability < 1e-14 at r=2,
+    bands=32, t=0.8), so the DuckDB oracle computes the exact pair set
+    directly."""
+    from ..operators.dedup import bbit_minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    start = F.least(F.lit(4), F.size(toks))
+    mutated = docs.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, start, F.size(toks) - start + F.lit(1))
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    return bbit_minhash_lsh_pairs(
+        corpus, "doc_id", num_perm=64, bands=32, bits=16, threshold=0.8,
+        verify="exact",
+    )
+
+
+DD_MINHASH_BBIT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 300000, t[least(4, len(t)):len(t)] AS t FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM corpus, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+"""
+
+
 def dd_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent MinHash/LSH index INGESTION (operators/dedup_index.py)
     — the build shape: construct the signature+band index from the
@@ -8381,6 +8440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_containment": dd_containment,
     "dd_resolve_groups": dd_resolve_groups,
     "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_minhash_bbit": dd_minhash_bbit,
     "dd_index_incremental": dd_index_incremental,
     "dd_index_probe": dd_index_probe,
     "dd_simhash": dd_simhash,
@@ -8535,6 +8595,9 @@ ORACLES: dict[str, str] = {
     # exact-verification output → engine-independent despite xxhash64
     # candidates (miss probability < 1e-14/pair at r=2 b=32 t=0.8)
     "dd_minhash_lsh": DD_MINHASH_SQL,
+    # exact-verify output = exact pair set minus <1e-14 misses, like the
+    # full-width twin; the b-bit machinery itself is pinned by pytest
+    "dd_minhash_bbit": DD_MINHASH_BBIT_SQL,
     "dd_index_incremental": DD_INDEX_INCREMENTAL_SQL,
     "dd_index_probe": DD_INDEX_PROBE_SQL,
     # md5-derived 60-bit hashes → full fingerprint replay in SQL

@@ -205,6 +205,126 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert len(found & planted) >= 0.8 * len(planted)
 
 
+@pytest.fixture(scope="module")
+def planted_corpus(spark, docs):
+    """40 docs + last-3-words-dropped near-dup copies (ids +500000)."""
+    sample = docs.limit(40)
+    toks = F.split(F.col("text"), r"\s+")
+    mutated = sample.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.size(toks) - 3)
+        ).alias("text"),
+    )
+    return sample.select("doc_id", "text").unionByName(mutated)
+
+
+def test_bbit_minhash_pack_roundtrip(spark, docs):
+    """Packed b-bit lanes must equal the full signatures' low bits —
+    lane i of word i//lanes == signature[i] & mask, every doc."""
+    from dataslicer_spark.operators.dedup import (
+        bbit_minhash_signatures,
+        minhash_signatures,
+    )
+
+    sample = docs.limit(10)
+    full = minhash_signatures(sample, "doc_id", num_perm=16).toPandas()
+    for bits in (4, 8, 16):
+        packed = bbit_minhash_signatures(
+            sample, "doc_id", num_perm=16, bits=bits
+        ).toPandas()
+        lanes, mask = 64 // bits, (1 << bits) - 1
+        fm = {r.id: list(r.signature) for r in full.itertuples()}
+        for r in packed.itertuples():
+            sig = fm[r.id]
+            for i in range(16):
+                lane = (int(r.bsig[i // lanes]) >> ((i % lanes) * bits)) & mask
+                assert lane == (int(sig[i]) & mask), (bits, r.id, i)
+
+
+def test_bbit_candidates_superset_of_full(spark, planted_corpus):
+    """Equal full slots imply equal masked lanes, so b-bit banding's
+    candidate set must contain full-width banding's at the same
+    (num_perm, bands)."""
+    from dataslicer_spark.operators.dedup import (
+        bbit_minhash_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    full = minhash_lsh_pairs(
+        planted_corpus, "doc_id", num_perm=64, bands=16, verify=False
+    ).toPandas()
+    bb = bbit_minhash_lsh_pairs(
+        planted_corpus, "doc_id", num_perm=64, bands=16, bits=8,
+        verify=False,
+    ).toPandas()
+    f = {(r.id_a, r.id_b) for r in full.itertuples()}
+    b = {(r.id_a, r.id_b) for r in bb.itertuples()}
+    assert f <= b, f - b
+
+
+def test_bbit_exact_verify_matches_full_width(spark, planted_corpus):
+    """With exact verification both variants output the exact-Jaccard
+    pair set (minus negligible LSH misses) — identical rows here."""
+    from dataslicer_spark.operators.dedup import (
+        bbit_minhash_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    full = minhash_lsh_pairs(
+        planted_corpus, "doc_id", num_perm=64, bands=32, threshold=0.8,
+        verify="exact",
+    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    bb = bbit_minhash_lsh_pairs(
+        planted_corpus, "doc_id", num_perm=64, bands=32, bits=8,
+        threshold=0.8, verify="exact",
+    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(full) > 0
+    assert full.equals(bb)
+
+
+def test_bbit_estimator_tracks_exact_jaccard(spark, planted_corpus):
+    """The unbiased estimator (E−C)/(1−C) must track exact Jaccard on
+    the planted pairs: per-pair σ ≈ √(J(1−J)/64) ≈ 0.06, so mean |err|
+    well under 0.12 and every pair within 0.3."""
+    from dataslicer_spark.operators.dedup import (
+        bbit_minhash_lsh_pairs,
+    )
+
+    exact = bbit_minhash_lsh_pairs(
+        planted_corpus, "doc_id", num_perm=64, bands=32, bits=8,
+        threshold=0.5, verify="exact",
+    ).toPandas()
+    est = bbit_minhash_lsh_pairs(
+        planted_corpus, "doc_id", num_perm=64, bands=32, bits=8,
+        threshold=0.0, verify=True,
+    ).toPandas()
+    em = {(r.id_a, r.id_b): r.est_jaccard for r in est.itertuples()}
+    errs = [
+        abs(em[(r.id_a, r.id_b)] - r.jaccard)
+        for r in exact.itertuples()
+        if (r.id_a, r.id_b) in em
+    ]
+    assert len(errs) >= 0.9 * len(exact)
+    assert sum(errs) / len(errs) < 0.12, sum(errs) / len(errs)
+    assert max(errs) < 0.3, max(errs)
+
+
+def test_bbit_parameter_validation(spark):
+    from dataslicer_spark.operators.dedup import (
+        bbit_minhash_lsh_pairs,
+        bbit_minhash_signatures,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bits"):
+        bbit_minhash_signatures(df, "doc_id", bits=7)
+    with pytest.raises(ValueError, match="divisible"):
+        bbit_minhash_lsh_pairs(df, "doc_id", num_perm=64, bands=7)
+    with pytest.raises(ValueError, match="verify"):
+        bbit_minhash_lsh_pairs(df, "doc_id", verify="nope")
+
+
 def test_simhash_near_dup(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [
