@@ -556,6 +556,69 @@ WHERE CAST(n_common AS DOUBLE)
 """
 
 
+def dd_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Jaccard near-dup via Consistent Weighted Sampling
+    (operators/weighted_minhash.weighted_minhash_pairs, Ioffe ICDM'10):
+    planted corpus re-enters each doc with its first 15% of tokens
+    APPENDED (ids +700000) — shingle-count weighted Jaccard ≈ 1/1.15 ≈
+    0.87 while SET Jaccard ≈ 1: repetition amplification, the pair
+    class the set-MinHash family structurally cannot grade.  CWS gives
+    P[sample match] = J_w exactly, so set-LSH banding math transfers
+    (miss < 1e-14 at r=2, bands=32, t=0.8) and exact verification makes
+    the output engine-independent — the DuckDB oracle computes exact
+    shingle-count weighted Jaccard directly."""
+    from ..operators.weighted_minhash import weighted_minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    m = F.greatest(F.floor((F.size(toks) * 3) / 20).cast("int"), F.lit(3))
+    mutated = docs.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat_ws(" ", F.concat(toks, F.slice(toks, 1, m))).alias("text"),
+    )
+    # single-file demo table → 2 scan partitions; spread the corpus so
+    # the CWS kernel uses the cores (at production scale the input is
+    # many files and this repartition would be the wrong default)
+    corpus = (
+        docs.select("doc_id", "text").unionByName(mutated)
+        .repartition(32, "doc_id")
+    )
+    return weighted_minhash_pairs(
+        corpus, "doc_id", n=3, num_hashes=64, bands=32, threshold=0.8,
+        verify="exact",
+    )
+
+
+DD_WEIGHTED_MINHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 700000,
+         t || t[1:greatest(CAST(floor((len(t)*3)/20) AS INT), 3)] AS t
+  FROM toks),
+sh AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM corpus, UNNEST(range(1, len(t) - 1)) AS u(i)),
+tf AS (SELECT doc_id, s, COUNT(*) AS w FROM sh GROUP BY 1, 2),
+tots AS (SELECT doc_id, SUM(w) AS tot FROM tf GROUP BY 1),
+smin AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(LEAST(a.w, b.w)) AS s_min
+  FROM tf a JOIN tf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(s_min AS DOUBLE)
+         / CAST(ta.tot + tb.tot - s_min AS DOUBLE) AS wjaccard
+FROM smin
+JOIN tots ta ON ta.doc_id = id_a
+JOIN tots tb ON tb.doc_id = id_b
+WHERE CAST(s_min AS DOUBLE)
+        / CAST(ta.tot + tb.tot - s_min AS DOUBLE) >= 0.8
+"""
+
+
 def dd_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent MinHash/LSH index INGESTION (operators/dedup_index.py)
     — the build shape: construct the signature+band index from the
@@ -8441,6 +8504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_resolve_groups": dd_resolve_groups,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_minhash_bbit": dd_minhash_bbit,
+    "dd_weighted_minhash": dd_weighted_minhash,
     "dd_index_incremental": dd_index_incremental,
     "dd_index_probe": dd_index_probe,
     "dd_simhash": dd_simhash,
@@ -8598,6 +8662,9 @@ ORACLES: dict[str, str] = {
     # exact-verify output = exact pair set minus <1e-14 misses, like the
     # full-width twin; the b-bit machinery itself is pinned by pytest
     "dd_minhash_bbit": DD_MINHASH_BBIT_SQL,
+    # CWS: P[sample match] = J_w exactly, so the set-LSH miss bound
+    # transfers; exact-verify output = exact weighted-Jaccard pair set
+    "dd_weighted_minhash": DD_WEIGHTED_MINHASH_SQL,
     "dd_index_incremental": DD_INDEX_INCREMENTAL_SQL,
     "dd_index_probe": DD_INDEX_PROBE_SQL,
     # md5-derived 60-bit hashes → full fingerprint replay in SQL

@@ -233,6 +233,21 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      "greedy rerank one Arrow group per query — no join fanout anywhere",
      ["MapInPandas", "FlatMapGroupsInPandas"],
      ["CartesianProduct", "NestedLoop", "SortMergeJoin"]),
+    ("sim_mmr_ivf", "IVF-fed MMR: probed-list isin scan + bounded "
+     "candidate joins + one Arrow group per query — no cartesian, no "
+     "sort-merge fanout",
+     ["FlatMapGroupsInPandas"],
+     ["CartesianProduct", "NestedLoop", "SortMergeJoin"]),
+    ("dd_minhash_bbit", "b-bit MinHash: packed-lane band buckets "
+     "equi-join (hash) + exact verify on candidate ids only — no "
+     "cartesian, no nested loop",
+     ["HashAggregate"],
+     ["CartesianProduct", "NestedLoop"]),
+    ("dd_weighted_minhash", "CWS weighted near-dup: band-bucket "
+     "equi-join + map_zip_with pair-local verify over candidate doc "
+     "maps — no cartesian, no nested loop",
+     ["HashAggregate"],
+     ["CartesianProduct", "NestedLoop"]),
 ]
 
 
