@@ -60,7 +60,10 @@ class SlicerFrame:
         self.df = df
 
     # -- plumbing -----------------------------------------------------------
-    def _wrap(self, df: DataFrame) -> "SlicerFrame":
+    def _wrap(self, df: DataFrame, label: str | None = None) -> "SlicerFrame":
+        """``label`` names the stage for provenance-traced frames
+        (ignored here); multi-output verbs pass explicit labels so the
+        two stages of e.g. ``trim_edges`` don't collide."""
         return SlicerFrame(df)
 
     @property
@@ -84,12 +87,14 @@ class SlicerFrame:
 
     def filter_with_complement(self, expr) -> tuple["SlicerFrame", "SlicerFrame"]:
         kept, rejected = filter_with_complement(self.df, expr)
-        return self._wrap(kept), self._wrap(rejected)
+        return (self._wrap(kept, label="filter_with_complement/kept"),
+                self._wrap(rejected, label="filter_with_complement/rejected"))
 
     def trim_edges(self, dx: float, dy: float, **kw) -> tuple["SlicerFrame", "SlicerFrame"]:
         """(srcdf.py:578-613; rejected side implemented, reference bug B4)."""
         kept, rejected = trim_edges(self.df, dx, dy, **kw)
-        return self._wrap(kept), self._wrap(rejected)
+        return (self._wrap(kept, label="trim_edges/kept"),
+                self._wrap(rejected, label="trim_edges/rejected"))
 
     # -- keys (F8) ----------------------------------------------------------
     def add_obsid(self, **kw) -> "SlicerFrame":
@@ -205,7 +210,8 @@ class SlicerFrame:
     ) -> tuple["SlicerFrame", "SlicerFrame"]:
         """(_objtable_methods.py:424-488) → (kept, rejected)."""
         kept, rejected = select_clusters(self.df, cond, group_col, params)
-        return self._wrap(kept), self._wrap(rejected)
+        return (self._wrap(kept, label="select_clusters/kept"),
+                self._wrap(rejected, label="select_clusters/rejected"))
 
     # -- photometry (F1-F4) --------------------------------------------------
     def calmag(self, mag_col: str, err_mag_col: str | None = None, **kw) -> "SlicerFrame":
@@ -237,7 +243,8 @@ class SlicerFrame:
             self.df, cal_mag_col, ps1mag_name, norm_mag_diff_cut,
             n_mag_bins=n_mag_bins,
         )
-        return self._wrap(kept), self._wrap(outliers)
+        return (self._wrap(kept, label="ps1based_outlier_rm_iqr/kept"),
+                self._wrap(outliers, label="ps1based_outlier_rm_iqr/outliers"))
 
     # -- regression (F7) -----------------------------------------------------
     def photometric_solution(
@@ -266,7 +273,8 @@ class SlicerFrame:
         d = dust.df if isinstance(dust, SlicerFrame) else dust
         tagged = tag_dust(self.df, d, rscale=rscale, **kw)
         clean, dusty = split_dust(tagged)
-        return self._wrap(clean), self._wrap(dusty)
+        return (self._wrap(clean, label="tag_dust/clean"),
+                self._wrap(dusty, label="tag_dust/dusty"))
 
     # -- extension surface (beyond the reference) ----------------------------
     def asof_join(
@@ -292,7 +300,8 @@ class SlicerFrame:
         from .operators.dedup import exact_dedup
 
         reps, stats = exact_dedup(self.df, id_col, text_col)
-        return self._wrap(reps), self._wrap(stats)
+        return (self._wrap(reps, label="dedup_exact/reps"),
+                self._wrap(stats, label="dedup_exact/stats"))
 
     def search(
         self,
@@ -545,10 +554,23 @@ class _TracedSlicerFrame(SlicerFrame):
         super().__init__(df)
         self.trace = trace
 
-    def _wrap(self, df: DataFrame) -> "SlicerFrame":
+    def _wrap(self, df: DataFrame, label: str | None = None) -> "SlicerFrame":
         import sys
 
-        label = sys._getframe(1).f_code.co_name
+        if label is None:
+            # walk outward past synthetic frames (<listcomp>/<genexpr>/
+            # <lambda>) so a verb calling _wrap from a comprehension
+            # still records the verb's name, not '<listcomp>'
+            depth, label = 1, "<unknown>"
+            while True:
+                try:
+                    name = sys._getframe(depth).f_code.co_name
+                except ValueError:  # ran off the stack (module-level call)
+                    break
+                if not name.startswith("<"):
+                    label = name
+                    break
+                depth += 1
         return _TracedSlicerFrame(self.trace.record(label, df), self.trace)
 
 

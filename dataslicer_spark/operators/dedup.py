@@ -787,11 +787,18 @@ def bbit_minhash_lsh_pairs(
         raise ValueError(
             f"verify must be True, False or 'exact', got {verify!r}"
         )
+    from ..utils import materialize
+
     r = num_perm // bands
     lanes = 64 // bits
-    bsigs = bbit_minhash_signatures(
-        df, id_col, text_col, n, num_perm, bits
-    ).cache()
+    # bsigs feeds both sides of the band self-join (and twice more in the
+    # estimate branch): MATERIALIZE, not cache — an unmaterialized cache
+    # inside one action can re-run the signature kernel per consumer
+    # (measured on the weighted twin: 14-16 s with cache() vs ~8 s
+    # materialized at sf0.1)
+    bsigs = materialize(
+        bbit_minhash_signatures(df, id_col, text_col, n, num_perm, bits)
+    )
     bucketed = bsigs.select(
         "id",
         F.explode(

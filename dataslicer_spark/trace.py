@@ -57,10 +57,18 @@ class TraceLog:
         """Non-blocking readiness probe: the Python API only exposes the
         BLOCKING ``Observation.get``, so check the JVM side's
         ``getOrEmpty`` (empty until the observed plan's first action
-        completes).  Conservative on any reflection failure."""
+        completes).  Under Spark Connect there is no ``_jo`` handle —
+        the connect-side Observation instead fills ``_result`` when the
+        observed action's metrics arrive, so probe that.  Conservative
+        (not-ready) on any reflection failure."""
         try:
-            jo = obs._jo  # noqa: SLF001 — no public non-blocking probe
-            return jo is not None and not jo.getOrEmpty().isEmpty()
+            jo = getattr(obs, "_jo", None)  # noqa: SLF001 — no public probe
+            if jo is not None:
+                return not jo.getOrEmpty().isEmpty()
+            # Spark Connect path: pyspark.sql.connect.observation stores
+            # the metrics dict in _result once the action completes
+            res = getattr(obs, "_result", None)
+            return bool(res)
         except Exception:  # noqa: BLE001
             return False
 

@@ -55,18 +55,21 @@ def test_trace_strict_raises_before_action(spark, src):
 
 
 def test_trace_unmaterialized_branch_reports_none(spark, src):
-    """filter_with_complement traces BOTH branches; materializing only
+    """filter_with_complement traces BOTH branches under disambiguated
+    labels (multi-output verbs must not collide — the kept/rejected
+    stages would otherwise be order-dependent twins); materializing only
     the kept side leaves the rejected stage None under strict=False."""
     tf = SlicerFrame(src).traced()
     kept, rejected = tf.filter_with_complement("mag < 18")
     kept.df.write.format("noop").mode("overwrite").save()
-    got = dict_rows = kept.trace.rows(strict=False)
-    assert [lab for lab, _ in dict_rows] == [
-        "filter_with_complement", "filter_with_complement",
-    ]
-    vals = [n for _, n in got]
-    assert src.filter(F.col("mag") < 18).count() in vals
-    assert None in vals
+    got = dict(kept.trace.rows(strict=False))
+    assert set(got) == {
+        "filter_with_complement/kept", "filter_with_complement/rejected",
+    }
+    assert got["filter_with_complement/kept"] == src.filter(
+        F.col("mag") < 18
+    ).count()
+    assert got["filter_with_complement/rejected"] is None
 
 
 def test_trace_shared_log_across_frames(spark, src):
