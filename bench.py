@@ -25,16 +25,44 @@ generated code on a cold JVM and then runs in ~6.5s; min-of-2 would
 report the compiler, not the query.)  Full per-query run vectors are
 persisted in BENCH_LOCAL.json so false plateaus are visible.
 
-Host-steal handling (round 10 — the canary now ACTS, not just records):
+Host-steal handling (round 10 — the canary ACTS, not just records):
 every family JVM times a fixed CPU-bound canary workload after warmup.
 If the canary exceeds the committed quiet-state reference
 (CANARY_REF_SEC) by >1.3x, the family is automatically re-run in a
-fresh JVM (bounded: 2 retries/family, 8 global), per-query timings
-merged as min across attempts.  Families still above after retries are
-listed in `canary_unresolved`, and every timing is also published
+fresh JVM (bounded: 2 retries/family, 8 global; round 11 — only
+families containing a >=2 s query are worth a retry; cheap families
+just take the normalization), per-query timings merged as min across
+attempts.  Families still above after retries are listed in
+`canary_unresolved`, and every timing is also published
 canary-NORMALIZED (raw / max(1, canary/ref)) — BENCH_diff regression
 flags are computed on the normalized vector, so steady hypervisor steal
 can no longer masquerade as a plan regression.
+
+Timeout survival (round 11 — r10's driver run was killed at the outer
+timeout with ZERO parseable output because everything was emitted only
+at process end):
+
+* **Total wall-clock budget** (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default
+  1500): past 60% of budget canary re-runs are disabled (normalization
+  still applies); past 85% children run ONE rep per query (fast mode);
+  at 100% remaining families are skipped and listed in
+  ``budget_skipped`` — a degraded-but-complete artifact beats a perfect
+  artifact that never lands.
+* **Incremental durability**: after EVERY family the full artifact set
+  (BENCH_LOCAL.json + BENCH_diff.md) is rewritten and a partial
+  headline JSON line (``"partial": true``) is printed — the driver's
+  tail parser takes the LAST line, so a kill at any point still yields
+  a parseable result covering every finished family.
+* **SIGTERM flush**: the driver's `timeout` sends SIGTERM before
+  SIGKILL; the handler flushes artifacts + a final partial headline
+  before exiting.
+
+Cold/warm honesty (round 11): per-query ``first_rep_sec`` (cold
+JVM-position cost) is persisted next to the plateau min, and the family
+packing is recorded; BENCH_diff annotates flagged rows whose family
+membership changed since the previous run as ``repacked`` — a floor
+that moved because the registry grew is not a plan regression
+(r10: dd_simhash 2.77->5.44 s with byte-identical code).
 """
 
 from __future__ import annotations
@@ -42,6 +70,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import signal
 import subprocess
 import sys
 import time
@@ -49,28 +78,50 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
+# artifact directory override so tests never clobber the committed
+# BENCH_LOCAL.json / BENCH_diff.md
+_OUT_DIR = os.environ.get("SPARK_GRAFT_BENCH_OUT", _HERE)
 
 # Family packing: queries grouped by name prefix (same module/fixture →
 # shared scan + similar plan shapes), groups merged/split into chunks of
 # at most MAX_FAMILY queries. The astro flagship always gets its own JVM:
-# its ~40-operator DAG is the code-cache heavyweight.
-MAX_FAMILY = 14
+# its ~40-operator DAG is the code-cache heavyweight.  Env-overridable
+# for triage/tests (1 → one JVM per query).
+MAX_FAMILY = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_FAMILY", "14"))
 
 # Quiet-state reference for the fixed-workload canary (see child_main):
 # measured on this host with nothing else running, round 10 — four
 # fresh-JVM min-of-3 canary runs read 0.651/0.688/0.724/0.933 s, so
-# 0.75 with the 1.3x tolerance trips at 0.975 s, above quiet jitter.  A family JVM whose canary
-# exceeds REF*TOL is running on a stolen host — its timings are upper
-# bounds, so the family is re-run (bounded) and, if steal persists,
-# every timing is additionally reported canary-NORMALIZED
-# (raw / (canary/REF)) so the artifact is readable without a judge-side
-# re-adjudication of host noise.  Override: SPARK_GRAFT_CANARY_REF.
+# 0.75 with the 1.3x tolerance trips at 0.975 s, above quiet jitter.  A
+# family JVM whose canary exceeds REF*TOL is running on a stolen host —
+# its timings are upper bounds, so the family is re-run (bounded) and,
+# if steal persists, every timing is additionally reported
+# canary-NORMALIZED (raw / (canary/REF)) so the artifact is readable
+# without a judge-side re-adjudication of host noise.
+# Override: SPARK_GRAFT_CANARY_REF.
 CANARY_REF_SEC = float(os.environ.get("SPARK_GRAFT_CANARY_REF", "0.75"))
 CANARY_TOL = 1.3
 # bounded retries: per-family and global, so a steadily-loaded host
 # cannot triple the whole benchmark's wall clock
 CANARY_RETRIES_PER_FAMILY = 2
 CANARY_RETRIES_TOTAL = 8
+# a canary-tripped family is only worth a fresh-JVM retry if it holds a
+# query whose raw timing is at least this — re-running a family of
+# 0.3 s rows to fix sub-second noise burns budget for nothing; the
+# normalized vector already absorbs steady steal on cheap rows
+RERUN_MIN_QUERY_SEC = 2.0
+
+# total wall-clock budget for the whole benchmark (seconds).  The r10
+# driver run died at the harness's outer timeout with no output at all;
+# the budget keeps us comfortably inside it by degrading gracefully:
+# >60% elapsed → no canary re-runs; >85% → children run 1 rep/query;
+# 100% → remaining families skipped (recorded in budget_skipped).
+BENCH_BUDGET_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500")
+)
+# diff noise floor: a flagged ratio must also move by at least this many
+# absolute seconds — 0.2→0.4 s JIT jitter is not a regression signal
+DIFF_MIN_ABS_DELTA_SEC = 0.5
 
 
 def _family_key(name: str) -> str:
@@ -116,7 +167,9 @@ def _pack_families(names: list[str]) -> list[list[str]]:
     return packed
 
 
-def _time_query(spark, fn, sf_dir: str) -> tuple[float, list[float], bool]:
+def _time_query(
+    spark, fn, sf_dir: str, max_reps: int | None = None
+) -> tuple[float, list[float], bool]:
     """Adaptive-rep timing of one query; returns
     (plateau_min, run_vector, contended).
 
@@ -128,7 +181,12 @@ def _time_query(spark, fn, sf_dir: str) -> tuple[float, list[float], bool]:
     pair-agreement long before the floor: round 5's committed artifact
     recorded the astro flagship at 15.4 s when its true steady state was
     6.4 s.  The full run vector is persisted in BENCH_LOCAL.json so a
-    false plateau is visible in the artifact."""
+    false plateau is visible in the artifact.
+
+    ``max_reps`` (fast mode, budget >85% spent) truncates everything:
+    max_reps=1 runs each query once — the number then carries the plan's
+    cold JIT cost, which the ``first_rep_sec`` honesty field and the
+    ``fast_mode`` artifact flag make explicit."""
     runs: list[float] = []
 
     def one() -> None:
@@ -143,6 +201,8 @@ def _time_query(spark, fn, sf_dir: str) -> tuple[float, list[float], bool]:
         return abs(a - b) / max(b, 1e-9) <= 0.10
 
     one()
+    if max_reps is not None and len(runs) >= max_reps:
+        return min(runs), runs, False
     one()
     while True:
         mn = min(runs)
@@ -150,6 +210,8 @@ def _time_query(spark, fn, sf_dir: str) -> tuple[float, list[float], bool]:
             break
         strict = mn > 3.0
         cap = 8 if strict else 3
+        if max_reps is not None:
+            cap = min(cap, max_reps)
         if len(runs) >= cap:
             break
         if strict:
@@ -186,6 +248,8 @@ def _time_query(spark, fn, sf_dir: str) -> tuple[float, list[float], bool]:
 def child_main(names: list[str]) -> None:
     """Run one family in this process; print a JSON timing map."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    fast = os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS")
+    max_reps = int(fast) if fast else None
     import __spark_entry__ as entrymod
     from dataslicer_spark.session import get_spark
 
@@ -201,9 +265,10 @@ def child_main(names: list[str]) -> None:
     # runs before reading any per-query ratio as a regression).
     # min-of-3: the first rep pays residual JIT (~2.4s quiet vs ~0.9s
     # steady), which would false-trip the 1.3x re-run trigger; steady
-    # host steal inflates every rep, so the min still detects it
+    # host steal inflates every rep, so the min still detects it.
+    # Fast mode (budget nearly spent) drops to min-of-2.
     canary_reps = []
-    for _ in range(3):
+    for _ in range(2 if max_reps else 3):
         t0 = time.perf_counter()
         spark.range(50_000_000).selectExpr(
             "sum((id % 1000003) * (id % 997))",  # bounded: no ANSI overflow
@@ -220,7 +285,7 @@ def child_main(names: list[str]) -> None:
     for name in names:
         try:
             timings[name], run_vectors[name], was_contended = _time_query(
-                spark, registry[name], sf_dir
+                spark, registry[name], sf_dir, max_reps=max_reps
             )
             if was_contended:
                 contended.append(name)
@@ -242,129 +307,273 @@ def child_main(names: list[str]) -> None:
     )
 
 
-def _write_diff(
-    timings: dict[str, float],
-    sf: float | None,
-    run_vectors: dict[str, list[float]] | None = None,
-    contended: list[str] | None = None,
-    canaries: list[float] | None = None,
-    normalized: dict[str, float] | None = None,
-    canary_by_family: dict[str, float] | None = None,
-    canary_unresolved: list[str] | None = None,
-) -> None:
-    """Persist this run and a regression diff vs the previous run."""
-    local_path = os.path.join(_HERE, "BENCH_LOCAL.json")
-    prev: dict[str, float] = {}
-    prev_norm: dict[str, float] = {}
+def _load_prev_doc() -> dict:
+    """Snapshot the previous run's artifact ONCE — incremental flushes
+    rewrite BENCH_LOCAL.json after every family, so reading it lazily
+    would diff this run against its own partial self."""
     try:
-        with open(local_path) as f:
-            prev_doc = json.load(f)
-        prev = prev_doc.get("queries", {})
-        prev_norm = prev_doc.get("queries_normalized", {})
+        with open(os.path.join(_OUT_DIR, "BENCH_LOCAL.json")) as f:
+            return json.load(f)
     except (OSError, json.JSONDecodeError):
-        pass
-    # a crashed query (<= 0) must not poison the baseline: keep the
-    # previous good value so a recovered query still gets a comparison
-    baseline = dict(timings)
-    for name, t in timings.items():
-        if t <= 0 and prev.get(name, -1) > 0:
-            baseline[name] = prev[name]
-    # the artifact must be self-describing: a retained previous timing
-    # for a crashed query is indistinguishable from a fresh measurement
-    # unless the failure is recorded alongside it
-    failed_names = sorted(n for n, t in timings.items() if t <= 0)
-    with open(local_path, "w") as f:
-        json.dump(
-            {
-                "sf": sf,
-                "queries": baseline,
-                # canary-normalized twin of `queries`: raw / the
-                # family's steal factor max(1, canary/ref) — the vector
-                # BENCH_diff regression flags are computed on
-                "queries_normalized": normalized or {},
-                "runs": run_vectors or {},
-                "failed": failed_names,
-                # rows whose rep spread stayed >3x after an extra rep:
-                # host CPU steal — treat their min as an upper bound,
-                # not a regression signal
-                "contended": sorted(contended or []),
-                # fixed-workload canary per family JVM (see child_main):
-                # run-level speed reference.  Families above
-                # ref*1.3 were automatically re-run (bounded); the ones
-                # still above after retries are listed unresolved.
-                "canary_sec": canaries or [],
-                "canary_ref_sec": CANARY_REF_SEC,
-                "canary_by_family": canary_by_family or {},
-                "canary_unresolved": sorted(canary_unresolved or []),
-            },
-            f, indent=1, sort_keys=True,
+        return {}
+
+
+def _query_family_members(families: dict[str, list[str]]) -> dict[str, frozenset]:
+    """query name -> frozenset of its family's members."""
+    out: dict[str, frozenset] = {}
+    for members in families.values():
+        fs = frozenset(members)
+        for q in members:
+            out[q] = fs
+    return out
+
+
+class _RunState:
+    """Accumulated benchmark state, flushable at any point (incremental
+    per-family flushes, the SIGTERM handler, and the final write all go
+    through :meth:`flush`)."""
+
+    def __init__(self, sf: float | None, prev_doc: dict, skip_artifacts: bool):
+        self.sf = sf
+        self.prev_doc = prev_doc
+        self.skip_artifacts = skip_artifacts
+        self.timings: dict[str, float] = {}
+        self.run_vectors: dict[str, list[float]] = {}
+        self.first_reps: dict[str, float] = {}
+        self.contended: list[str] = []
+        self.canaries: list[float] = []
+        self.canary_by_family: dict[str, float] = {}
+        self.query_family: dict[str, str] = {}
+        self.canary_unresolved: list[str] = []
+        self.families: dict[str, list[str]] = {}
+        self.budget_skipped: list[str] = []
+        self.fast_mode = False
+        self.families_done = 0
+        self.families_total = 0
+
+    # -- derived vectors --------------------------------------------------
+    def normalized(self) -> dict[str, float]:
+        """Canary-normalized twin of `timings`: raw / the family's steal
+        factor max(1, canary/ref) — only ever deflating."""
+        out: dict[str, float] = {}
+        for n, t in self.timings.items():
+            c = self.canary_by_family.get(self.query_family.get(n, ""))
+            factor = max(1.0, c / CANARY_REF_SEC) if c else 1.0
+            out[n] = round(t / factor, 3) if t > 0 else t
+        return out
+
+    # -- artifacts ---------------------------------------------------------
+    def flush(self, partial: bool) -> None:
+        """Rewrite BENCH_LOCAL.json + BENCH_diff.md (full-run mode) and
+        print a headline JSON line.  Called after every family so a kill
+        at any point leaves a parseable, self-describing artifact."""
+        normalized = self.normalized()
+        if not self.skip_artifacts:
+            try:
+                self._write_local(normalized, partial)
+                self._write_diff(normalized)
+            except OSError as e:
+                print(f"bench: artifact write failed: {e}", file=sys.stderr)
+        self._print_headline(normalized, partial)
+
+    def _write_local(self, normalized: dict[str, float], partial: bool) -> None:
+        prev = self.prev_doc.get("queries", {})
+        # a crashed query (<= 0) must not poison the baseline: keep the
+        # previous good value so a recovered query still gets a comparison
+        baseline = dict(self.timings)
+        for name, t in self.timings.items():
+            if t <= 0 and prev.get(name, -1) > 0:
+                baseline[name] = prev[name]
+        failed_names = sorted(n for n, t in self.timings.items() if t <= 0)
+        doc = {
+            "sf": self.sf,
+            "partial": partial,
+            "families_done": self.families_done,
+            "families_total": self.families_total,
+            "fast_mode": self.fast_mode,
+            "queries": baseline,
+            # canary-normalized twin of `queries` — the vector BENCH_diff
+            # regression flags are computed on
+            "queries_normalized": normalized,
+            "runs": self.run_vectors,
+            # cold-position honesty: the first rep of the first attempt
+            # carries the plan's codegen/JIT cost at its JVM position —
+            # when family packing changes, THIS moves even though the
+            # plan didn't; BENCH_diff uses `families` to annotate that
+            "first_rep_sec": self.first_reps,
+            "families": {k: sorted(v) for k, v in self.families.items()},
+            "failed": failed_names,
+            # rows whose rep spread stayed >3x after an extra rep: host
+            # CPU steal — their min is an upper bound, not a regression
+            "contended": sorted(set(self.contended)),
+            "canary_sec": self.canaries,
+            "canary_ref_sec": CANARY_REF_SEC,
+            "canary_by_family": self.canary_by_family,
+            "canary_unresolved": sorted(self.canary_unresolved),
+            # families never run because the wall-clock budget ran out
+            "budget_skipped": sorted(self.budget_skipped),
+            "budget_sec": BENCH_BUDGET_SEC,
+        }
+        tmp = os.path.join(_OUT_DIR, "BENCH_LOCAL.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(_OUT_DIR, "BENCH_LOCAL.json"))
+
+    def _write_diff(self, normalized: dict[str, float]) -> None:
+        prev = self.prev_doc.get("queries", {})
+        if not prev:
+            return
+        prev_norm = self.prev_doc.get("queries_normalized", {})
+        prev_members = _query_family_members(self.prev_doc.get("families", {}))
+        now_members = _query_family_members(
+            {k: sorted(v) for k, v in self.families.items()}
         )
-    if not prev:
-        return
-    failed = failed_names
-    # regression flags on the canary-NORMALIZED vectors when both sides
-    # have them (falling back to raw for queries/artifacts without) —
-    # host steal must not read as a plan regression
-    now_vec = dict(timings)
-    was_vec = dict(prev)
-    if normalized:
-        now_vec.update({k: v for k, v in normalized.items() if v > 0})
-    if prev_norm:
-        was_vec.update({k: v for k, v in prev_norm.items() if v > 0})
-    lines = [
-        "# BENCH diff — current run vs previous BENCH_LOCAL.json",
-        "",
-        f"Queries: {len(timings)} now / {len(prev)} before. "
-        "Flagging |log-ratio| >= 1.3x with prior >= 0.2s, computed on "
-        "canary-NORMALIZED timings where available (raw otherwise).",
-        "",
-        "Methodology note (round 6): expensive queries (min > 3 s) now "
-        "require two consecutive run-pairs within 10% before the plateau "
-        "stops (cap 8 reps) — improvements on >3 s queries vs a round-5 "
-        "baseline partly reflect the fixed false-plateau, not the code.",
-        "",
-        *(
-            ["Failed/crashed queries (baseline retained from previous "
-             "run): " + ", ".join(failed), ""]
-            if failed else []
-        ),
-        "| query | before (s) | now (s) | ratio |",
-        "|---|---|---|---|",
-    ]
-    flagged = []
-    for name, now in sorted(now_vec.items()):
-        was = was_vec.get(name)
-        if was is None or was <= 0 or now <= 0:
-            continue
-        ratio = now / was
-        if (ratio >= 1.3 or ratio <= 1 / 1.3) and max(was, now) >= 0.2:
-            flagged.append((ratio, name, was, now))
-    for ratio, name, was, now in sorted(flagged, reverse=True):
-        lines.append(f"| {name} | {was:.2f} | {now:.2f} | {ratio:.2f}x |")
-    if not flagged:
-        lines.append("| (none) | | | |")
-    new = sorted(set(timings) - set(prev))
-    gone = sorted(set(prev) - set(timings))
-    if new:
-        lines += ["", "New queries: " + ", ".join(new)]
-    if gone:
-        lines += ["", "Removed queries: " + ", ".join(gone)]
-    with open(os.path.join(_HERE, "BENCH_diff.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+        failed = sorted(n for n, t in self.timings.items() if t <= 0)
+        lines = [
+            "# BENCH diff — current run vs previous BENCH_LOCAL.json",
+            "",
+            f"Queries: {len(self.timings)} now / {len(prev)} before. "
+            "Flagging |log-ratio| >= 1.3x AND |delta| >= "
+            f"{DIFF_MIN_ABS_DELTA_SEC} s, computed per query on "
+            "canary-NORMALIZED timings when BOTH runs have them (raw "
+            "otherwise — never normalized-vs-raw).  Rows whose family "
+            "packing changed since the previous run are annotated "
+            "`repacked`: their JVM-position floor moved with the "
+            "registry, not the plan.",
+            "",
+            *(
+                ["Failed/crashed queries (baseline retained from previous "
+                 "run): " + ", ".join(failed), ""]
+                if failed else []
+            ),
+            "| query | before (s) | now (s) | ratio | note |",
+            "|---|---|---|---|---|",
+        ]
+        flagged = []
+        for name, raw_now in sorted(self.timings.items()):
+            raw_was = prev.get(name)
+            if raw_was is None or raw_was <= 0 or raw_now <= 0:
+                continue
+            # ADVICE r10: choose the comparison vector PER QUERY — only
+            # compare normalized-vs-normalized when both sides carry the
+            # key, else raw-vs-raw; mixing masks/invents regressions for
+            # one transition round
+            n_now, n_was = normalized.get(name), prev_norm.get(name)
+            if n_now is not None and n_now > 0 and n_was is not None and n_was > 0:
+                now, was = n_now, n_was
+            else:
+                now, was = raw_now, raw_was
+            ratio = now / was
+            if (
+                (ratio >= 1.3 or ratio <= 1 / 1.3)
+                and max(was, now) >= 0.2
+                and abs(now - was) >= DIFF_MIN_ABS_DELTA_SEC
+            ):
+                repacked = (
+                    name in prev_members
+                    and name in now_members
+                    and prev_members[name] != now_members[name]
+                )
+                flagged.append((ratio, name, was, now,
+                                "repacked" if repacked else ""))
+        for ratio, name, was, now, note in sorted(flagged, reverse=True):
+            lines.append(
+                f"| {name} | {was:.2f} | {now:.2f} | {ratio:.2f}x | {note} |"
+            )
+        if not flagged:
+            lines.append("| (none) | | | | |")
+        new = sorted(set(self.timings) - set(prev))
+        gone = sorted(
+            set(prev) - set(self.timings) - set(self.budget_skipped)
+        )
+        if new:
+            lines += ["", "New queries: " + ", ".join(new)]
+        if gone:
+            lines += ["", "Removed queries: " + ", ".join(gone)]
+        if self.budget_skipped:
+            lines += ["", "Budget-skipped (wall clock ran out): "
+                      + ", ".join(sorted(self.budget_skipped))]
+        with open(os.path.join(_OUT_DIR, "BENCH_diff.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def _print_headline(self, normalized: dict[str, float], partial: bool) -> None:
+        total = round(sum(t for t in self.timings.values() if t >= 0), 3)
+        total_norm = round(sum(t for t in normalized.values() if t >= 0), 3)
+        failed = sorted(n for n, t in self.timings.items() if t < 0)
+        # the driver records only the LAST ~2000 chars of stdout; a full
+        # 160+-entry per-query map (~8 KB) gets head-truncated into an
+        # unparseable fragment (round 7's artifact lost ~half the
+        # vector).  Headline line stays under that cap: slowest 40
+        # queries at one decimal; the COMPLETE per-query vector + run
+        # traces are committed in BENCH_LOCAL.json on every flush.
+        slowest = dict(
+            sorted(
+                ((n, round(t, 1)) for n, t in self.timings.items() if t >= 0),
+                key=lambda kv: -kv[1],
+            )[:40]
+        )
+        print(json.dumps({
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "sf": self.sf,
+            "n_queries": len(self.timings),
+            "queries_note":
+                "slowest 40 shown; full vector in BENCH_LOCAL.json",
+            # a partial line means the run was still in progress when
+            # this printed — the driver's tail parser takes the LAST
+            # line, so a killed run still yields every finished family
+            **(
+                {
+                    "partial": True,
+                    "families_done": self.families_done,
+                    "families_total": self.families_total,
+                }
+                if partial else {}
+            ),
+            **({"fast_mode": True} if self.fast_mode else {}),
+            # a crashed family must not read as a speedup in the
+            # headline total — failures are called out explicitly
+            "failed_queries": len(failed),
+            **({"failed": failed} if failed else {}),
+            **(
+                {"contended": sorted(set(self.contended))}
+                if self.contended else {}
+            ),
+            # fixed-workload reference per family JVM: families above
+            # canary_ref_sec*1.3 were automatically re-run (bounded);
+            # canary_unresolved lists the ones still above after
+            # retries.  value_normalized = sum of canary-normalized
+            # timings — read THIS against prior rounds when canaries
+            # differ.
+            **({"canary_sec": self.canaries} if self.canaries else {}),
+            "canary_ref_sec": CANARY_REF_SEC,
+            "value_normalized": total_norm,
+            **(
+                {"canary_unresolved": sorted(self.canary_unresolved)}
+                if self.canary_unresolved else {}
+            ),
+            **(
+                {"budget_skipped": sorted(self.budget_skipped)}
+                if self.budget_skipped else {}
+            ),
+        }), flush=True)
 
 
-def _run_family(family: list[str]) -> dict:
+def _run_family(family: list[str], timeout_sec: float, fast: bool) -> dict:
     """One child-JVM run of a family; always returns a child dict."""
+    env = os.environ.copy()
+    if fast:
+        env["SPARK_GRAFT_BENCH_MAX_REPS"] = "1"
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--family"]
             + family,
             capture_output=True,
             text=True,
-            env=os.environ.copy(),
-            # generous per-family ceiling: one wedged JVM must not
-            # stall the whole benchmark with no partial output
-            timeout=int(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "2400")),
+            env=env,
+            timeout=timeout_sec,
         )
         stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
     except subprocess.TimeoutExpired as e:
@@ -399,25 +608,64 @@ def main(only: list[str] | None = None) -> None:
         # but never overwrite the committed full-run artifacts with a
         # partial vector
         names = [n for n in names if n in set(only)]
-    timings: dict[str, float] = {}
-    run_vectors: dict[str, list[float]] = {}
-    contended: list[str] = []
-    canaries: list[float] = []
-    # family-head -> best (lowest) canary across attempts, for
-    # normalization; families whose canary never came under REF*TOL
-    canary_by_family: dict[str, float] = {}
-    query_family: dict[str, str] = {}
-    canary_unresolved: list[str] = []
+
+    # subset runs must never clobber the committed full-run artifacts —
+    # unless the artifact dir was explicitly redirected (tests/triage)
+    state = _RunState(
+        sf, _load_prev_doc(), bool(only) and _OUT_DIR == _HERE
+    )
+    t0 = time.monotonic()
+    packed = _pack_families(names)
+    state.families_total = len(packed)
+
+    # the driver's `timeout` sends SIGTERM first: flush everything we
+    # have so the killed run still leaves full artifacts + a parseable
+    # (partial) headline as the last stdout line
+    def _on_term(signum, frame):  # noqa: ARG001
+        print(
+            f"bench: signal {signum} — flushing partial artifacts "
+            f"({state.families_done}/{state.families_total} families)",
+            file=sys.stderr,
+        )
+        try:
+            state.flush(partial=True)
+        finally:
+            os._exit(124)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    child_ceiling = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "2400"))
     retries_left = CANARY_RETRIES_TOTAL
-    for family in _pack_families(names):
+    for fam_idx, family in enumerate(packed):
+        elapsed = time.monotonic() - t0
+        if elapsed >= BENCH_BUDGET_SEC:
+            for rest in packed[fam_idx:]:
+                state.budget_skipped.extend(rest)
+            print(
+                f"bench: budget {BENCH_BUDGET_SEC:.0f}s exhausted after "
+                f"{state.families_done}/{state.families_total} families — "
+                f"skipping {len(state.budget_skipped)} queries",
+                file=sys.stderr,
+            )
+            break
+        allow_rerun = elapsed <= 0.60 * BENCH_BUDGET_SEC
+        fast = elapsed > 0.85 * BENCH_BUDGET_SEC
+        state.fast_mode = state.fast_mode or fast
+        # one wedged JVM must not stall the whole benchmark, and no
+        # family may be given more time than the budget has left
+        # (plus a grace margin so a near-deadline family can finish)
+        fam_timeout = max(120.0, min(
+            child_ceiling, BENCH_BUDGET_SEC - elapsed + 120.0
+        ))
         fam_key = family[0]
+        state.families[fam_key] = list(family)
         for q in family:
-            query_family[q] = fam_key
+            state.query_family[q] = fam_key
         merged: dict = {"timings": {}, "runs": {}, "contended": set()}
         best_canary: float | None = None
         attempts = 0
         while True:
-            got = _run_family(family)
+            got = _run_family(family, fam_timeout, fast)
             attempts += 1
             # merge attempts: per-query best (lowest positive) timing —
             # every attempt's timing is a valid upper bound of the
@@ -430,6 +678,8 @@ def main(only: list[str] | None = None) -> None:
                     merged["timings"][n] = t
             for n, v in got.get("runs", {}).items():
                 merged["runs"].setdefault(n, []).extend(v)
+                if v and n not in state.first_reps:
+                    state.first_reps[n] = v[0]
             merged["contended"].update(got.get("contended", []))
             c = got.get("canary_sec")
             if c is not None:
@@ -437,18 +687,27 @@ def main(only: list[str] | None = None) -> None:
             # ACT on the canary (round 10): a canary above the quiet
             # reference means this family JVM ran on a stolen host —
             # re-run the family (bounded) instead of publishing an
-            # inflated artifact and leaving adjudication to the reader
+            # inflated artifact.  Round 11: a retry must be WORTH its
+            # fresh-JVM cost — only families holding a >=2 s query
+            # re-run (cheap rows ride the normalized vector), and no
+            # retries once 60% of the wall-clock budget is spent.
+            heavy = any(
+                t >= RERUN_MIN_QUERY_SEC
+                for t in merged["timings"].values()
+            )
             if (
                 c is None
                 or c <= CANARY_REF_SEC * CANARY_TOL
                 or attempts > CANARY_RETRIES_PER_FAMILY
                 or retries_left <= 0
+                or not allow_rerun
+                or not heavy
             ):
                 if (
                     best_canary is not None
                     and best_canary > CANARY_REF_SEC * CANARY_TOL
                 ):
-                    canary_unresolved.append(fam_key)
+                    state.canary_unresolved.append(fam_key)
                 break
             retries_left -= 1
             print(
@@ -457,74 +716,20 @@ def main(only: list[str] | None = None) -> None:
                 "(host steal) — re-running family",
                 file=sys.stderr,
             )
-        timings.update(merged["timings"])
-        run_vectors.update(merged["runs"])
-        contended.extend(sorted(merged["contended"]))
+        state.timings.update(merged["timings"])
+        state.run_vectors.update(merged["runs"])
+        state.contended.extend(sorted(merged["contended"]))
         if best_canary is not None:
-            canaries.append(best_canary)
-            canary_by_family[fam_key] = best_canary
+            state.canaries.append(best_canary)
+            state.canary_by_family[fam_key] = best_canary
+        state.families_done += 1
+        # incremental durability: every finished family lands in the
+        # artifact + a partial headline immediately — a timeout kill can
+        # no longer erase the whole run (r10: rc=124, zero output)
+        if state.families_done < state.families_total:
+            state.flush(partial=True)
 
-    # canary-normalized timings: divide by the family's steal factor
-    # (only ever deflating — a faster-than-reference canary never
-    # inflates).  Raw stays primary; normalized is what BENCH_diff
-    # regression flags are computed on.
-    normalized: dict[str, float] = {}
-    for n, t in timings.items():
-        c = canary_by_family.get(query_family.get(n, ""))
-        factor = max(1.0, c / CANARY_REF_SEC) if c else 1.0
-        normalized[n] = round(t / factor, 3) if t > 0 else t
-
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    total_norm = round(sum(t for t in normalized.values() if t >= 0), 3)
-    failed = sorted(n for n, t in timings.items() if t < 0)
-    if not only:
-        try:
-            _write_diff(
-                timings, sf, run_vectors, contended, canaries,
-                normalized, canary_by_family, canary_unresolved,
-            )
-        except OSError as e:
-            print(f"bench: diff write failed: {e}", file=sys.stderr)
-    # the driver records only the LAST ~2000 chars of stdout; a full
-    # 160+-entry per-query map (~8 KB) gets head-truncated into an
-    # unparseable fragment (round 7's artifact lost ~half the vector).
-    # Headline line stays under that cap: slowest 40 queries at one
-    # decimal; the COMPLETE per-query vector + run traces are committed
-    # in BENCH_LOCAL.json / BENCH_diff.md on every run.
-    slowest = dict(
-        sorted(
-            ((n, round(t, 1)) for n, t in timings.items() if t >= 0),
-            key=lambda kv: -kv[1],
-        )[:40]
-    )
-    print(json.dumps({
-        "metric": "total_query_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": slowest,
-        "sf": sf,
-        "n_queries": len(timings),
-        "queries_note": "slowest 40 shown; full vector in BENCH_LOCAL.json",
-        # a crashed family must not read as a speedup in the headline
-        # total — failures are called out explicitly
-        "failed_queries": len(failed),
-        **({"failed": failed} if failed else {}),
-        # rows whose rep spread stayed >3x after an extra rep — host CPU
-        # steal; their min is an upper bound, not a plan regression
-        **({"contended": sorted(contended)} if contended else {}),
-        # fixed-workload reference per family JVM: families above
-        # canary_ref_sec*1.3 were automatically re-run (bounded);
-        # canary_unresolved lists the ones still above after retries.
-        # value_normalized = sum of canary-normalized timings — read
-        # THIS against prior rounds when canaries differ.
-        **({"canary_sec": canaries} if canaries else {}),
-        "canary_ref_sec": CANARY_REF_SEC,
-        "value_normalized": total_norm,
-        **(
-            {"canary_unresolved": sorted(canary_unresolved)}
-            if canary_unresolved else {}
-        ),
-    }))
+    state.flush(partial=False)
 
 
 if __name__ == "__main__":

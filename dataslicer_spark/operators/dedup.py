@@ -715,6 +715,47 @@ def _bbit_lane(word: Column, j: int, bits: int) -> Column:
     )
 
 
+def bbit_band_buckets(
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    bits: int,
+    sig_col: str = "bsig",
+) -> DataFrame:
+    """(id, band, bucket) keys over PACKED b-bit signature words — the
+    b-bit twin of :func:`band_buckets`: same ``bands`` bands of
+    ``num_perm/bands`` slots, each hashed to one bucket, but slots are
+    lane-extracted from the packed int64 words (pure JVM shift/mask).
+    Shared by :func:`bbit_minhash_lsh_pairs` and the persistent index
+    (``operators/dedup_index.py``, ``bits=`` mode) so stored and
+    probe-side buckets are always computed identically."""
+    r = num_perm // bands
+    lanes = 64 // bits
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                _bbit_lane(
+                                    F.col(sig_col)[(b * r + j) // lanes],
+                                    (b * r + j) % lanes,
+                                    bits,
+                                )
+                                for j in range(r)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def bbit_est_jaccard(
     bsig_a: Column, bsig_b: Column, num_perm: int, bits: int = 8
 ) -> Column:
@@ -789,8 +830,6 @@ def bbit_minhash_lsh_pairs(
         )
     from ..utils import materialize
 
-    r = num_perm // bands
-    lanes = 64 // bits
     # bsigs feeds both sides of the band self-join (and twice more in the
     # estimate branch): MATERIALIZE, not cache — an unmaterialized cache
     # inside one action can re-run the signature kernel per consumer
@@ -799,29 +838,7 @@ def bbit_minhash_lsh_pairs(
     bsigs = materialize(
         bbit_minhash_signatures(df, id_col, text_col, n, num_perm, bits)
     )
-    bucketed = bsigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                _bbit_lane(
-                                    F.col("bsig")[(b * r + j) // lanes],
-                                    (b * r + j) % lanes,
-                                    bits,
-                                )
-                                for j in range(r)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    bucketed = bbit_band_buckets(bsigs, num_perm, bands, bits)
     a = bucketed.select(F.col("id").alias("id_a"), "band", "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (

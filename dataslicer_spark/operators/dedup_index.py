@@ -38,10 +38,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..utils import check_col, materialize
-from .dedup import band_buckets, minhash_signatures
+from .dedup import (
+    band_buckets,
+    bbit_band_buckets,
+    bbit_est_jaccard,
+    minhash_signatures,
+)
 
 #: index layout: <path>/{signatures,bands,meta} parquet directories.
 _SIGS, _BANDS, _META = "signatures", "bands", "meta"
+
+
+def _index_band_keys(
+    sigs: DataFrame, num_perm: int, bands: int, bits: int
+) -> DataFrame:
+    """Band keys for a signature frame (column ``signature``): lane-
+    extracted from packed words in b-bit mode, full slots otherwise."""
+    if bits:
+        return bbit_band_buckets(
+            sigs, num_perm, bands, bits, sig_col="signature"
+        )
+    return band_buckets(sigs, num_perm, bands)
 
 
 def build_minhash_index(
@@ -52,27 +69,49 @@ def build_minhash_index(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    bits: int = 0,
 ) -> None:
     """Create the index at ``path`` from an initial corpus (may be
-    empty).  Stores signatures, band keys, and the hashing parameters."""
+    empty).  Stores signatures, band keys, and the hashing parameters.
+
+    ``bits`` — opt-in b-bit MinHash storage (Li & König WWW'10, see
+    ``dedup.bbit_minhash_lsh_pairs``): only the lowest ``bits`` bits of
+    each of the ``num_perm`` slots are kept, packed ``64/bits`` lanes
+    per int64 word, so the PERSISTED signature table shrinks
+    ``64/bits``× (8× at bits=8) — the index's dominant storage cost at
+    corpus scale.  Equal full slots imply equal b-bit lanes, so the
+    candidate set on probe is a superset of full-width banding at the
+    same (num_perm, bands); the extra random band collisions
+    (≈ 2^-(r·bits) per band per pair) only add verify work, never wrong
+    output — keep ``(num_perm/bands)·bits ≥ log2(n_docs)+10`` (the
+    sizing rule in ``dedup.bbit_minhash_lsh_pairs``).  0 = full-width
+    (default, backward compatible)."""
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
+    if bits and bits not in (1, 2, 4, 8, 16, 32):
+        raise ValueError(f"bits must divide 64 (or 0), got {bits}")
     check_col([id_col, text_col], df)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_perm, pack_bits=bits or None
+    )
     sigs.write.mode("overwrite").parquet(os.path.join(path, _SIGS))
-    band_buckets(
+    _index_band_keys(
         df.sparkSession.read.parquet(os.path.join(path, _SIGS)),
         num_perm,
         bands,
+        bits,
     ).write.mode("overwrite").parquet(os.path.join(path, _BANDS))
     df.sparkSession.createDataFrame(
-        [(n, num_perm, bands)], "n int, num_perm int, bands int"
+        [(n, num_perm, bands, bits)],
+        "n int, num_perm int, bands int, bits int",
     ).write.mode("overwrite").parquet(os.path.join(path, _META))
 
 
-def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
+def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int, int]:
     row = spark.read.parquet(os.path.join(path, _META)).collect()[0]
-    return row.n, row.num_perm, row.bands
+    # pre-round-11 indexes have no bits column: full-width
+    bits = row.asDict().get("bits", 0) or 0
+    return row.n, row.num_perm, row.bands, bits
 
 
 def dedup_against_minhash_index(
@@ -89,7 +128,11 @@ def dedup_against_minhash_index(
     ``(survivors, matches)``.
 
     ``matches`` = (new_id, index_id, est_jaccard ≥ threshold) — the
-    signature-slot-agreement estimate, like ``verify=True`` pairs mode.
+    signature-slot-agreement estimate, like ``verify=True`` pairs mode
+    (for a b-bit index — built with ``bits=`` — the collision-corrected
+    lane estimator ``dedup.bbit_est_jaccard`` instead; all index
+    parameters including ``bits`` come from the stored meta, so probes
+    are oblivious to the storage format).
     ``survivors`` = batch rows with no index match (they are also
     near-dup'd against EACH OTHER via the same band keys — a batch with
     two copies of a new document keeps the smaller id).
@@ -124,11 +167,24 @@ def dedup_against_minhash_index(
 
     spark = new_df.sparkSession
     check_col([id_col, text_col], new_df)
-    n, num_perm, bands = _read_meta(spark, path)
+    n, num_perm, bands, bits = _read_meta(spark, path)
     sigs_new = minhash_signatures(
-        new_df, id_col, text_col, n, num_perm
+        new_df, id_col, text_col, n, num_perm, pack_bits=bits or None
     ).persist()
-    bands_new = band_buckets(sigs_new, num_perm, bands).persist()
+    bands_new = _index_band_keys(sigs_new, num_perm, bands, bits).persist()
+
+    def _sig_est(sig_a, sig_b):
+        """Signature-only Jaccard estimate: slot-agreement fraction for
+        full-width signatures, the unbiased collision-corrected lane
+        estimator for packed b-bit ones."""
+        if bits:
+            return bbit_est_jaccard(sig_a, sig_b, num_perm, bits)
+        return F.size(
+            F.filter(
+                F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double") / F.lit(float(num_perm))
 
     stored_bands = spark.read.parquet(os.path.join(path, _BANDS))
     cand = (
@@ -220,16 +276,7 @@ def dedup_against_minhash_index(
             )
             .withColumn(
                 "est_jaccard",
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            "sig_new", "sig_idx",
-                            lambda x, y: (x == y).cast("int"),
-                        ),
-                        lambda v: v == 1,
-                    )
-                ).cast("double")
-                / F.lit(float(num_perm)),
+                _sig_est(F.col("sig_new"), F.col("sig_idx")),
             )
             .filter(F.col("est_jaccard") >= threshold)
             .select("new_id", "index_id", "est_jaccard")
@@ -253,16 +300,7 @@ def dedup_against_minhash_index(
             ),
             "id_b",
         )
-        .filter(
-            F.size(
-                F.filter(
-                    F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
-                    lambda v: v == 1,
-                )
-            ).cast("double")
-            / F.lit(float(num_perm))
-            >= threshold
-        )
+        .filter(_sig_est(F.col("sa"), F.col("sb")) >= threshold)
         .select(F.col("id_b").alias("dropped_id"))
     )
     dropped = (
@@ -289,9 +327,9 @@ def dedup_against_minhash_index(
         surv_ids = survivors.select(F.col(id_col).alias("id"))
         surv_sigs = sigs_new.join(F.broadcast(surv_ids), "id", "left_semi")
         surv_sigs.write.mode("append").parquet(os.path.join(path, _SIGS))
-        band_buckets(surv_sigs, num_perm, bands).write.mode("append").parquet(
-            os.path.join(path, _BANDS)
-        )
+        _index_band_keys(surv_sigs, num_perm, bands, bits).write.mode(
+            "append"
+        ).parquet(os.path.join(path, _BANDS))
     if release_cache:
         for frame in (sigs_new, bands_new, cand):
             frame.unpersist()

@@ -787,6 +787,85 @@ WHERE CAST(n_common AS DOUBLE)
 """
 
 
+def dd_index_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent MinHash index in b-bit storage mode (Li & König
+    WWW'10; ``dedup_index.build_minhash_index(bits=16)``): same
+    build-then-probe ingestion shape as ``dd_index_incremental``, but
+    the persisted signature table stores 16-bit packed lanes — 4× fewer
+    on-disk signature bytes, the index's dominant storage cost at
+    corpus scale.  bits=16 at r=2 keeps 32-bit band buckets, so random
+    collisions stay ≈ n²·bands/2³² (the sizing rule
+    ``r·bits ≥ log2(n_docs)+10``).  Equal full-width slots imply equal
+    lanes, so the candidate set is a superset of full-width banding and
+    the exact-Jaccard verification makes the output engine-independent
+    — the DuckDB oracle computes the exact cross-pair set directly."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    batch = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"dslicer_bbidx_{os.getpid()}_{tag}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_minhash_index(
+        docs, path, "doc_id", num_perm=64, bands=32, bits=16
+    )
+    _surv, matches = dedup_against_minhash_index(
+        batch, path, "doc_id", threshold=0.8,
+        append_survivors=False, exact_verify_with=docs,
+    )
+    return matches.select(
+        F.col("index_id").alias("id_a"),
+        F.col("new_id").alias("id_b"),
+        "jaccard",
+    )
+
+
+DD_INDEX_BBIT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 100000, t[1:greatest(len(t)-2, 1)] AS t FROM toks
+  WHERE doc_id % 4 = 0),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM corpus, UNNEST(range(1, len(t) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+"""
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤k pairs over the near-dup corpus.
 
@@ -8507,6 +8586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_weighted_minhash": dd_weighted_minhash,
     "dd_index_incremental": dd_index_incremental,
     "dd_index_probe": dd_index_probe,
+    "dd_index_bbit": dd_index_bbit,
     "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
     "sim_mmr_rerank": sim_mmr_rerank,
@@ -8667,6 +8747,7 @@ ORACLES: dict[str, str] = {
     "dd_weighted_minhash": DD_WEIGHTED_MINHASH_SQL,
     "dd_index_incremental": DD_INDEX_INCREMENTAL_SQL,
     "dd_index_probe": DD_INDEX_PROBE_SQL,
+    "dd_index_bbit": DD_INDEX_BBIT_SQL,
     # md5-derived 60-bit hashes → full fingerprint replay in SQL
     "dd_simhash": DD_SIMHASH_SQL,
     "txt_train_split": TXT_TRAIN_SPLIT_SQL,

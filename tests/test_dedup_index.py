@@ -213,3 +213,92 @@ def test_compact_rejects_non_local_path(spark):
 
     with pytest.raises(ValueError, match="local filesystem"):
         compact_minhash_index(spark, "s3://bucket/index")
+
+
+# ---------------------------------------------------------------------------
+# b-bit storage mode (round 11): bits= in build/probe
+# ---------------------------------------------------------------------------
+
+def _tree_bytes(d):
+    import os
+
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _dd, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def test_bbit_index_signature_table_shrinks_4x(spark, docs, tmp_path):
+    """The b-bit kernel's stated payoff is a smaller PERSISTED index:
+    at bits=8 the signature table stores 8 packed words/doc instead of
+    64 — on-disk bytes must shrink >=4x (the 8x raw ratio minus parquet
+    row/metadata overhead).  The band table is format-invariant (one
+    (id, band, bucket) row per band either way)."""
+    full, bb = str(tmp_path / "full"), str(tmp_path / "bb")
+    corpus = docs.limit(100)
+    build_minhash_index(corpus, full, "doc_id", num_perm=64, bands=32)
+    build_minhash_index(
+        corpus, bb, "doc_id", num_perm=64, bands=32, bits=8
+    )
+    import os
+
+    full_b = _tree_bytes(os.path.join(full, "signatures"))
+    bb_b = _tree_bytes(os.path.join(bb, "signatures"))
+    assert bb_b > 0 and full_b >= 4 * bb_b
+
+
+def test_bbit_probe_exact_verified_superset_of_full_width(spark, docs, tmp_path):
+    """Equal full-width slots imply equal b-bit lanes, so the b-bit
+    candidate set is a SUPERSET of full-width banding; after exact
+    Jaccard verification both outputs are engine-independent and the
+    b-bit one can only contain MORE true pairs (random lane collisions
+    add candidates, never drop them)."""
+    full, bb = str(tmp_path / "fullx"), str(tmp_path / "bbx")
+    old = docs.limit(40)
+    new = _mutate(old.limit(15), 500_000)
+    build_minhash_index(old, full, "doc_id", num_perm=64, bands=32)
+    build_minhash_index(old, bb, "doc_id", num_perm=64, bands=32, bits=8)
+    kw = dict(threshold=0.5, append_survivors=False, exact_verify_with=old)
+    got_full = {
+        (r.index_id, r.new_id, round(r.jaccard, 9))
+        for r in dedup_against_minhash_index(new, full, "doc_id", **kw)[1].collect()
+    }
+    got_bb = {
+        (r.index_id, r.new_id, round(r.jaccard, 9))
+        for r in dedup_against_minhash_index(new, bb, "doc_id", **kw)[1].collect()
+    }
+    assert len(got_full) >= 12  # planted near-dups found
+    assert got_full <= got_bb
+
+
+def test_bbit_incremental_append_loop(spark, docs, tmp_path):
+    """The ingestion loop works unchanged on a b-bit index: appended
+    survivors are found by the next batch's probe, with the probe
+    reading ALL parameters (incl. bits) from the stored meta."""
+    path = str(tmp_path / "bbloop")
+    seed = docs.limit(40)
+    build_minhash_index(seed, path, "doc_id", num_perm=64, bands=32, bits=8)
+    fresh = docs.subtract(seed).limit(20)
+    surv1, m1 = dedup_against_minhash_index(
+        fresh, path, "doc_id", threshold=0.5
+    )
+    # the synthetic corpus contains GENUINE near-dups, so a few fresh
+    # docs may legitimately match the index — but most must survive
+    assert surv1.count() >= 15
+    batch2 = _mutate(fresh.limit(10), 700_000)
+    surv2, m2 = dedup_against_minhash_index(
+        batch2, path, "doc_id", threshold=0.5
+    )
+    assert m2.count() >= 8  # recall vs newly appended b-bit signatures
+    assert surv2.count() <= 2
+    # est_jaccard comes from the collision-corrected b-bit estimator
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in m2.collect())
+
+
+def test_bbit_build_rejects_bad_bits(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="divide 64"):
+        build_minhash_index(
+            docs.limit(5), str(tmp_path / "bad"), "doc_id", bits=5
+        )
