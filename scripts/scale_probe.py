@@ -742,6 +742,88 @@ def main() -> None:
         lambda: kcore(ge4, k=4).write.format("noop").mode("overwrite").save(),
     )
 
+    # round-11 kernels: data-axis rows for the three round-10 additions.
+    # Near-dup kernels use the token-salted 4x corpus (constant near-dup
+    # density — see docs4_salted above); both are map-only signature
+    # kernels + banding, so expect ~linear.
+    from dataslicer_spark.operators.dedup import bbit_minhash_lsh_pairs
+    from dataslicer_spark.operators.weighted_minhash import (
+        weighted_minhash_pairs,
+    )
+
+    run(
+        "weighted_minhash",
+        lambda: weighted_minhash_pairs(
+            docs1, "doc_id", threshold=0.8
+        ).write.format("noop").mode("overwrite").save(),
+        lambda: weighted_minhash_pairs(
+            docs4_salted, "doc_id", threshold=0.8
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    # bits=16 is the documented corpus-scale configuration
+    # (dedup.bbit_minhash_lsh_pairs sizing rule: r·bits = 32-bit band
+    # buckets keep random collisions ≈ n²·bands/2³²; bits=8's 16-bit
+    # buckets are only sized to ~10⁵ docs, which the 4x corpus exceeds)
+    run(
+        "bbit_minhash",
+        lambda: bbit_minhash_lsh_pairs(
+            docs1, "doc_id", bits=16, threshold=0.8
+        ).write.format("noop").mode("overwrite").save(),
+        lambda: bbit_minhash_lsh_pairs(
+            docs4_salted, "doc_id", bits=16, threshold=0.8
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+    # MMR fed from the pruned IVF probe path (the sim_mmr_ivf plan's
+    # scale configuration: n_probe < n_lists).  Fixed query set, corpus
+    # 4x: probe work is the pruned lists' scan (~linear), the greedy
+    # O(k·N) rerank is bounded per query by the candidate contract, so
+    # the whole pipeline should scale with the scan.
+    from dataslicer_spark.operators.similarity import ivf_topk, mmr_rerank
+
+    mmr_qs = emb1.filter(F.col("vec_id") % 500 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).cache()
+    mmr_qs.count()
+
+    def mmr_ivf_fn(emb):
+        def go():
+            cand = ivf_topk(emb, mmr_qs, k=20, n_lists=16, n_probe=4)
+            cand_v = cand.select("query_id", "vec_id").join(
+                emb.select("vec_id", "embedding"), "vec_id"
+            )
+            fp = float(1 << 12)
+            quant = lambda c: F.transform(  # noqa: E731
+                c, lambda x: F.floor(x.cast("double") * F.lit(fp)).cast("long")
+            )
+            qv = mmr_qs.select(
+                F.col("query_id").alias("__qid"),
+                quant(F.col("embedding")).alias("__qq"),
+            )
+            cand_rel = (
+                cand_v.join(
+                    F.broadcast(qv), F.col("query_id") == F.col("__qid")
+                )
+                .withColumn(
+                    "rel_q",
+                    F.aggregate(
+                        F.zip_with(
+                            quant(F.col("embedding")), F.col("__qq"),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ),
+                )
+                .select("query_id", "vec_id", "rel_q", "embedding")
+            )
+            mmr_rerank(
+                cand_rel, k=5, lam_num=7, lam_den=3, fp_bits=12
+            ).write.format("noop").mode("overwrite").save()
+        return go
+
+    run("mmr_ivf", mmr_ivf_fn(emb1), mmr_ivf_fn(emb4))
+
 
 if __name__ == "__main__":
     main()
