@@ -23,13 +23,24 @@ def main() -> None:
     spark = get_spark("quickstart")
 
     # --- the reference's astronomy workflow (E2), API-for-API -------------
+    # The whole chain runs TRACED: the reference logs "%d rows survived"
+    # after every verb (dataset_base.py:224-229) — free in eager pandas,
+    # reproduced here with zero extra jobs via Spark Observations (the
+    # funnel printed at the end is harvested from the same actions that
+    # materialize the pipeline).
     sources, metadata, ps1cal = make_astro_fixture(spark, sf_dir)
 
     from dataslicer_spark.operators.joins import merge_metadata_to_sources
+    from dataslicer_spark.trace import TraceLog
 
-    good = SlicerFrame(sources).query_df("flags == 0 and snr > 2")  # select_objects
+    trace = TraceLog()
+    good = SlicerFrame(sources).traced(trace).query_df(
+        "flags == 0 and snr > 2"
+    )  # select_objects
     enriched = merge_metadata_to_sources(good.df, metadata, join_on="OBSID")
-    sf = SlicerFrame(enriched).cluster_sources(3.0, 2, purge_df=True)  # DBSCAN
+    sf = SlicerFrame(enriched).traced(trace).cluster_sources(
+        3.0, 2, purge_df=True
+    )  # DBSCAN
     matched = sf.match_to_PS1cal(ps1cal, rs_arcsec=3.0, use="clusters")
     tight, _rejected = matched.select_clusters("dist2ps1 < 1.0")
     calibrated = (
@@ -46,6 +57,12 @@ def main() -> None:
     kept, outliers = calibrated.ps1based_outlier_rm_iqr("cal_mag", 2.5)
     print("calibrated sources kept:", kept.count(), "| outliers:", outliers.count())
     kept.df.select("clusterID", "cal_mag", "ps1mag_band").show(5)
+
+    # the survivor funnel (reference's logged invariants, E2 chain):
+    # stages whose branch was never materialized report None
+    print("survivor funnel:")
+    for label, n in trace.rows(strict=False):
+        print(f"  {label}: {'(not materialized)' if n is None else n} rows survived")
 
     # --- diagnostic plot sink (reference objtable.py:334-346): bounded
     # driver sample always works; rendering needs matplotlib -------------

@@ -64,6 +64,63 @@ def test_astro_pipeline_stage_golden_counts(spark, sf_dir):
     assert [r.n_sources for r in rows] == [133, 266, 266]
 
 
+def test_astro_traced_funnel_golden(spark, sf_dir):
+    """E2 with row-count provenance (round 11): the reference logs
+    "%d rows survived" after every verb in this exact chain
+    (dataset_base.py:224-229); the traced facade reproduces the funnel
+    with ZERO extra jobs (Observations harvested from the materializing
+    actions).  Goldens = the stage cardinalities pinned in
+    test_astro_pipeline_stage_golden_counts."""
+    from dataslicer_spark.api import SlicerFrame
+    from dataslicer_spark.operators.joins import merge_metadata_to_sources
+    from dataslicer_spark.trace import TraceLog
+
+    sources, metadata, ps1cal = make_astro_fixture(spark, sf_dir)
+    trace = TraceLog()
+    good = SlicerFrame(sources).traced(trace).query_df(
+        "flags == 0 and snr > 2"
+    )
+    enriched = merge_metadata_to_sources(good.df, metadata, join_on="OBSID")
+    sf = SlicerFrame(enriched).traced(trace).cluster_sources(
+        3.0, 2, purge_df=True
+    )
+    matched = sf.match_to_PS1cal(ps1cal, rs_arcsec=3.0, use="clusters")
+    tight, _rejected = matched.select_clusters("dist2ps1 < 1.0")
+    kept, outliers = (
+        tight.band_conditional_color()
+        .calmag(
+            mag_col="mag", err_mag_col="sigmag",
+            zp_col="MAGZP", zp_err_col="MAGZPUNC",
+            clrcoeff_col="CLRCOEFF", clrcoeff_err_col="CLRCOUNC",
+            color1_col="color1", color2_col="color2",
+            color1_err_col="e_gmag", color2_err_col="e_rmag",
+        )
+        .add_bandwise_PS1mag_for_filter()
+        .ps1based_outlier_rm_iqr("cal_mag", 2.5)
+    )
+    # ONE materializing action per output branch fills every stage
+    kept.df.write.format("noop").mode("overwrite").save()
+    outliers.df.write.format("noop").mode("overwrite").save()
+    funnel = dict(trace.rows(strict=False))
+    assert funnel == {
+        "query_df": 735,                        # P1 select_objects
+        "cluster_sources": 735,                 # M1 (min_samples=2 keeps all)
+        "match_to_PS1cal": 735,                 # J5+J3 (every cluster matches)
+        "select_clusters/kept": 735,            # J8 dist2ps1 < 1"
+        "select_clusters/rejected": None,       # branch never materialized
+        "band_conditional_color": 735,          # F2
+        "calmag": 735,                          # F1
+        "add_bandwise_PS1mag_for_filter": 735,  # F2
+        "ps1based_outlier_rm_iqr/kept": 665,    # M3 rejects injected stars
+        "ps1based_outlier_rm_iqr/outliers": 70,
+    }
+    # stage ORDER is the pipeline order (the reference's log sequence)
+    assert [lab for lab, _ in trace.rows(strict=False)][:4] == [
+        "query_df", "cluster_sources", "match_to_PS1cal",
+        "select_clusters/kept",
+    ]
+
+
 def test_astro_pipeline_rejects_injected_outliers(spark, sf_dir):
     # stars with star_id % 97 == 0 carry a +3 mag reference offset; the
     # IQR pass plus the final 0.5-mag gate must reject every one of them.
