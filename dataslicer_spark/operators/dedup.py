@@ -34,7 +34,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..functions.text import normalized_fingerprint, tokens_ws, word_shingles
-from ..utils import check_col
+from ..utils import check_col, materialize
 
 _LOG = logging.getLogger(__name__)
 
@@ -170,8 +170,12 @@ def ngram_jaccard_pairs(
     # cached: this one frame feeds FOUR plan subtrees (prefix a/b sides,
     # verify a/b sides) — uncached, Spark re-runs the whole shingle →
     # posting → join → sort pipeline per subtree (measured 8× the cost);
-    # the frame is doc-count-sized (one array row per doc), same
-    # precedent as the minhash signature cache above
+    # the frame is doc-count-sized (one array row per doc).  cache(),
+    # not materialize: the r11 interleaved A/B read cache 8.5 s vs
+    # materialize 10.4 s — the eager checkpoint job costs more than the
+    # cold-cache duplicate compute for this JVM-side subtree (contrast
+    # hamming_pairs/weighted/b-bit, whose heavy Python kernels go the
+    # other way)
     docsets = inv.groupBy("id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct(F.col("__df"), F.col("s")))),
@@ -379,6 +383,8 @@ def containment_pairs(
     if max_posting is not None:
         posting = posting.filter(F.col("__df") <= max_posting)
     inv = sh.join(posting, "s", "inner")
+    # cached, not materialized: feeds four subtrees of one action (see
+    # the A/B note on the Jaccard twin above)
     docsets = inv.groupBy("id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct(F.col("__df"), F.col("s")))),
@@ -620,6 +626,15 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"verify must be True, False or 'exact', got {verify!r}"
         )
+    # cache(), not materialize: a cold lazy cache does run this kernel
+    # once per concurrent consumer, but the plain minhash kernel is
+    # cheap (xxhash shingles + one numpy matmul) and the r11 interleaved
+    # A/B measured cache 6.6 s vs materialize 8.4 s on the exact-verify
+    # shape — the extra eager job + checkpoint costs more than the
+    # duplicated kernel.  The EXPENSIVE kernels (md5-mode simhash,
+    # weighted CWS, b-bit) materialize instead (hamming_pairs,
+    # weighted_minhash_pairs, bbit_minhash_lsh_pairs), where the same
+    # A/B goes the other way (14-16 s cache vs ~8 s materialized).
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
     bucketed = band_buckets(sigs, num_perm, bands)
     a = bucketed.select(F.col("id").alias("id_a"), "band", "bucket")
@@ -1008,9 +1023,17 @@ def hamming_pairs(
         raise ValueError("max_hamming must be in [0, 64)")
     chunks = max_hamming + 1
     width = 64 // chunks
-    hashed = df.select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
-    ).filter(F.col("sh").isNotNull()).cache()
+    # Materialize BEFORE the null filter, then filter the stored column:
+    # (a) the hash is usually a pandas-UDF kernel (simhash64/phash), and
+    # a filter on the UDF's output column makes Catalyst evaluate the
+    # UDF twice — once below the pushed filter, once in the project
+    # (guide §4.4: two ArrowEvalPython nodes per scan, measured in the
+    # r11 dd_simhash before-plan); (b) the frame feeds both sides of the
+    # chunk self-join, and a cold lazy cache() runs the kernel once per
+    # concurrent consumer (r10 b-bit A/B: 14-16 s vs ~8 s materialized).
+    hashed = materialize(
+        df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
+    ).filter(F.col("sh").isNotNull())
     bucketed = hashed.select(
         "id",
         "sh",
@@ -1090,6 +1113,71 @@ def _fp_cosine_udf(
     return pd.Series(np.where(denom == 0.0, np.nan, cos))
 
 
+# Filters on this UDF's output would otherwise make Catalyst evaluate it
+# TWICE per row — once below the pushed-down threshold filter, once in
+# the output projection (guide §4.4; two ArrowEvalPython nodes measured
+# in the r11 dd_embedding_cosine before-plan, each shipping both vectors
+# across Arrow).  The function is pure; the marker only pins it to a
+# single evaluation site.
+_fp_cosine_nd = _fp_cosine_udf.asNondeterministic()
+
+
+def _is_integral_id(df: DataFrame, id_col: str) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+
+def _matrix_cosine_attach(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Attach exact fixed-point cosines to an id-pair frame by gathering
+    vectors from a driver-collected numpy matrix broadcast inside an
+    Arrow pandas UDF (guide §8: decide with small rows, move heavy bytes
+    once — here the heavy vectors never enter the pair shuffle at all).
+
+    The arithmetic is bit-identical to :func:`fp_dot` /
+    :func:`_fp_cosine_udf` (floor(x·y·2^30) int64 sums, NULL on zero
+    norms), so swapping the join-attach plan for this one cannot change
+    results.  Valid while the matrix fits in executor memory
+    (n·dim·8 bytes — 200k×1k ≈ 1.6 GB); callers gate on
+    ``max_matrix_rows`` and integral ids.
+    """
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.array([list(rows[i][1]) for i in order], dtype=np.float64)
+    m30 = float(2**FP_DOT_BITS)
+    fp_self = np.floor(M * M * m30).astype(np.int64).sum(axis=1)
+    norms = np.sqrt(fp_self.astype(np.float64) / m30)
+
+    @pandas_udf("double")
+    def cos_udf(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        xa = np.searchsorted(ids, ia.to_numpy())
+        xb = np.searchsorted(ids, ib.to_numpy())
+        prod = np.floor(M[xa] * M[xb] * m30).astype(np.int64).sum(axis=1)
+        dot = prod.astype(np.float64) / m30
+        denom = norms[xa] * norms[xb]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / denom
+        return pd.Series(np.where(denom == 0.0, np.nan, cos))
+
+    return pairs.withColumn(
+        "cosine",
+        cos_udf.asNondeterministic()(F.col(a_col), F.col(b_col)),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def _matrix_pairwise_cosine(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
@@ -1103,33 +1191,12 @@ def _matrix_pairwise_cosine(
     ~50× faster than per-pair interpreted HOF evaluation; valid while the
     matrix fits in executor memory (n·dim·8 bytes — 200k×1k ≈ 1.6 GB).
     """
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    M = np.array([list(rows[i][1]) for i in order], dtype=np.float64)
-    m30 = float(2**30)
-    fp_self = np.floor(M * M * m30).astype(np.int64).sum(axis=1)
-    norms = np.sqrt(fp_self.astype(np.float64) / m30)
-
-    spark = df.sparkSession
     a = df.select(F.col(id_col).alias("id_a"))
     b = df.select(F.col(id_col).alias("id_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-
-    @pandas_udf("double")
-    def cos_udf(ia: pd.Series, ib: pd.Series) -> pd.Series:
-        xa = np.searchsorted(ids, ia.to_numpy())
-        xb = np.searchsorted(ids, ib.to_numpy())
-        prod = np.floor(M[xa] * M[xb] * m30).astype(np.int64).sum(axis=1)
-        dot = prod.astype(np.float64) / m30
-        return pd.Series(dot / (norms[xa] * norms[xb]))
-
-    return (
-        pairs.withColumn("cosine", cos_udf(F.col("id_a"), F.col("id_b")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return _matrix_cosine_attach(
+        pairs, df, id_col, vec_col, threshold
+    ).select("id_a", "id_b", "cosine")
 
 
 def derive_n_planes(
@@ -1266,6 +1333,7 @@ def embedding_near_dup(
                     F.lit(0.0).alias("cosine"),
                 ).limit(0)
             dim = len(probe[0])
+        n_rows = None
         if n_planes is None:
             n_rows = df.count()
             n_planes = derive_n_planes(n_rows)
@@ -1282,6 +1350,21 @@ def embedding_near_dup(
                 "embedding_near_dup: %d realized candidate pairs "
                 "(k=%d, L=%d)", cand.count(), n_planes, n_tables,
             )
+        # Re-rank plan choice (guide §8): the candidate pairs only need
+        # vectors ATTACHED for scoring — joining them back ships two
+        # dim-sized arrays per candidate through the plan (at sf0.1:
+        # ~600k candidates × 2×64 doubles ≈ 600 MB vs 10 MB of bare id
+        # pairs).  When the corpus fits the documented matrix bound the
+        # broadcast-matrix gather scores bare id pairs instead (bit-
+        # identical arithmetic); past the bound — the 100 TB shape — the
+        # join-attach plan below remains the scalable path.
+        if _is_integral_id(df, id_col):
+            if n_rows is None:
+                n_rows = df.count()
+            if n_rows <= max_matrix_rows:
+                return _matrix_cosine_attach(
+                    cand, df, id_col, vec_col, threshold
+                ).select("id_a", "id_b", "cosine")
         pairs = cand.join(
             norms.select(
                 F.col("id").alias("id_a"), F.col("v").alias("v_a"),
@@ -1297,7 +1380,7 @@ def embedding_near_dup(
         )
     out = pairs.withColumn(
         "cosine",
-        _fp_cosine_udf(
+        _fp_cosine_nd(
             F.col("v_a"), F.col("v_b"), F.col("norm_a"), F.col("norm_b")
         ),
     ).filter(F.col("cosine") >= threshold)
@@ -1313,6 +1396,7 @@ def semantic_dedup(
     n_iter: int = 3,
     fp_bits: int | None = None,
     target_cluster_rows: int = 512,
+    max_matrix_rows: int = 200_000,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
     embedding corpus, then drop every document that has a smaller-id
@@ -1346,6 +1430,7 @@ def semantic_dedup(
     check_col([id_col, vec_col], df)
     fp = FP_BITS_DEFAULT if fp_bits is None else fp_bits
     df = df.filter(F.col(vec_col).isNotNull())
+    n_rows = None
     if k is None:
         n_rows = df.count()
         k = max(4, min(65_536, -(-n_rows // target_cluster_rows)))
@@ -1355,32 +1440,51 @@ def semantic_dedup(
         )
     centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iter=n_iter, fp_bits=fp)
     assigned = kmeans_assign(df, centroids, vec_col, fp_bits=fp)
-    base = assigned.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.col("cluster"),
-        F.sqrt(fp_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
-    )
-    a = base.select(
-        "cluster", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = base.select(
-        "cluster", F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            _fp_cosine_udf(
-                F.col("v_a"), F.col("v_b"), F.col("norm_a"), F.col("norm_b")
-            ),
+    int_id = _is_integral_id(df, id_col)
+    if int_id and n_rows is None:
+        n_rows = df.count()
+    use_matrix = int_id and n_rows is not None and n_rows <= max_matrix_rows
+    if use_matrix:
+        # guide §8: the within-cluster pair join only needs ids — gather
+        # vectors from the broadcast matrix at scoring time instead of
+        # shipping two dim-sized arrays per candidate pair (bit-identical
+        # fixed-point arithmetic; see _matrix_cosine_attach).  Past the
+        # matrix bound the join-attach plan below stays the 100 TB path.
+        ids_only = assigned.select("cluster", F.col(id_col).alias("id"))
+        a = ids_only.select("cluster", F.col("id").alias("id_a"))
+        b = ids_only.select("cluster", F.col("id").alias("id_b"))
+        cand = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+        pairs = _matrix_cosine_attach(
+            cand, df, id_col, vec_col, threshold
+        ).select("cluster", "id_a", "id_b", "cosine")
+    else:
+        base = assigned.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col("cluster"),
+            F.sqrt(fp_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("cluster", "id_a", "id_b", "cosine")
-    )
+        a = base.select(
+            "cluster", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("norm").alias("norm_a"),
+        )
+        b = base.select(
+            "cluster", F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("norm").alias("norm_b"),
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                _fp_cosine_nd(
+                    F.col("v_a"), F.col("v_b"),
+                    F.col("norm_a"), F.col("norm_b"),
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("cluster", "id_a", "id_b", "cosine")
+        )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = assigned.join(dropped, id_col, "left_anti")
     return survivors, pairs

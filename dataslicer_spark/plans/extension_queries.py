@@ -7381,7 +7381,12 @@ def samp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import leakage_safe_split
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.05)
+    # cached: the pair table feeds TWO separate evaluations — the
+    # connected-components labeling inside leakage_safe_split (whose
+    # localCheckpoint action populates this cache) and the leak counter
+    # below — uncached, the whole t=0.05 inverted-index mining ran twice
+    # per invocation (r11 bench: 10.1 s -> 5.0 s quiet)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.05).cache()
     split = leakage_safe_split(
         docs, "doc_id", pairs, weights=(0.8, 0.1, 0.1), salt="ls"
     ).select("doc_id", "split")
