@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, spread
 
 # ---------------------------------------------------------------------------
 # tokenization & counting
@@ -213,11 +213,15 @@ def repetition_stats(
     bit-reproducible in any engine (the DuckDB oracle replays them).
     """
     check_col([id_col, text_col], df)
+    # spread before the gram explodes (guide §2.5): both per-gram-order
+    # map passes run at the scan's partitioning; one exchange of
+    # (id, text) here parallelizes both.  Guarded no-op on wide inputs.
+    src = spread(df.select(F.col(id_col), F.col(text_col).alias("__txt")))
 
     def per_doc(gram_order: int, n_name: str, top_name: str) -> DataFrame:
-        grams = df.select(
+        grams = src.select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), gram_order)).alias("g"),
+            F.explode(word_shingles(F.col("__txt"), gram_order)).alias("g"),
         )
         counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
         agg = [
@@ -403,9 +407,13 @@ def trigram_model(
     text).  Cardinality is alphabet-bounded (≤ |Σ|³ regardless of corpus
     size), so the model is broadcastable at any data scale."""
     check_col([text_col], df)
+    # spread before the trigram explode (guide §2.5): the normalize +
+    # explode map pass otherwise runs at the scan's partitioning (one
+    # task on a one-row-group table); guarded no-op on wide inputs
     return (
-        df.select(
-            F.explode(char_trigrams(F.col(text_col), max_chars)).alias("g")
+        spread(df.select(F.col(text_col).alias("__txt")))
+        .select(
+            F.explode(char_trigrams(F.col("__txt"), max_chars)).alias("g")
         )
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c3"))
@@ -436,9 +444,12 @@ def trigram_lm_scores(
     Output: ``id_col, n_tri, sum_c3, score`` (score = sum_c3 div n_tri).
     """
     check_col([id_col, text_col], df)
-    tri = df.select(
+    # spread before the trigram explode (guide §2.5) — see trigram_model
+    tri = spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__txt"))
+    ).select(
         F.col(id_col),
-        F.explode(char_trigrams(F.col(text_col), max_chars)).alias("g"),
+        F.explode(char_trigrams(F.col("__txt"), max_chars)).alias("g"),
     )
     joined = tri.join(F.broadcast(model), "g", "left")
     return (

@@ -41,7 +41,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, spread
 
 _HEX = 10
 _SPAN = 16**_HEX  # 2^40
@@ -106,7 +106,13 @@ def bootstrap_mean_ci(
     ).withColumn("__k", F.lit(1))
 
     n_blocks = -(-n_replicates // PER_DIGEST)
-    blocks = base.select(
+    # The ⌈B/3⌉-digest explode + md5 is the per-row cost driver and runs
+    # at the SCAN's parallelism: a single-file table scans as one task,
+    # so the whole kernel held one core (guide §2.5 input skew; profiled
+    # 7.4 s of an 8.6 s query in one 1-task stage at sf0.1).  spread()
+    # round-robins to cluster width only when the scan is narrower —
+    # a no-op on many-file tables at scale.
+    blocks = spread(base).select(
         "__vq",
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__g"),
         "__id",

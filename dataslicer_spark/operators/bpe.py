@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import check_col, materialize
+from ..utils import check_col, materialize, spread
 
 #: SentencePiece-style space marker — input spaces become real tokens.
 SPACE_MARK = "▁"
@@ -98,8 +98,14 @@ def bpe_fit(
     an n_merges-deep expression tree — a codegen/analyzer killer at a
     32k-merge production vocabulary)."""
     check_col(text_col, df)
+    # spread before the prepare pass (guide §2.5): every merge round's
+    # pair-explode + count runs at the materialized corpus's
+    # partitioning, which is the SCAN's — one task on a one-row-group
+    # table, so the whole fit loop ran serially (profiled 1.0-1.6 s
+    # single-task jobs per round at sf0.1); a one-time round-robin at
+    # the head parallelizes all rounds.  Guarded no-op on wide scans.
     corpus = materialize(
-        df.filter(F.col(text_col).isNotNull()).select(
+        spread(df.filter(F.col(text_col).isNotNull())).select(
             bpe_prepare(F.col(text_col), max_chars).alias("__s")
         )
     )

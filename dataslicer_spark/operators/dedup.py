@@ -34,7 +34,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..functions.text import normalized_fingerprint, tokens_ws, word_shingles
-from ..utils import check_col, materialize
+from ..utils import check_col, materialize, spread
 
 _LOG = logging.getLogger(__name__)
 
@@ -121,9 +121,13 @@ def ngram_jaccard_pairs(
         # (prefix ≈ half the doc → candidate verify dominates); 0.7 is
         # where the prefix drops below ~1/3 of each doc
         use_prefix = threshold >= 0.7
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"),
+    # spread before the shingle explode (guide §2.5) — see containment
+    # twin below; no-op on already-wide scans
+    sh = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    ).select(
+        "id",
+        F.explode(F.array_distinct(word_shingles(F.col("__txt"), n))).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if not use_prefix:
@@ -318,10 +322,16 @@ def containment_pairs(
     check_col([id_col, text_col], df)
     if use_prefix is None:
         use_prefix = False
-    sh = df.select(
-        F.col(id_col).alias("id"),
+    # spread before the shingle explode (guide §2.5): the lowercase/
+    # split/distinct/explode map work otherwise runs at the scan's
+    # partitioning — one task on a one-row-group table — feeding every
+    # downstream shuffle single-threaded
+    sh = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    ).select(
+        "id",
         F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), n))
+            F.array_distinct(word_shingles(F.col("__txt"), n))
         ).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -487,7 +497,18 @@ def minhash_signatures(
     check_col([id_col, text_col], df)
     if pack_bits is not None and pack_bits not in (1, 2, 4, 8, 16, 32):
         raise ValueError(f"pack_bits must divide 64, got {pack_bits}")
-    base = F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+    # Spread BEFORE the shingle transform and the Arrow kernel: the
+    # kernel runs at the input's partitioning, and a single-row-group
+    # table scans as ONE task, so the whole per-doc signature pass held
+    # one core of 32 (guide §2.5 input skew; the dd_index ingestion
+    # profile showed a 67.8 s one-task stage at sf0.1).  spread() is a
+    # guarded no-op on already-wide inputs — the 100 TB plan shape is
+    # unchanged.  Project to (id, text) first so the exchange carries
+    # only what the kernel needs (guide §2.3).
+    src = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    )
+    base = F.transform(word_shingles(F.col("__txt"), n), lambda s: F.xxhash64(s))
 
     p = np.uint64((1 << 61) - 1)  # Mersenne prime
     rng = np.random.default_rng(1234)
@@ -556,7 +577,7 @@ def minhash_signatures(
     # expression: sig_udf(...)" at runtime.  For non-empty input the
     # kernel never returns null, so the pre-filter is equivalent.
     return (
-        df.select(F.col(id_col).alias("id"), base.alias("__sh"))
+        src.select("id", base.alias("__sh"))
         .filter(F.size("__sh") > 0)
         .select("id", sig_udf(F.col("__sh")).alias("signature"))
     )
@@ -648,9 +669,14 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     if verify == "exact":
-        sh = df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+        # spread the verify-side scan too (guide §2.5): the shingle
+        # derivation feeding the candidate joins otherwise runs at scan
+        # width (see the dd_weighted_minhash r11 profile)
+        sh = spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__vt"))
+        ).select(
+            "id",
+            F.array_distinct(word_shingles(F.col("__vt"), n)).alias("sh"),
         ).filter(F.size("sh") > 0)
         out = (
             cand.join(
@@ -865,9 +891,13 @@ def bbit_minhash_lsh_pairs(
     if not verify:
         return cand
     if verify == "exact":
-        sh = df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+        # spread the verify-side scan too (guide §2.5) — see the
+        # full-width twin above
+        sh = spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__vt"))
+        ).select(
+            "id",
+            F.array_distinct(word_shingles(F.col("__vt"), n)).alias("sh"),
         ).filter(F.size("sh") > 0)
         out = (
             cand.join(
@@ -993,10 +1023,17 @@ def simhash_pairs(
     ``simhash64``).
     """
     check_col([id_col, text_col], df)
+    # spread BELOW the kernel column (guide §2.5): the simhash UDF (and
+    # its md5-mode shingle hashing) runs at the input's partitioning —
+    # on a one-row-group scan that was a 17 s two-task stage at sf0.1
+    # (dd_simhash profile); a post-UDF exchange would not help
+    src = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    )
     return hamming_pairs(
-        df.select(
-            F.col(id_col).alias("id"),
-            simhash64(F.col(text_col), n, hash_mode=hash_mode).alias("sh"),
+        src.select(
+            "id",
+            simhash64(F.col("__txt"), n, hash_mode=hash_mode).alias("sh"),
         ),
         "id",
         "sh",
@@ -1307,11 +1344,15 @@ def embedding_near_dup(
     df = df.filter(F.col(vec_col).isNotNull())
     if exact and df.count() <= max_matrix_rows:
         return _matrix_pairwise_cosine(df, id_col, vec_col, threshold)
-    norms = df.select(
+    # spread below the per-row work (guide §2.5): the LSH bucket
+    # expression evaluates n_planes x n_tables fixed-point dots per row
+    # (CodegenFallback HOFs) at the scan's partitioning — one task on a
+    # one-row-group table; guarded no-op on wide inputs
+    norms = spread(df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(fp_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
-    )
+    ))
     if exact:
         a = norms.select(
             F.col("id").alias("id_a"), F.col("v").alias("v_a"),
@@ -1579,9 +1620,13 @@ def winnowing_fingerprints(
     check_col([id_col, text_col], df)
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "s"),
+    # spread before the gram explode + per-gram md5 (guide §2.5);
+    # guarded no-op on wide inputs
+    grams = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    ).select(
+        "id",
+        F.posexplode(word_shingles(F.col("__txt"), k)).alias("pos", "s"),
     ).select(
         "id",
         "pos",

@@ -37,7 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..utils import check_col, materialize
+from ..utils import check_col, materialize, spread
 from .dedup import (
     band_buckets,
     bbit_band_buckets,
@@ -94,13 +94,20 @@ def build_minhash_index(
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_perm, pack_bits=bits or None
     )
-    sigs.write.mode("overwrite").parquet(os.path.join(path, _SIGS))
+    # REBALANCE before the write (guide §6): the signature kernel runs
+    # wide (utils.spread), so an unhinted write emits one tiny file per
+    # kernel task; AQE coalesces to advisory-sized output files instead
+    sigs.hint("rebalance").write.mode("overwrite").parquet(
+        os.path.join(path, _SIGS)
+    )
     _index_band_keys(
         df.sparkSession.read.parquet(os.path.join(path, _SIGS)),
         num_perm,
         bands,
         bits,
-    ).write.mode("overwrite").parquet(os.path.join(path, _BANDS))
+    ).hint("rebalance").write.mode("overwrite").parquet(
+        os.path.join(path, _BANDS)
+    )
     df.sparkSession.createDataFrame(
         [(n, num_perm, bands, bits)],
         "n int, num_perm int, bands int, bits int",
@@ -203,9 +210,20 @@ def dedup_against_minhash_index(
     stored_sigs = spark.read.parquet(os.path.join(path, _SIGS))
     if exact_verify_with is not None:
         check_col([id_col, text_col], exact_verify_with)
-        sh_new = new_df.select(
-            F.col(id_col).alias("new_id"),
-            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh_n"),
+        # spread below the shingle derivation (guide §2.5): both the
+        # batch side and the fetched-corpus side otherwise explode
+        # shingles at scan width (one task on a one-row-group table);
+        # spread() is a guarded no-op on wide inputs.  The corpus side
+        # spreads BEFORE the semi-join so the broadcast join (which
+        # preserves the big side's partitioning) doesn't pin the
+        # shingle work back to scan width.
+        sh_new = spread(
+            new_df.select(
+                F.col(id_col).alias("new_id"), F.col(text_col).alias("__t")
+            )
+        ).select(
+            "new_id",
+            F.array_distinct(word_shingles(F.col("__t"), n)).alias("sh_n"),
         ).filter(F.size("sh_n") > 0)
         # honor the "texts fetched for candidate ids only" contract: the
         # candidate-id set is bounded by the BATCH (≤ |batch|·matches
@@ -223,18 +241,21 @@ def dedup_against_minhash_index(
         # semi-join instead.
         cand_ids = cand.select(F.col("index_id").alias(id_col)).distinct()
         id_list = [r[0] for r in cand_ids.limit(4_001).collect()]
+        src = exact_verify_with.select(
+            F.col(id_col), F.col(text_col).alias("__ct")
+        )
         if len(id_list) <= 4_000:
-            fetched = exact_verify_with.filter(
-                F.col(id_col).isin(id_list)
-            )
+            # In()-literal prune first, spread after: the pruned scan is
+            # candidate-sized, so the exchange is bounded by the batch
+            fetched = spread(src.filter(F.col(id_col).isin(id_list)))
         else:
-            fetched = exact_verify_with.join(
+            fetched = spread(src).join(
                 F.broadcast(cand_ids), id_col, "left_semi"
             )
         sh_idx = (
             fetched.select(
                 F.col(id_col).alias("index_id"),
-                F.array_distinct(word_shingles(F.col(text_col), n)).alias(
+                F.array_distinct(word_shingles(F.col("__ct"), n)).alias(
                     "sh_i"
                 ),
             )
@@ -326,10 +347,14 @@ def dedup_against_minhash_index(
     if append_survivors:
         surv_ids = survivors.select(F.col(id_col).alias("id"))
         surv_sigs = sigs_new.join(F.broadcast(surv_ids), "id", "left_semi")
-        surv_sigs.write.mode("append").parquet(os.path.join(path, _SIGS))
-        _index_band_keys(surv_sigs, num_perm, bands, bits).write.mode(
-            "append"
-        ).parquet(os.path.join(path, _BANDS))
+        # REBALANCE appends too — a daily-batch loop would otherwise
+        # accumulate one tiny file per kernel task per batch
+        surv_sigs.hint("rebalance").write.mode("append").parquet(
+            os.path.join(path, _SIGS)
+        )
+        _index_band_keys(surv_sigs, num_perm, bands, bits).hint(
+            "rebalance"
+        ).write.mode("append").parquet(os.path.join(path, _BANDS))
     if release_cache:
         for frame in (sigs_new, bands_new, cand):
             frame.unpersist()

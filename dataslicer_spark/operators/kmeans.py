@@ -50,7 +50,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, spread
 
 FP_BITS_DEFAULT = 20
 
@@ -126,9 +126,12 @@ def kmeans_fit(
     (mirrored by the oracle's UNION ALL branch)."""
     check_col([id_col, vec_col], df)
     # persist the projected vectors across iterations — n_iter jobs read
-    # this one column instead of re-scanning the source each pass
-    src = df.select(F.col(vec_col).alias("__v")).filter(
-        F.col("__v").isNotNull()
+    # this one column instead of re-scanning the source each pass.
+    # spread first (guide §2.5): the per-iteration Arrow kernel runs at
+    # this frame's partitioning, and a one-row-group scan is one task —
+    # guarded no-op on already-wide inputs
+    src = spread(
+        df.select(F.col(vec_col).alias("__v")).filter(F.col("__v").isNotNull())
     ).persist()
     try:
         return _fit_loop(src, df, id_col, vec_col, k, n_iter, fp_bits)
@@ -230,6 +233,11 @@ def kmeans_assign(
       build path; vectorized numpy runs the identical floor-quantize /
       int64 squared-L2 / first-min math in chunked batches."""
     check_col(vec_col, df)
+    # spread below the assignment work (guide §2.5): both strategies are
+    # map-only and run at the input's partitioning — one task on a
+    # one-row-group scan; guarded no-op when the input is already wide
+    # or shuffle-rooted
+    df = spread(df)
     k, dim = len(centroids), len(centroids[0])
     if k * dim <= 512:
         best = _best_cluster(quantize_expr(vec_col, fp_bits), centroids)

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, spread
 
 FP_BITS_DEFAULT = 30
 
@@ -107,7 +107,10 @@ def embedding_gram(
     regardless of row count.
     """
     check_col([vec_col], df)
-    part = df.select(vec_col).mapInPandas(
+    # spread below the kernel (guide §2.5): the per-partition moment
+    # kernel runs at the input's partitioning; guarded no-op on wide
+    # inputs
+    part = spread(df.select(vec_col)).mapInPandas(
         _gram_kernel(vec_col, dim, fp_bits, with_first_moments=False),
         "i int, j int, s_fp long, n long",
     )
@@ -129,7 +132,10 @@ def pca_fit(
     deterministic sign (largest-|coefficient| entry made positive).
     """
     check_col([vec_col], df)
-    part = df.select(vec_col).mapInPandas(
+    # spread below the kernel (guide §2.5): the per-partition moment
+    # kernel runs at the input's partitioning; guarded no-op on wide
+    # inputs
+    part = spread(df.select(vec_col)).mapInPandas(
         _gram_kernel(vec_col, dim, fp_bits, with_first_moments=True),
         "i int, j int, s_fp long, n long",
     )

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, spread
 from .similarity import _kmeans_numpy
 
 
@@ -122,7 +122,9 @@ def pq_encode(
             )
 
     schema = f"__id long, __code array<int>"
-    out = df.select(id_col, vec_col).mapInPandas(encode, schema)
+    # spread below the kernel (guide §2.5): map-only encode runs at
+    # the input's partitioning; guarded no-op on wide inputs
+    out = spread(df.select(id_col, vec_col)).mapInPandas(encode, schema)
     return out.select(
         F.col("__id").alias(id_col), F.col("__code").alias(out_col)
     )
@@ -241,7 +243,8 @@ def pq_search(
             yield pd.concat(frames, ignore_index=True)
 
     score_cols = [id_col, code_col] + ([list_col] if allowed is not None else [])
-    part = codes.select(*score_cols).mapInPandas(
+    # spread below the kernel (guide §2.5); guarded no-op on wide inputs
+    part = spread(codes.select(*score_cols)).mapInPandas(
         score, f"__qid {qid_type}, __vid {vid_type}, __d2 double"
     )
     if not include_self:

@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, spread
 from .retrieval import score_bm25_cells
 
 _POSTINGS, _DOCLENS, _META = "postings", "doclens", "meta"
@@ -100,7 +100,14 @@ def build_bm25_index(
     distinct-term count; BM25 probes are unaffected either way —
     parquet column pruning skips the array."""
     check_col([id_col, text_col], docs)
-    toks = _tokenize(docs, id_col, text_col, store_positions)
+    # spread the corpus before the token explode (guide §2.5): the
+    # split/explode map pass otherwise runs at the scan's partitioning
+    # (one task on a one-row-group table), feeding the postings shuffle
+    # single-threaded; guarded no-op on many-file corpora
+    toks = _tokenize(
+        spread(docs.select(id_col, text_col)), id_col, text_col,
+        store_positions,
+    )
     postings, _ = _tables(toks, store_positions)
     # term-clustered layout: range partition + in-file sort puts each
     # term's postings in contiguous row groups ⇒ min/max stats prune
@@ -146,7 +153,10 @@ def append_to_bm25_index(
         for r in spark.read.parquet(os.path.join(path, _META)).collect()
     }
     with_pos = meta.get("positions", "0") == "1"
-    toks = _tokenize(new_docs, id_col, text_col, with_pos)
+    # spread before the token explode, like build_bm25_index
+    toks = _tokenize(
+        spread(new_docs.select(id_col, text_col)), id_col, text_col, with_pos
+    )
     postings, doclens = _tables(toks, with_pos)
     # one explode for both tables: cache the batch's postings (batch-
     # sized), append them, fold doclens out of the cached frame

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from ..utils import check_col
+from ..utils import check_col, spread
 from .dedup import fp_dot
 
 
@@ -83,11 +83,14 @@ def cosine_topk(
     """
     check_col([corpus_id, corpus_vec], corpus)
     check_col([query_id, query_vec], queries)
-    c = corpus.select(
+    # spread the corpus side (guide §2.5): the per-pair fixed-point dot
+    # runs at the corpus scan's partitioning — one task on a
+    # one-row-group table; guarded no-op on wide inputs
+    c = spread(corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cv"),
         F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
-    )
+    ))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
@@ -218,7 +221,10 @@ def cosine_topk_batched(
         *[StructField(c, corpus.schema[c].dataType) for c in carry_cols],
     ]
     out_schema = StructType(out_fields)
-    src = corpus.select(corpus_id, corpus_vec, *carry_cols)
+    # spread below the kernel (guide §2.5): the batched top-k kernel
+    # runs at the corpus scan's partitioning — one task on a
+    # one-row-group table; guarded no-op on wide/shuffle-rooted inputs
+    src = spread(corpus.select(corpus_id, corpus_vec, *carry_cols))
     if not qrows:
         return (
             spark.createDataFrame([], out_schema)
@@ -351,7 +357,8 @@ def cosine_threshold_match(
             StructField("cosine", DoubleType()),
         ]
     )
-    src = corpus.select(corpus_id, corpus_vec)
+    # spread below the kernel (guide §2.5) — see cosine_topk_batched
+    src = spread(corpus.select(corpus_id, corpus_vec))
     if not rrows:
         return spark.createDataFrame([], out_schema)
     # sort by ref id so numpy argmax (first max) IS the tiebreak
@@ -442,12 +449,13 @@ def hyperplane_lsh_topk(
 
         n_planes = derive_n_planes(corpus.count())
     dim = len(corpus.select(corpus_vec).first()[0])
+    # spread the corpus side (guide §2.5) — see cosine_topk
     c = add_hyperplane_bucket(
-        corpus.select(
+        spread(corpus.select(
             F.col(corpus_id).alias("vec_id"),
             F.col(corpus_vec).alias("__cv"),
             F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
-        ),
+        )),
         "__cv", n_planes=n_planes, seed=seed, dim=dim,
     )
     q = add_hyperplane_bucket(
@@ -978,12 +986,13 @@ def hard_negative_mining(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.withColumnRenamed(corpus_label, "neg_label")
-    c = corpus.select(
+    # spread the corpus side (guide §2.5) — see cosine_topk
+    c = spread(corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_label).alias("neg_label"),
         F.col(corpus_vec).alias("__cv"),
         F.sqrt(fp_dot(F.col(corpus_vec), F.col(corpus_vec))).alias("__cn"),
-    )
+    ))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_label).alias("__ql"),
@@ -1110,7 +1119,8 @@ def integer_dot_topn(
                 if frames:
                     yield pd.concat(frames, ignore_index=True)
 
-    partials = corpus.select(corpus_id, corpus_vec).mapInPandas(
+    # spread below the kernel (guide §2.5) — see cosine_topk_batched
+    partials = spread(corpus.select(corpus_id, corpus_vec)).mapInPandas(
         kernel, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, spread
 
 __all__ = [
     "duplicated_spans",
@@ -66,8 +66,12 @@ def _window_fps(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
+    # spread before the per-window md5 transform (guide §2.5): one md5
+    # per token position runs at the scan's partitioning — one task on a
+    # one-row-group table; guarded no-op on wide inputs
     return (
-        df.filter(F.trim(F.col(text_col)) != "")
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .filter(F.trim(F.col(text_col)) != "")
         .filter(F.size(toks) >= k)
         .select(F.col(id_col).alias("__id"), F.posexplode(wins))
         .select(

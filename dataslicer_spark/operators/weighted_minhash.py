@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions.text import word_shingles
-from ..utils import check_col
+from ..utils import check_col, spread
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -202,8 +202,14 @@ def weighted_minhash_signatures(
     shingle_hashes = F.transform(
         word_shingles(F.col("__t"), n), lambda s: F.xxhash64(s)
     )
+    # spread below the kernel (guide §2.5): the CWS kernel runs at the
+    # input's partitioning — a one-row-group scan means one core of 32;
+    # guarded no-op on already-wide inputs, so the scale plan shape is
+    # unchanged (callers no longer need a query-level repartition)
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        )
         .select("id", sig_udf(shingle_hashes).alias("signature"))
         .filter(F.col("signature").isNotNull())
     )
@@ -305,7 +311,12 @@ def weighted_minhash_pairs(
         .distinct()
     )
     dmap = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        # spread the verify-side corpus scan too (guide §2.5): the
+        # shingle explode + count otherwise runs at scan width — the
+        # 4.7 s two-task stage in the r11 dd_weighted_minhash profile
+        spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        )
         .join(ids, "id", "left_semi")
         .select("id", F.explode(word_shingles(F.col("__t"), n)).alias("s"))
         .groupBy("id", "s")

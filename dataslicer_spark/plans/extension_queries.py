@@ -576,13 +576,10 @@ def dd_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 700000).alias("doc_id"),
         F.concat_ws(" ", F.concat(toks, F.slice(toks, 1, m))).alias("text"),
     )
-    # single-file demo table → 2 scan partitions; spread the corpus so
-    # the CWS kernel uses the cores (at production scale the input is
-    # many files and this repartition would be the wrong default)
-    corpus = (
-        docs.select("doc_id", "text").unionByName(mutated)
-        .repartition(32, "doc_id")
-    )
+    # single-file demo table → 2 scan partitions; the CWS operator now
+    # spreads its own input (utils.spread, scale-guarded no-op on wide
+    # scans), so the hard-coded query-level repartition(32) is gone
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
     return weighted_minhash_pairs(
         corpus, "doc_id", n=3, num_hashes=64, bands=32, threshold=0.8,
         verify="exact",

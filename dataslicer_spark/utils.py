@@ -348,3 +348,57 @@ def materialize(df: DataFrame) -> DataFrame:
     if has_dir:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition ``df`` to cluster parallelism when its
+    current partitioning would leave most cores idle.
+
+    The CPU-heavy map kernels (MinHash/CWS/SimHash signature UDFs, the
+    bootstrap's per-row md5 replicates, tokenizers) are narrow: their
+    parallelism is whatever the upstream scan produced.  A small table
+    — one parquet row group, one gzip file, a catalog fetch — scans as
+    ONE task, so the whole kernel runs on one core regardless of
+    cluster width (guide §2.5 "input skew": repartition immediately
+    after the read).  Measured at sf0.1: the bootstrap md5 stage alone
+    held one core for >4 minutes of an 8.7 s-floor query.
+
+    Scale guard: when the input already has at least
+    ``defaultParallelism × factor`` partitions — every scan of a
+    large table on a real cluster — this is a NO-OP, so the 100 TB
+    plan shape is unchanged and no payload-shuffle is added at scale.
+    Only apply where per-row compute dominates; the repartition itself
+    costs one exchange of the projected input rows.
+
+    Two placement rules, both load-bearing:
+
+    - **Scan-rooted frames only.**  The partition probe goes through
+      ``df.rdd``, which under AQE *executes* any upstream shuffle
+      stages to finalize the plan (measured: one full job fired just
+      probing a repartitioned frame).  On a narrow scan-rooted plan the
+      probe is pure planning, zero jobs.  A guard below skips frames
+      whose optimized plan contains shuffle-introducing nodes — they
+      already have shuffle-determined (wide) partitioning anyway.
+    - **Below Python UDF columns.**  ``spread(df.select(udf(x)))``
+      exchanges rows AFTER the ArrowEvalPython node — the kernel still
+      runs at scan width.  Spread the input, then attach the kernel
+      column.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(
+            k in plan
+            for k in (
+                "Repartition", "Join", "Aggregate", "Sort",
+                "Window", "Distinct", "Deduplicate",
+            )
+        ):
+            return df
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - Connect / planning quirks
+        return df
+    if nparts < target:
+        return df.repartition(target)
+    return df

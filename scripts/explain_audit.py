@@ -109,10 +109,12 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
     ("samp_weighted", "weighted sample is one per-group window over the "
      "A-ES key — no join, no Python",
      ["Window", "row_number"], ["Join", "Python", "CartesianProduct"]),
-    ("emb_kmeans", "final k-means assignment is map-only: centroids are "
-     "inlined literals after the fit's bounded k×d collects — no join, "
-     "no shuffle in the returned plan",
-     [], ["Join", "Exchange", "CartesianProduct"]),
+    ("emb_kmeans", "final k-means assignment is per-row: centroids are "
+     "inlined literals after the fit's bounded k×d collects — no join; "
+     "the only exchange allowed is the guarded utils.spread round-robin "
+     "that widens a narrow scan below the assignment work (r11)",
+     [], ["Join", "hashpartitioning", "rangepartitioning",
+          "CartesianProduct"]),
     ("emb_semantic_dedup", "SemDeDup pairs form only inside a cluster "
      "(equi-join on cluster id) — no cartesian, Arrow-batched cosine",
      ["ArrowEvalPython"], ["CartesianProduct", "NestedLoop"]),

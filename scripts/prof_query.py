@@ -41,6 +41,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -56,8 +58,23 @@ def main() -> None:
     app_id = sc.applicationId
     spark.stop()
 
-    # parse the event log
-    path = os.path.join(log_dir, app_id)
+    # parse the event log (Spark may write compressed / suffixed names)
+    import glob
+
+    cands = glob.glob(os.path.join(log_dir, app_id + "*")) or glob.glob(
+        os.path.join(log_dir, "*")
+    )
+    if not cands:
+        raise FileNotFoundError(f"no event log under {log_dir}")
+    path = cands[0]
+    if os.path.isdir(path):  # Spark 4 rolling event log directory
+        parts = sorted(glob.glob(os.path.join(path, "events*")))
+        merged = os.path.join(log_dir, "merged_events.jsonl")
+        with open(merged, "w") as out:
+            for p in parts:
+                with open(p) as f:
+                    out.write(f.read())
+        path = merged
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     with open(path) as f:
