@@ -43,11 +43,14 @@ timeout with ZERO parseable output because everything was emitted only
 at process end):
 
 * **Total wall-clock budget** (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default
-  1500): past 60% of budget canary re-runs are disabled (normalization
-  still applies); past 85% children run ONE rep per query (fast mode);
-  at 100% remaining families are skipped and listed in
+  1500): past 50% of budget canary re-runs are disabled (normalization
+  still applies); rep caps degrade 8 → 3 → 2 → 1 as the budget drains
+  (``_rep_cap``; per-family caps recorded in ``rep_cap_by_family``);
+  only at 100% are remaining families skipped and listed in
   ``budget_skipped`` — a degraded-but-complete artifact beats a perfect
-  artifact that never lands.
+  artifact that never lands, and COMPLETE coverage at 1 rep beats
+  perfect floors for part of the registry (the first r11 run skipped
+  130 queries under the old adaptive-until-85% ladder).
 * **Incremental durability**: after EVERY family the full artifact set
   (BENCH_LOCAL.json + BENCH_diff.md) is rewritten and a partial
   headline JSON line (``"partial": true``) is printed — the driver's
@@ -113,12 +116,32 @@ RERUN_MIN_QUERY_SEC = 2.0
 
 # total wall-clock budget for the whole benchmark (seconds).  The r10
 # driver run died at the harness's outer timeout with no output at all;
-# the budget keeps us comfortably inside it by degrading gracefully:
-# >60% elapsed → no canary re-runs; >85% → children run 1 rep/query;
-# 100% → remaining families skipped (recorded in budget_skipped).
+# the budget keeps us comfortably inside it by degrading gracefully —
+# see _rep_cap(): full adaptive reps early, then rep caps 3 → 2 → 1 as
+# the budget drains, canary re-runs only in the first half, and family
+# skipping (budget_skipped) only as the last resort at 100%.  The first
+# r11 measurement run proved the old ladder (adaptive until 85%, skip
+# at 100%) wrong: 7 adaptive-rep families consumed the whole budget and
+# 130 queries were SKIPPED — complete coverage at 1 rep beats perfect
+# floors for a third of the registry.
 BENCH_BUDGET_SEC = float(
     os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500")
 )
+
+
+def _rep_cap(frac_elapsed: float) -> int | None:
+    """Per-query rep cap for a family starting at ``frac_elapsed`` of the
+    wall-clock budget.  None = full adaptive plateau reps (cap 8); the
+    caps trade floor quality for guaranteed coverage as budget drains.
+    first_rep_sec / fast_mode in the artifact make the degradation
+    self-describing."""
+    if frac_elapsed <= 0.40:
+        return None
+    if frac_elapsed <= 0.65:
+        return 3
+    if frac_elapsed <= 0.85:
+        return 2
+    return 1
 # diff noise floor: a flagged ratio must also move by at least this many
 # absolute seconds — 0.2→0.4 s JIT jitter is not a regression signal
 DIFF_MIN_ABS_DELTA_SEC = 0.5
@@ -347,6 +370,7 @@ class _RunState:
         self.canary_unresolved: list[str] = []
         self.families: dict[str, list[str]] = {}
         self.budget_skipped: list[str] = []
+        self.rep_caps: dict[str, int | None] = {}
         self.fast_mode = False
         self.families_done = 0
         self.families_total = 0
@@ -413,6 +437,10 @@ class _RunState:
             # families never run because the wall-clock budget ran out
             "budget_skipped": sorted(self.budget_skipped),
             "budget_sec": BENCH_BUDGET_SEC,
+            # per-family rep cap the budget ladder imposed (None = full
+            # adaptive plateau) — a capped family's floor carries more
+            # JIT than an uncapped one; compare like with like
+            "rep_cap_by_family": self.rep_caps,
         }
         tmp = os.path.join(_OUT_DIR, "BENCH_LOCAL.json.tmp")
         with open(tmp, "w") as f:
@@ -561,11 +589,13 @@ class _RunState:
         }), flush=True)
 
 
-def _run_family(family: list[str], timeout_sec: float, fast: bool) -> dict:
+def _run_family(
+    family: list[str], timeout_sec: float, rep_cap: int | None
+) -> dict:
     """One child-JVM run of a family; always returns a child dict."""
     env = os.environ.copy()
-    if fast:
-        env["SPARK_GRAFT_BENCH_MAX_REPS"] = "1"
+    if rep_cap is not None:
+        env["SPARK_GRAFT_BENCH_MAX_REPS"] = str(rep_cap)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--family"]
@@ -648,9 +678,10 @@ def main(only: list[str] | None = None) -> None:
                 file=sys.stderr,
             )
             break
-        allow_rerun = elapsed <= 0.60 * BENCH_BUDGET_SEC
-        fast = elapsed > 0.85 * BENCH_BUDGET_SEC
-        state.fast_mode = state.fast_mode or fast
+        frac = elapsed / BENCH_BUDGET_SEC
+        allow_rerun = frac <= 0.50
+        rep_cap = _rep_cap(frac)
+        state.fast_mode = state.fast_mode or rep_cap == 1
         # one wedged JVM must not stall the whole benchmark, and no
         # family may be given more time than the budget has left
         # (plus a grace margin so a near-deadline family can finish)
@@ -664,8 +695,9 @@ def main(only: list[str] | None = None) -> None:
         merged: dict = {"timings": {}, "runs": {}, "contended": set()}
         best_canary: float | None = None
         attempts = 0
+        state.rep_caps[fam_key] = rep_cap
         while True:
-            got = _run_family(family, fam_timeout, fast)
+            got = _run_family(family, fam_timeout, rep_cap)
             attempts += 1
             # merge attempts: per-query best (lowest positive) timing —
             # every attempt's timing is a valid upper bound of the

@@ -213,3 +213,18 @@ def test_bench_sigterm_flushes_parseable_partial(tmp_path):
     assert last["n_queries"] >= 1
     doc = json.loads((tmp_path / "BENCH_LOCAL.json").read_text())
     assert doc["partial"] is True and len(doc["queries"]) >= 1
+
+
+def test_rep_cap_ladder_covers_before_it_skips():
+    """The budget ladder must degrade rep quality BEFORE it skips
+    queries: full adaptive reps only while the budget is healthy, then
+    caps 3 -> 2 -> 1 (the first r11 measurement run burned the whole
+    budget on 7 adaptive-rep families and skipped 130 queries)."""
+    assert bench._rep_cap(0.0) is None
+    assert bench._rep_cap(0.40) is None
+    assert bench._rep_cap(0.41) == 3
+    assert bench._rep_cap(0.65) == 3
+    assert bench._rep_cap(0.66) == 2
+    assert bench._rep_cap(0.85) == 2
+    assert bench._rep_cap(0.86) == 1
+    assert bench._rep_cap(1.5) == 1  # past-budget families (grace) still run
