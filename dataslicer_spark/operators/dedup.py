@@ -504,9 +504,15 @@ def minhash_signatures(
     # profile showed a 67.8 s one-task stage at sf0.1).  spread() is a
     # guarded no-op on already-wide inputs — the 100 TB plan shape is
     # unchanged.  Project to (id, text) first so the exchange carries
-    # only what the kernel needs (guide §2.3).
+    # only what the kernel needs (guide §2.3).  barrier: the null-skip
+    # pre-filter below evaluates the JVM shingle tree, and Catalyst
+    # pushes deterministic filters through a round-robin Exchange — the
+    # 1.9 s narrow stage in the r11 dd_minhash_lsh profile; the
+    # checkpointed RDD root pins every downstream expression above the
+    # shuffle (and never fires on already-wide cluster scans).
     src = spread(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")),
+        barrier=True,
     )
     base = F.transform(word_shingles(F.col("__txt"), n), lambda s: F.xxhash64(s))
 
@@ -671,13 +677,23 @@ def minhash_lsh_pairs(
     if verify == "exact":
         # spread the verify-side scan too (guide §2.5): the shingle
         # derivation feeding the candidate joins otherwise runs at scan
-        # width (see the dd_weighted_minhash r11 profile)
-        sh = spread(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__vt"))
-        ).select(
-            "id",
-            F.array_distinct(word_shingles(F.col("__vt"), n)).alias("sh"),
-        ).filter(F.size("sh") > 0)
+        # width (see the dd_weighted_minhash r11 profile).  MATERIALIZE
+        # it: the frame feeds BOTH candidate joins, and each join side
+        # plans as its own broadcast/shuffle subtree, so an
+        # unmaterialized sh re-derives every doc's shingle set once per
+        # side (r11 dd_minhash_bbit profile: two ~3 s narrow subtree
+        # jobs for one logical derivation)
+        sh = materialize(
+            spread(
+                df.select(
+                    F.col(id_col).alias("id"), F.col(text_col).alias("__vt")
+                ),
+                barrier=True,
+            ).select(
+                "id",
+                F.array_distinct(word_shingles(F.col("__vt"), n)).alias("sh"),
+            ).filter(F.size("sh") > 0)
+        )
         out = (
             cand.join(
                 sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
@@ -891,14 +907,20 @@ def bbit_minhash_lsh_pairs(
     if not verify:
         return cand
     if verify == "exact":
-        # spread the verify-side scan too (guide §2.5) — see the
-        # full-width twin above
-        sh = spread(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__vt"))
-        ).select(
-            "id",
-            F.array_distinct(word_shingles(F.col("__vt"), n)).alias("sh"),
-        ).filter(F.size("sh") > 0)
+        # spread the verify-side scan too (guide §2.5), and MATERIALIZE:
+        # sh feeds both candidate joins — see the full-width twin above
+        # (r11 profile: two ~3 s narrow subtree jobs without it)
+        sh = materialize(
+            spread(
+                df.select(
+                    F.col(id_col).alias("id"), F.col(text_col).alias("__vt")
+                ),
+                barrier=True,
+            ).select(
+                "id",
+                F.array_distinct(word_shingles(F.col("__vt"), n)).alias("sh"),
+            ).filter(F.size("sh") > 0)
+        )
         out = (
             cand.join(
                 sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),

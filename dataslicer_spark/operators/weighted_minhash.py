@@ -205,13 +205,26 @@ def weighted_minhash_signatures(
     # spread below the kernel (guide §2.5): the CWS kernel runs at the
     # input's partitioning — a one-row-group scan means one core of 32;
     # guarded no-op on already-wide inputs, so the scale plan shape is
-    # unchanged (callers no longer need a query-level repartition)
+    # unchanged (callers no longer need a query-level repartition).
+    #
+    # Null-skip BEFORE the kernel on the JVM-evaluable shingle array,
+    # never after on the UDF output: Catalyst pushes a post-UDF
+    # isNotNull below the round-robin exchange, duplicating the whole
+    # kernel at scan width (guide §4.4 — measured r11: a second
+    # ArrowEvalPython under the Exchange cost a 9.7 s two-task stage
+    # whose output was immediately discarded).  For non-empty shingles
+    # the kernel never returns null, so the pre-filter is equivalent
+    # (same idiom as dedup.minhash_signatures).
+    # barrier: the pre-filter's JVM shingle tree would otherwise be
+    # pushed below the round-robin Exchange and evaluate at scan width
+    # (see utils.spread)
     return (
         spread(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+            barrier=True,
         )
+        .filter(F.size(word_shingles(F.col("__t"), n)) > 0)
         .select("id", sig_udf(shingle_hashes).alias("signature"))
-        .filter(F.col("signature").isNotNull())
     )
 
 
@@ -275,8 +288,14 @@ def weighted_minhash_pairs(
     if verify == "exact":
         # the exact branch consumes cand TWICE (pair relation + the
         # candidate-id semi-join feeding the doc maps) — materialize the
-        # pair-sized frame so banding doesn't run twice
-        cand = materialize(cand)
+        # pair-sized frame so banding doesn't run twice.  Then spread:
+        # the banding join's output is byte-tiny, so AQE coalesces it to
+        # ONE partition, and the checkpointed width is inherited by the
+        # final map_zip_with verify stage (r11 profile: a 2.2 s one-task
+        # save stage).  After materialize the plan is scan-rooted, so
+        # the guarded spread applies — and no-ops at scale where the
+        # pair table is already wide.
+        cand = spread(materialize(cand))
     if verify is True:
         sa = sigs.select(F.col("id").alias("id_a"),
                          F.col("signature").alias("sig_a"))
@@ -310,7 +329,10 @@ def weighted_minhash_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    dmap = (
+    # MATERIALIZED: dmap feeds the m_a AND m_b joins; each join side
+    # otherwise re-plans the whole explode → two-groupBy derivation
+    # (the after-plan carried the map_from_entries subtree twice)
+    dmap = materialize(
         # spread the verify-side corpus scan too (guide §2.5): the
         # shingle explode + count otherwise runs at scan width — the
         # 4.7 s two-task stage in the r11 dd_weighted_minhash profile

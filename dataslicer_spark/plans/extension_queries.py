@@ -2178,7 +2178,11 @@ def sk_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~14× the sketch cost at sf0.1).  Estimates are engine-specific →
     rows-only driver check; the value-hash oracle rides on
     sk_hll_certify, and pytest pins the error bounds."""
-    li = _t(spark, sf_dir, "lineitem")
+    from ..utils import spread
+
+    # guide §2.5: the single-row-group demo scan serializes the sketch
+    # partials on 1-3 cores; guarded no-op on wide cluster scans
+    li = spread(_t(spark, sf_dir, "lineitem"))
     # Quartiles come back as ONE array-typed aggregate (single GK sketch
     # per group) but are emitted as three scalar columns: the driver's
     # canonicalizer sorts cell values, and top-level array cells are
@@ -2221,7 +2225,16 @@ def sk_hll_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
     modular helpers separately cost two extra full scans + two joins —
     at 100 TB that is 300 TB read instead of 100).  The two
     COUNT(DISTINCT)s plan as one Expand, still one pass over the data."""
-    li = _t(spark, sf_dir, "lineitem")
+    from ..utils import spread
+
+    # guide §2.5: the exact-twin aggregates (countDistinct Expand +
+    # exact percentiles) ran in a 5.9 s THREE-task partial stage on the
+    # single-row-group demo scan; spread widens the partials to cluster
+    # width (no-op on wide scans; every aggregate here is partition-
+    # independent: exact counts/percentiles, order-insensitive HLL
+    # registers, and percentile_approx feeds only its guaranteed-bound
+    # booleans)
+    li = spread(_t(spark, sf_dir, "lineitem"))
     eps = 2.0 / 10_000
     probes = [p + s * eps for p in (0.25, 0.50, 0.75) for s in (-1, 1)]
     out = li.groupBy("l_returnflag").agg(

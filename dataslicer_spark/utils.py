@@ -350,7 +350,7 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+def spread(df: DataFrame, factor: int = 1, barrier: bool = False) -> DataFrame:
     """Round-robin repartition ``df`` to cluster parallelism when its
     current partitioning would leave most cores idle.
 
@@ -383,6 +383,18 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
       exchanges rows AFTER the ArrowEvalPython node — the kernel still
       runs at scan width.  Spread the input, then attach the kernel
       column.
+
+    ``barrier=True`` additionally materializes the repartitioned frame
+    (checkpoint → RDD-scan plan root).  Needed when the downstream
+    per-row compute is JVM *expressions* (shingle trees, token HOFs)
+    rather than a Python UDF: Catalyst pushes deterministic Projects
+    and Filters straight through a round-robin Exchange, so without the
+    barrier the expensive expression still evaluates at scan width
+    below the shuffle (measured r11: the minhash exact-verify shingle
+    filter ran as a 1.85 s two-task stage under the Exchange, then the
+    Project above it re-evaluated the same tree).  The checkpoint only
+    fires when a repartition actually happened, so at cluster scale —
+    wide scans — ``barrier`` never adds a job.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
@@ -400,5 +412,6 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     except Exception:  # pragma: no cover - Connect / planning quirks
         return df
     if nparts < target:
-        return df.repartition(target)
+        out = df.repartition(target)
+        return materialize(out) if barrier else out
     return df

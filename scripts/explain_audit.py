@@ -247,8 +247,10 @@ CHECKS: list[tuple[str, str, list[str], list[str]]] = [
      ["CartesianProduct", "NestedLoop"]),
     ("dd_weighted_minhash", "CWS weighted near-dup: band-bucket "
      "equi-join + map_zip_with pair-local verify over candidate doc "
-     "maps — no cartesian, no nested loop",
-     ["HashAggregate"],
+     "maps — no cartesian, no nested loop (r11: cand and the doc-map "
+     "table are checkpointed so the double-consumed subtrees run once; "
+     "the final plan is joins over RDD-scan roots, no aggregate left)",
+     ["ExistingRDD"],
      ["CartesianProduct", "NestedLoop"]),
 ]
 

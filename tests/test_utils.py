@@ -85,3 +85,63 @@ def test_dense_ids_empty(spark):
 
     df = spark.createDataFrame([], "k string")
     assert dense_ids(df, "k", "id").count() == 0
+
+
+# ---- spread: guarded round-robin widening (r11 optimization) -------------
+
+
+def test_spread_widens_narrow_scan(spark, tmp_path):
+    from dataslicer_spark.utils import spread
+
+    p = str(tmp_path / "one_group.parquet")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() < target
+    out = spread(df)
+    assert out.rdd.getNumPartitions() == target
+    # row placement only — the value set is untouched
+    assert sorted(r["v"] for r in out.collect()) == [2 * i for i in range(1000)]
+
+
+def test_spread_noop_on_shuffle_rooted_frames(spark):
+    from pyspark.sql import functions as F
+
+    from dataslicer_spark.utils import spread
+
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    # aggregate/join/window frames are already shuffle-partitioned wide;
+    # the guard must return them unchanged (same plan object)
+    assert spread(agg) is agg
+
+
+def test_spread_barrier_truncates_lineage_and_keeps_rows(spark, tmp_path):
+    """barrier=True must leave an RDD-scan-rooted frame: Catalyst pushes
+    deterministic Projects/Filters through a round-robin Exchange, so a
+    plain repartition still evaluates JVM expression kernels at scan
+    width below the shuffle (r11: the minhash exact-verify shingle
+    filter ran as a 1.85 s two-task stage under the Exchange)."""
+    from dataslicer_spark.utils import spread
+
+    p = str(tmp_path / "one_group_b.parquet")
+    spark.range(500).selectExpr("id", "CAST(id AS STRING) AS t").coalesce(
+        1
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+    out = spread(df, barrier=True)
+    assert out.rdd.getNumPartitions() == target
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # checkpointed: the plan root is an RDD scan with no Exchange left
+    # for the optimizer to push anything below
+    assert "ExistingRDD" in plan and "Exchange" not in plan
+    assert sorted(r["id"] for r in out.collect()) == list(range(500))
+
+
+def test_spread_barrier_noop_on_wide_input(spark):
+    from dataslicer_spark.utils import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000, numPartitions=target)
+    # already wide: no repartition, and therefore NO eager checkpoint job
+    assert spread(wide, barrier=True) is wide
