@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import local_df
+
 #: multi-label public suffixes recognized by default (PSL subset —
 #: enough for the common ccTLD second-level registries)
 MULTI_LABEL_SUFFIXES = (
@@ -117,8 +119,8 @@ def filter_blocked_domains(
     corpus side stays a map-only anti probe — no corpus shuffle."""
     spark = df.sparkSession
     if isinstance(blocked, list):
-        blocked = spark.createDataFrame(
-            [(d.lower(),) for d in blocked], f"{domain_col} string"
+        blocked = local_df(
+            spark, [(d.lower(),) for d in blocked], f"{domain_col} string"
         )
     else:
         blocked = blocked.toDF(domain_col)

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, local_df
 
 _SEEDS = (0x5EED1, 0x5EED2, 0x5EED3)
 
@@ -127,8 +127,8 @@ def bloom_prune(
     if "__bloom_words" in fact.columns:
         raise ValueError("fact already has a __bloom_words column")
     words = build_bloom(dim, key, m_bits, n_hashes)
-    bloom_df = fact.sparkSession.createDataFrame(
-        [(words,)], "__bloom_words array<long>"
+    bloom_df = local_df(
+        fact.sparkSession, [(words,)], "__bloom_words array<long>"
     )
     return (
         fact.filter(F.col(key).isNotNull())

@@ -58,7 +58,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..utils import check_col, grouped_map_in_pandas, materialize
+from ..utils import check_col, grouped_map_in_pandas, local_df, materialize
 
 
 def _project(df: DataFrame, x_col: str, y_col: str, coord: str, eps: float):
@@ -482,7 +482,7 @@ def dbscan(
         mapping = [(k, global_id[rep[k]]) for k in all_keys]
         spark = df.sparkSession
         map_df = F.broadcast(
-            spark.createDataFrame(mapping, "label_key string, __gcid long")
+            local_df(spark, mapping, "label_key string, __gcid long")
         )
     else:
         # iterative-join connected components; the mapping can be large, so

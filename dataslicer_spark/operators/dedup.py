@@ -34,7 +34,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..functions.text import normalized_fingerprint, tokens_ws, word_shingles
-from ..utils import check_col, materialize, spread
+from ..utils import check_col, local_df, materialize, spread
 
 _LOG = logging.getLogger(__name__)
 
@@ -1756,7 +1756,7 @@ def dedup_threshold_sweep(
     if not ts:
         raise ValueError("thresholds must be non-empty")
     spark = pairs.sparkSession
-    thr = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    thr = local_df(spark, [(t,) for t in ts], "threshold double")
     hits = pairs.join(
         F.broadcast(thr), F.col(score_col) >= F.col("threshold")
     )

@@ -37,7 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..utils import check_col, materialize, spread
+from ..utils import check_col, local_df, materialize, spread
 from .dedup import (
     band_buckets,
     bbit_band_buckets,
@@ -108,7 +108,8 @@ def build_minhash_index(
     ).hint("rebalance").write.mode("overwrite").parquet(
         os.path.join(path, _BANDS)
     )
-    df.sparkSession.createDataFrame(
+    local_df(
+        df.sparkSession,
         [(n, num_perm, bands, bits)],
         "n int, num_perm int, bands int, bits int",
     ).write.mode("overwrite").parquet(os.path.join(path, _META))

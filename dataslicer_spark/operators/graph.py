@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..utils import local_df
+
 
 def connected_components(
     edges: DataFrame,
@@ -99,7 +101,7 @@ def connected_components(
                     T.StructField("rep", node_type),
                 ]
             )
-            return spark.createDataFrame(mapping, schema)
+            return local_df(spark, mapping, schema)
     labels = (
         nbrs.select(F.col("u").alias("node"))
         .distinct()

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import check_col, spread
+from ..utils import check_col, local_df, spread
 from .similarity import _kmeans_numpy
 
 
@@ -266,7 +266,8 @@ def pq_search(
         )
     # exact re-rank of the surviving candidates (tiny join surface)
     check_col([id_col, rerank_vec], rerank)
-    qdf = codes.sparkSession.createDataFrame(
+    qdf = local_df(
+        codes.sparkSession,
         [(q, [float(x) for x in v]) for q, v in zip(qids.tolist(), Q)],
         f"{query_id} {qid_type}, __qv array<double>",
     )
@@ -392,8 +393,8 @@ def save_pq_index(
         for j in range(m)
         for c in range(k)
     ]
-    spark.createDataFrame(
-        rows, "subspace int, code int, centroid array<double>"
+    local_df(
+        spark, rows, "subspace int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
 

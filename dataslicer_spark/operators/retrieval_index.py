@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..utils import check_col, spread
+from ..utils import check_col, local_df, spread
 from .retrieval import score_bm25_cells
 
 _POSTINGS, _DOCLENS, _META = "postings", "doclens", "meta"
@@ -128,7 +128,8 @@ def build_bm25_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, _DOCLENS))
     )
-    spark.createDataFrame(
+    local_df(
+        spark,
         [("id_col", id_col), ("text_col", text_col), ("tokenizer", "ws"),
          ("positions", "1" if store_positions else "0")],
         "key string, value string",

@@ -17,7 +17,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, local_df
 
 
 def add_split(
@@ -246,8 +246,8 @@ def temperature_resample(
         )
         rows.append((s, int(math.floor(p * 4294967296.0))))
     src_type = df.schema[source_col].dataType.simpleString()
-    thresholds = df.sparkSession.createDataFrame(
-        rows, f"{source_col} {src_type}, __thr long"
+    thresholds = local_df(
+        df.sparkSession, rows, f"{source_col} {src_type}, __thr long"
     )
     h = F.conv(
         F.substring(
@@ -433,8 +433,8 @@ def mixture_resample(
         p = min(1.0, cap * norm[s] / float(n_s))
         rows.append((s, int(math.floor(p * 4294967296.0))))
     src_type = df.schema[source_col].dataType.simpleString()
-    thresholds = spark.createDataFrame(
-        rows, f"{source_col} {src_type}, __thr long"
+    thresholds = local_df(
+        spark, rows, f"{source_col} {src_type}, __thr long"
     )
     h = F.conv(
         F.substring(
@@ -561,8 +561,8 @@ def token_budget_select(
             .limit(0)
             .drop("__bk")
         )
-    offs = df.sparkSession.createDataFrame(
-        offsets, "__bk int, __off bigint"
+    offs = local_df(
+        df.sparkSession, offsets, "__bk int, __off bigint"
     )
     w = Window.partitionBy("__bk").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
@@ -651,8 +651,8 @@ def epoch_mixture(
         thr = int(math.floor((rate - math.floor(rate)) * 4294967296.0))
         rows.append((s, n_full, thr))
     src_type = df.schema[source_col].dataType.simpleString()
-    plan = spark.createDataFrame(
-        rows, f"{source_col} {src_type}, __nf int, __thr long"
+    plan = local_df(
+        spark, rows, f"{source_col} {src_type}, __nf int, __thr long"
     )
     h = F.conv(
         F.substring(
@@ -754,7 +754,7 @@ def neyman_stratified_sample(
     key_schema = ", ".join(
         f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
     )
-    alloc_df = spark.createDataFrame(rows, f"{key_schema}, __alloc int")
+    alloc_df = local_df(spark, rows, f"{key_schema}, __alloc int")
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from ..utils import check_col, spread
+from ..utils import check_col, local_df, spread
 from .dedup import fp_dot
 
 
@@ -708,7 +708,8 @@ def save_ivf_index(centroids: np.ndarray, assigned: DataFrame, path: str) -> Non
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
         f"{path}/lists"
     )
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "list_id long, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")

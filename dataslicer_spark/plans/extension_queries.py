@@ -5970,7 +5970,10 @@ def txt_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk_multi
 
     docs = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    from ..utils import local_df
+
+    queries = local_df(
+        spark,
         [
             ("q_engine", ["spark", "vector", "fast"]),
             ("q_storage", ["parquet", "table"]),

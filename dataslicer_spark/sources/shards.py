@@ -34,7 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..utils import check_col
+from ..utils import check_col, local_df
 
 _MANIFEST = "_MANIFEST.json"
 
@@ -187,8 +187,8 @@ def verify_shards(spark: SparkSession, path: str) -> DataFrame:
         (int(k), v["rows"], v["checksum"], v.get("tokens"))
         for k, v in m["shards"].items()
     ]
-    want = spark.createDataFrame(
-        rows, "shard int, m_rows long, m_checksum long, m_tokens long"
+    want = local_df(
+        spark, rows, "shard int, m_rows long, m_checksum long, m_tokens long"
     )
     ok = (F.col("rows") == F.col("m_rows")) & (
         F.col("checksum") == F.col("m_checksum")

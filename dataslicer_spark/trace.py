@@ -99,9 +99,9 @@ class TraceLog:
             (i + 1, label, n)
             for i, (label, n) in enumerate(self.rows(strict=strict))
         ]
-        return spark.createDataFrame(
-            data, "stage int, label string, rows long"
-        )
+        from .utils import local_df
+
+        return local_df(spark, data, "stage int, label string, rows long")
 
 
 __all__ = ["TraceLog"]

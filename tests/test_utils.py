@@ -145,3 +145,44 @@ def test_spread_barrier_noop_on_wide_input(spark):
     wide = spark.range(1000, numPartitions=target)
     # already wide: no repartition, and therefore NO eager checkpoint job
     assert spread(wide, barrier=True) is wide
+
+
+# ---- local_df: JVM-local small tables (r11 optimization) ------------------
+
+
+def test_local_df_matches_list_form(spark):
+    """local_df must be a drop-in for createDataFrame(list, schema) —
+    same rows, same schema — while landing the data JVM-side (the list
+    form parallelizes into defaultParallelism PYTHON partitions, one
+    worker round trip per core per action; a 4-row meta write measured
+    5.3 s at local[32] vs 0.25 s through this path)."""
+    from pyspark.sql import types as T
+
+    from dataslicer_spark.utils import local_df
+
+    rows = [("a", 1, [1.0, 2.0]), ("b", None, []), ("c", 3, [0.5])]
+    ddl = "k string, n int, v array<double>"
+    a = local_df(spark, rows, ddl)
+    b = spark.createDataFrame(rows, ddl)
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # StructType schema form (graph.py mapping frames)
+    st = T.StructType(
+        [T.StructField("node", T.LongType()), T.StructField("rep", T.LongType())]
+    )
+    c = local_df(spark, [(1, 1), (2, 1)], st)
+    assert c.schema == st and c.count() == 2
+
+    # empty rows fall back to the list form
+    assert local_df(spark, [], ddl).count() == 0
+
+
+def test_local_df_ddl_split_keeps_nested_commas():
+    from dataslicer_spark.utils import _split_ddl
+
+    assert _split_ddl("a int, b array<struct<x:int,y:int>>, c map<int,int>") == [
+        "a int",
+        " b array<struct<x:int,y:int>>",
+        " c map<int,int>",
+    ]
